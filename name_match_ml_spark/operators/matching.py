@@ -1,0 +1,278 @@
+"""Flagship operator: fuzzy/phonetic similarity join with per-key top-k.
+
+Reference semantics (``main.py:136-221``): for every username, score every
+employee with ``compute_match_score`` (``main.py:25-90``), keep the top 4 by
+score (``main.py:169``), drop scores < 50 (``main.py:170``), assign
+dense-rank confidence labels where ties share a label (``main.py:181-198``),
+and emit a ``USER NOT FOUND`` sentinel when nothing clears the threshold
+(``main.py:172-179``).
+
+Spark-first plan (vs the reference's O(U×E) row-at-a-time Python loop):
+
+1. **Per-side preparation** — normalization, username splitting, and
+   phonetic codes are computed *before* the join: O(U+E) Python (one Arrow
+   batch pass per side) instead of O(U×E).
+2. **Candidate generation** — ``crossJoin(broadcast(employees))`` (a
+   BroadcastNestedLoopJoin: every executor streams its username partition
+   against the broadcast roster — no shuffle) or, for rosters too large to
+   broadcast, a *blocked* union of equi-joins (``plans/blocking.py``).
+3. **Scoring** — pattern short-circuit, split/initial bonuses, phonetic
+   equalities, the weighted composite and the 100-cap are native Catalyst
+   expressions; only the five per-pair ratios run in one Arrow pandas UDF.
+4. **Top-k** — one window (`row_number <= k`) per username partition; in
+   Spark ≥3.5 the rank filter is pushed into the shuffle via
+   WindowGroupLimit, so each partition keeps ≤ k rows per key.
+5. **Labels + NOT-FOUND** — ``dense_rank`` + a ``when`` chain; usernames
+   with no surviving match re-enter via left-anti join + sentinel union.
+
+Tie handling: the reference's pandas sort is unstable, so top-4 membership
+under ties is unspecified there; this engine defines the deterministic
+tiebreak ``(score DESC, emp_id ASC)`` and documents the divergence
+(SURVEY.md §7 "What's hard" #3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scoring import (
+    SCORE_THRESHOLD,
+    TOTAL_MATCHES_TO_DISPLAY,
+    pair_ratios_udf,
+    phonetic_codes_udf,
+)
+
+__all__ = [
+    "prepare_employees",
+    "prepare_usernames",
+    "score_candidates",
+    "match_usernames",
+    "format_output",
+]
+
+_SPLIT_PATTERN = r"[\._\-\s]"  # main.py:32
+
+
+def _norm(c: Column) -> Column:
+    return F.trim(F.lower(F.coalesce(c.cast("string"), F.lit(""))))
+
+
+def prepare_employees(employees: DataFrame) -> DataFrame:
+    """Normalize the roster for scoring and attach per-side phonetic codes.
+
+    Adds: ``e_name/e_first/e_last`` (lowercased+trimmed scorer inputs,
+    ``main.py:27-29``), ``f_sdx/f_mp/l_sdx/l_mp`` (soundex/metaphone of
+    first/last, ``main.py:63-66`` — computed once per employee, not once
+    per pair).
+    """
+    df = employees.select(
+        "*",
+        _norm(F.col("employee_name")).alias("e_name"),
+        _norm(F.col("first_name")).alias("e_first"),
+        _norm(F.col("last_name")).alias("e_last"),
+    )
+    f_codes = phonetic_codes_udf(F.col("e_first"))
+    l_codes = phonetic_codes_udf(F.col("e_last"))
+    return df.select(
+        "*",
+        f_codes.getField("sdx").alias("f_sdx"),
+        f_codes.getField("mp").alias("f_mp"),
+        l_codes.getField("sdx").alias("l_sdx"),
+        l_codes.getField("mp").alias("l_mp"),
+    )
+
+
+def prepare_usernames(usernames: DataFrame) -> DataFrame:
+    """Normalize usernames and attach split parts + phonetic codes.
+
+    Adds: ``u_norm`` (``main.py:26``), ``u_part1/u_part2`` (regex split on
+    ``[._-\\s]``, ``main.py:32-34``), ``u_sdx/u_mp`` (``main.py:63-66``).
+    """
+    df = usernames.withColumn("u_norm", _norm(F.col("username")))
+    parts = F.split(F.col("u_norm"), _SPLIT_PATTERN)
+    df = df.select(
+        "*",
+        F.coalesce(F.get(parts, 0), F.lit("")).alias("u_part1"),
+        F.coalesce(F.get(parts, 1), F.lit("")).alias("u_part2"),
+    )
+    codes = phonetic_codes_udf(F.col("u_norm"))
+    return df.select(
+        "*",
+        codes.getField("sdx").alias("u_sdx"),
+        codes.getField("mp").alias("u_mp"),
+    )
+
+
+def _pattern_hit() -> Column:
+    """The 8 exact username patterns that short-circuit to 100
+    (``main.py:36-47``)."""
+    f, l = F.col("e_first"), F.col("e_last")
+    u = F.col("u_norm")
+    hit = F.lit(False)
+    for sep in (".", "_", "", " "):
+        hit = hit | (u == F.concat(f, F.lit(sep), l)) | (u == F.concat(l, F.lit(sep), f))
+    return hit
+
+
+def _initial_bonus() -> Column:
+    """+5 first-initial match, +5 second-dot-segment initial match
+    (``main.py:68-74``), guarded where the reference raises IndexError on
+    empty/trailing-dot usernames (``main.py:69,73``)."""
+    u, f = F.col("u_norm"), F.col("e_first")
+    first_char = F.substring(u, 1, 1)
+    f_char = F.substring(f, 1, 1)
+    b1 = F.when((u != "") & (f != "") & (first_char == f_char), F.lit(5)).otherwise(F.lit(0))
+    second = F.coalesce(F.get(F.split(u, r"\."), 1), F.lit(""))
+    b2 = F.when(
+        u.contains(".") & (second != "") & (f != "") & (F.substring(second, 1, 1) == f_char),
+        F.lit(5),
+    ).otherwise(F.lit(0))
+    return b1 + b2
+
+
+def score_candidates(pairs: DataFrame) -> DataFrame:
+    """Attach the composite ``score`` column to prepared (username ×
+    employee) candidate pairs — ``compute_match_score`` (``main.py:25-90``)
+    re-expressed as one Arrow UDF (ratios) + native expressions
+    (everything else)."""
+    ratios = pair_ratios_udf(
+        F.col("u_norm"), F.col("e_name"), F.col("e_first"), F.col("e_last")
+    )
+    df = pairs.withColumn("_r", ratios)
+
+    split_bonus = F.when(
+        ((F.col("u_part1") == F.col("e_first")) & (F.col("u_part2") == F.col("e_last")))
+        | ((F.col("u_part2") == F.col("e_first")) & (F.col("u_part1") == F.col("e_last"))),
+        F.lit(10),
+    ).otherwise(F.lit(0))  # main.py:49-52
+
+    # main.py:54 is dead code (always 0) — replicated as a literal for
+    # score parity; documented in SURVEY.md §2.6 F9.
+    number_match_bonus = F.lit(0)
+
+    phonetic = (
+        F.when(F.col("u_sdx") == F.col("l_sdx"), 6).otherwise(0)
+        + F.when(F.col("u_mp") == F.col("l_mp"), 7).otherwise(0)
+        + F.when(F.col("u_sdx") == F.col("f_sdx"), 3).otherwise(0)
+        + F.when(F.col("u_mp") == F.col("f_mp"), 3).otherwise(0)
+    )  # main.py:63-66,82-85
+
+    composite = (
+        F.col("_r.lev_full") * 0.2
+        + F.col("_r.partial_full") * 0.2
+        + F.col("_r.token_set_full") * 0.2
+        + F.col("_r.token_set_last") * 0.3
+        + F.col("_r.token_set_first") * 0.2
+        + phonetic
+        + split_bonus
+        + _initial_bonus()
+        + number_match_bonus
+    )  # main.py:76-89
+
+    score = F.when(_pattern_hit(), F.lit(100.0)).otherwise(
+        F.least(composite, F.lit(100.0))
+    )  # main.py:46-47, 90
+    return df.withColumn("score", score.cast("double")).drop("_r")
+
+
+def match_usernames(
+    usernames: DataFrame,
+    employees: DataFrame,
+    *,
+    top_k: int = TOTAL_MATCHES_TO_DISPLAY,
+    threshold: float = float(SCORE_THRESHOLD),
+    include_not_found: bool = True,
+    broadcast_employees: bool = True,
+    blocking: bool = False,
+) -> DataFrame:
+    """End-to-end flagship pipeline.
+
+    ``usernames`` needs a ``username`` column (plus optional ``input_id``
+    carried through); ``employees`` needs the canonical four columns
+    (``sources/csv.py``).  Returns one row per surviving match with
+    ``username, emp_id, emp_name, score, match_rank, match_type``.
+
+    Scale notes: with ``broadcast_employees`` the cross join is a
+    BroadcastNestedLoopJoin (no shuffle; usernames stream partition-local).
+    For rosters beyond broadcast size set ``blocking=True`` to generate
+    candidates via blocked equi-joins instead of the full cross product
+    (``plans/blocking.py``), trading bounded recall loss for O(U·B̄) work.
+    """
+    u = prepare_usernames(usernames)
+    e = prepare_employees(employees)
+
+    if blocking:
+        from ..plans.blocking import blocked_candidates
+
+        pairs = blocked_candidates(u, e, broadcast_employees=broadcast_employees)
+    else:
+        pairs = u.crossJoin(F.broadcast(e) if broadcast_employees else e)
+
+    scored = score_candidates(pairs)
+
+    key = ["input_id", "username"] if "input_id" in u.columns else ["username"]
+    order = [F.col("score").desc(), F.col("emp_id").asc()]
+    w_top = Window.partitionBy(*key).orderBy(*order)
+    top = (
+        scored.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") <= top_k)  # main.py:169 head(k)
+        .filter(F.col("score") >= threshold)  # main.py:170
+    )
+
+    w_rank = Window.partitionBy(*key).orderBy(F.col("score").desc())
+    labels = (
+        F.when(F.col("match_rank") == 1, "HIGH CONFIDENCE")
+        .when(F.col("match_rank") == 2, "2nd HIGH CONFIDENCE")
+        .when(F.col("match_rank") == 3, "3rd HIGH CONFIDENCE")
+        .when(F.col("match_rank") == 4, "NOT SURE")
+        .otherwise("")
+    )  # main.py:181-186; ties share a label via dense_rank (main.py:188-198)
+
+    matched = (
+        top.withColumn("match_rank", F.dense_rank().over(w_rank))
+        .withColumn("match_type", labels)
+        .select(
+            *key,
+            F.col("emp_id"),
+            F.col("employee_name").alias("emp_name"),
+            F.col("score"),
+            F.col("match_rank"),
+            F.col("match_type"),
+        )
+    )
+
+    if not include_not_found:
+        return matched
+
+    not_found = (
+        u.join(matched.select("username").distinct(), "username", "left_anti")
+        .select(
+            *key,
+            F.lit("N/A").alias("emp_id"),
+            F.lit("USER NOT FOUND").alias("emp_name"),
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("int").alias("match_rank"),
+            F.lit("USER NOT FOUND").alias("match_type"),
+        )
+    )  # main.py:172-179
+    return matched.unionByName(not_found)
+
+
+def format_output(matches: DataFrame) -> DataFrame:
+    """Presentation projection mirroring the reference's download CSV
+    (``main.py:200-207``): percent-formatted score, input order preserved
+    when ``input_id`` is present.  (The reference's blank separator rows,
+    ``main.py:209``, are a sink concern and intentionally not emitted.)"""
+    order = (
+        ["input_id", F.col("match_rank").asc_nulls_last()]
+        if "input_id" in matches.columns
+        else ["username", F.col("match_rank").asc_nulls_last()]
+    )
+    return matches.orderBy(*order).select(
+        "username",
+        "emp_id",
+        "emp_name",
+        F.format_string("%.2f%%", F.col("score")).alias("confidence_score"),
+        "match_type",
+    )

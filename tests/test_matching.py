@@ -1,0 +1,182 @@
+"""End-to-end flagship pipeline tests: Spark plan vs pure-Python oracle.
+
+The oracle is ``compute_match_score`` + an exact reimplementation of the
+reference's top-k/threshold/label loop (``main.py:163-209``), run over the
+reference's own fixtures (read-only at /root/reference).
+"""
+
+from __future__ import annotations
+
+import csv
+
+import pytest
+
+from name_match_ml_spark.functions.scoring import (
+    SCORE_THRESHOLD,
+    TOTAL_MATCHES_TO_DISPLAY,
+    compute_match_score,
+)
+from name_match_ml_spark.operators.matching import (
+    format_output,
+    match_usernames,
+    prepare_employees,
+    prepare_usernames,
+    score_candidates,
+)
+from name_match_ml_spark.sources.csv import employees_from_df, load_employees, load_usernames
+
+REF_EMPLOYEES = "/root/reference/employee.csv"
+REF_USERNAMES = "/root/reference/usernames.csv"
+
+
+def _ref_rows():
+    with open(REF_EMPLOYEES) as f:
+        emps = [
+            (r["EMP_ID"], r["First_Name"], r["Last_Name"]) for r in csv.DictReader(f)
+        ]
+    with open(REF_USERNAMES) as f:
+        unames = [r["username"] for r in csv.DictReader(f)]
+    return emps, unames
+
+
+def _oracle_matches(emps, unames):
+    """Pure-Python mirror of main.py:163-209 with the engine's deterministic
+    tiebreak (score desc, emp_id asc as string)."""
+    out = {}
+    for uname in unames:
+        scored = []
+        for emp_id, first, last in emps:
+            ename = f"{first} {last}"
+            s = compute_match_score(uname, ename, first, last, emp_id)
+            scored.append((emp_id, ename, s))
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        top = [t for t in scored[:TOTAL_MATCHES_TO_DISPLAY] if t[2] >= SCORE_THRESHOLD]
+        rows = []
+        rank, prev = 1, None
+        labels = {1: "HIGH CONFIDENCE", 2: "2nd HIGH CONFIDENCE",
+                  3: "3rd HIGH CONFIDENCE", 4: "NOT SURE"}
+        for emp_id, ename, s in top:
+            if prev is not None and s < prev:
+                rank += 1
+            rows.append((emp_id, ename, round(s, 6), labels.get(rank, "")))
+            prev = s
+        out[uname] = rows
+    return out
+
+
+@pytest.fixture(scope="module")
+def ref_dfs(spark):
+    employees = load_employees(spark, REF_EMPLOYEES)
+    usernames = load_usernames(spark, REF_USERNAMES)
+    return employees, usernames
+
+
+def test_employee_ingestion_canonicalizes(ref_dfs):
+    employees, _ = ref_dfs
+    assert employees.columns == ["emp_id", "first_name", "last_name", "employee_name"]
+    rows = employees.collect()
+    assert len(rows) == 154  # 155 lines incl. header, no trailing newline
+    by_id = {r.emp_id: r for r in rows}
+    assert by_id["7"].employee_name == "Swati Patel"
+    assert by_id["7"].first_name == "Swati"
+
+
+def test_alias_normalization(spark):
+    df = spark.createDataFrame(
+        [("1", "Swati", "Patel"), ("2", "Neha", "Tripathi")],
+        ["Employee ID", "fname", "surname"],
+    )
+    out = employees_from_df(df)
+    assert out.columns == ["emp_id", "first_name", "last_name", "employee_name"]
+    rows = {r.emp_id: r for r in out.collect()}
+    assert rows["1"].employee_name == "Swati Patel"
+
+
+def test_fullname_split_derivation(spark):
+    df = spark.createDataFrame([("1", "Swati Patel"), ("2", "Neha")], ["id", "Name"])
+    out = employees_from_df(df).collect()
+    by_id = {r.emp_id: r for r in out}
+    assert (by_id["1"].first_name, by_id["1"].last_name) == ("Swati", "Patel")
+    # single-token name: last_name degrades to '' (main.py:118-120 semantics)
+    assert (by_id["2"].first_name, by_id["2"].last_name) == ("Neha", "")
+
+
+def test_flagship_matches_oracle(spark, ref_dfs):
+    employees, usernames = ref_dfs
+    emps, unames = _ref_rows()
+    oracle = _oracle_matches(emps, unames)
+
+    result = match_usernames(usernames, employees)
+    got = {}
+    for r in result.collect():
+        got.setdefault(r.username, []).append(
+            (r.emp_id, r.emp_name, round(r.score, 6), r.match_type, r.match_rank)
+        )
+
+    assert set(got) == set(unames)
+    for uname in unames:
+        want = oracle[uname]
+        rows = sorted(got[uname], key=lambda t: (-t[2], t[0]))
+        if not want:
+            assert rows == [("N/A", "USER NOT FOUND", 0.0, "USER NOT FOUND", None)], uname
+        else:
+            assert [(e, n, s, t) for e, n, s, t, _ in rows] == want, uname
+
+
+def test_golden_output_rows(spark, ref_dfs):
+    """assets/example.png rows through the full distributed pipeline.
+
+    (The pictured usernames are not in usernames.csv — the screenshot was
+    made from a different upload — so feed them directly.)"""
+    employees, _ = ref_dfs
+    usernames = spark.createDataFrame(
+        [("swati.patel",), ("harshm37",), ("n.tripathi25",)], ["username"]
+    )
+    out = format_output(match_usernames(usernames, employees))
+    rows = {(r.username, r.emp_id): r for r in out.collect()}
+    golden = [
+        ("swati.patel", "7", "100.00%", "HIGH CONFIDENCE"),
+        ("swati.patel", "60", "79.80%", "2nd HIGH CONFIDENCE"),
+        ("harshm37", "103", "76.90%", "HIGH CONFIDENCE"),
+        ("harshm37", "9", "76.90%", "HIGH CONFIDENCE"),
+        ("harshm37", "14", "66.30%", "2nd HIGH CONFIDENCE"),
+        ("n.tripathi25", "25", "80.40%", "HIGH CONFIDENCE"),
+    ]
+    for uname, emp_id, score, label in golden:
+        r = rows[(uname, emp_id)]
+        assert r.confidence_score == score, (uname, emp_id)
+        assert r.match_type == label, (uname, emp_id)
+
+
+def test_blocked_candidates_recall_on_matches(spark, ref_dfs):
+    """Blocking must retain every pair the cross product scores ≥ threshold
+    on the reference fixtures (the blocking keys subsume the scorer's own
+    signals for real name-shaped usernames)."""
+    employees, usernames = ref_dfs
+    full = match_usernames(usernames, employees, include_not_found=False)
+    blocked = match_usernames(
+        usernames, employees, include_not_found=False, blocking=True
+    )
+    full_pairs = {(r.username, r.emp_id, r.score) for r in full.collect()}
+    blocked_pairs = {(r.username, r.emp_id, r.score) for r in blocked.collect()}
+    missing = {p for p in full_pairs if p[2] >= 65.0} - blocked_pairs
+    assert not missing, f"blocking lost high-score pairs: {sorted(missing)[:5]}"
+    # bounded loss below 65: blocking keeps the vast majority overall
+    assert len(blocked_pairs) >= 0.9 * len(full_pairs)
+
+
+def test_score_candidates_matches_python_scorer(spark, ref_dfs):
+    """Distributed decomposed scorer ≡ pure-Python compute_match_score on
+    every (username × employee) pair."""
+    employees, usernames = ref_dfs
+    pairs = prepare_usernames(usernames.limit(25)).crossJoin(
+        prepare_employees(employees)
+    )
+    scored = score_candidates(pairs).select(
+        "username", "emp_id", "employee_name", "first_name", "last_name", "score"
+    )
+    for r in scored.collect():
+        want = compute_match_score(
+            r.username, r.employee_name, r.first_name, r.last_name, r.emp_id
+        )
+        assert r.score == pytest.approx(want, abs=1e-9), (r.username, r.emp_id)
