@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship fuzzy/phonetic name-match pipeline on
+the sf0.001 corpus; ``queries()``/``oracle_sql()`` declare the SURVEY.md §2
+operator inventory with DuckDB oracles (see ``name_match_ml_spark/suite.py``).
+Queries without an oracle entry (fuzzy scoring, LSH dedup) get rows-only
+checks by design — DuckDB has no soundex/metaphone/token-set equivalents.
 """
 
 from __future__ import annotations
@@ -13,26 +13,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from name_match_ml_spark.suite import ORACLE_SQL, SPARK_QUERIES, flagship_corpus_match
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship_corpus_match(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(SPARK_QUERIES)
+    out["flagship_namematch"] = flagship_corpus_match
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every oracle-checkable query."""
+    return dict(ORACLE_SQL)

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into the no-op sink (full pipeline runs on
+executors; no driver collect skew). One warm-up run of a tiny query JITs
+the session first so measured times are engine time, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("name-match-ml-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    headline = [
+        "pricing_summary",
+        "join_orders_customer",
+        "outer_join_agg",
+        "window_rank",
+        "window_running_sum",
+        "rollup_agg",
+        "count_distinct",
+        "time_tumbling",
+        "json_events",
+        "dedup_exact",
+        "text_stats",
+        "topk_orders",
+        "flagship_namematch",
+    ]
+
+    # Warm up the session (JVM/codegen/Arrow init).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    queries["distinct_pairs"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,7 @@ dot) — this engine scores them instead of crashing.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -168,6 +169,21 @@ PAIR_RATIOS_SCHEMA = StructType(
 )
 
 
+@lru_cache(maxsize=1 << 20)
+def _pair_components(u: str, e: str, f: str, l: str) -> tuple[int, int, int, int, int]:
+    """Memoized per-pair ratio bundle — real rosters repeat names (many
+    employees share a first or last name), and blocked candidate
+    generation re-presents the same (username, name) text pair across
+    blocks, so the hit rate in the hot path is substantial."""
+    return (
+        ratio(u, e),
+        partial_ratio(u, e),
+        token_set_ratio(u, e),
+        token_set_ratio(u, f),
+        token_set_ratio(u, l),
+    )
+
+
 @pandas_udf(PAIR_RATIOS_SCHEMA)
 def pair_ratios_udf(
     username: pd.Series,
@@ -178,22 +194,19 @@ def pair_ratios_udf(
     """Per-pair ratio components (``main.py:56-61``), one Arrow batch at a
     time.  Inputs are pre-lowercased/trimmed columns; this is the only
     per-pair Python stage in the flagship plan."""
-    out = {
-        "lev_full": [],
-        "partial_full": [],
-        "token_set_full": [],
-        "token_set_first": [],
-        "token_set_last": [],
-    }
-    for u, e, f, l in zip(
-        username.fillna(""), employee_name.fillna(""), first_name.fillna(""), last_name.fillna("")
-    ):
-        out["lev_full"].append(ratio(u, e))
-        out["partial_full"].append(partial_ratio(u, e))
-        out["token_set_full"].append(token_set_ratio(u, e))
-        out["token_set_first"].append(token_set_ratio(u, f))
-        out["token_set_last"].append(token_set_ratio(u, l))
-    return pd.DataFrame(out)
+    rows = [
+        _pair_components(u, e, f, l)
+        for u, e, f, l in zip(
+            username.fillna(""),
+            employee_name.fillna(""),
+            first_name.fillna(""),
+            last_name.fillna(""),
+        )
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["lev_full", "partial_full", "token_set_full", "token_set_first", "token_set_last"],
+    )
 
 
 PHONETIC_SCHEMA = StructType(

@@ -44,24 +44,30 @@ __all__ = [
 # --------------------------------------------------------------------------
 
 
+def _match_masks(s: str) -> dict[str, int]:
+    """Per-character position bitmasks of ``s`` (bit i set ⇔ s[i] == c)."""
+    pm: dict[str, int] = {}
+    for i, c in enumerate(s):
+        pm[c] = pm.get(c, 0) | (1 << i)
+    return pm
+
+
 def _lcs_len(s1: str, s2: str) -> int:
-    """Length of the longest common subsequence (two-row DP)."""
+    """Longest-common-subsequence length via the Allison–Dix (1986)
+    bit-parallel row update — O(len2) big-int ops instead of an
+    O(len1·len2) cell DP.  Python's arbitrary-precision ints act as the
+    bit register, so no 64-char limit."""
     if not s1 or not s2:
         return 0
-    if len(s1) < len(s2):
-        s1, s2 = s2, s1
-    prev = [0] * (len(s2) + 1)
-    for c1 in s1:
-        cur = [0]
-        append = cur.append
-        for j, c2 in enumerate(s2, 1):
-            if c1 == c2:
-                append(prev[j - 1] + 1)
-            else:
-                a, b = cur[j - 1], prev[j]
-                append(a if a >= b else b)
-        prev = cur
-    return prev[-1]
+    m = len(s1)
+    full = (1 << m) - 1
+    pm = _match_masks(s1)
+    v = full
+    for c in s2:
+        mask = pm.get(c, 0)
+        u = v & mask
+        v = ((v + u) | (v & ~mask)) & full
+    return m - bin(v).count("1")
 
 
 def _ratio_float(s1: str, s2: str) -> float:
@@ -111,25 +117,31 @@ def partial_ratio(s1: str, s2: str) -> int:
 
 
 def _partial_ratio_float(needle: str, haystack: str) -> float:
-    """Max indel ratio of ``needle`` vs any substring of ``haystack``."""
+    """Max indel ratio of ``needle`` vs any substring of ``haystack``.
+
+    One Allison–Dix bit-parallel sweep per substring start gives
+    LCS(needle, haystack[start:j]) for every end j — O(n²) big-int ops
+    total instead of an O(m·n²) cell DP.
+    """
     m, n = len(needle), len(haystack)
+    full = (1 << m) - 1
+    pm = _match_masks(needle)
     best = 0.0
     for start in range(n):
-        # One forward LCS sweep over haystack[start:] yields
-        # LCS(needle, haystack[start:j]) for every end j.
-        prev = [0] * (m + 1)
-        for w in range(1, n - start + 1):
-            c2 = haystack[start + w - 1]
-            cur = [0]
-            append = cur.append
-            for k, c1 in enumerate(needle, 1):
-                if c1 == c2:
-                    append(prev[k - 1] + 1)
-                else:
-                    a, b = cur[k - 1], prev[k]
-                    append(a if a >= b else b)
-            prev = cur
-            r = (2.0 * prev[m]) / (m + w)
+        # Even a full-LCS match from here can't beat `best` once the
+        # window is forced long (needle must embed entirely): bound is
+        # 2m/(m+w_min) with w_min = m when remaining ≥ m, else worse.
+        remaining = n - start
+        bound_w = m if remaining >= m else remaining
+        if (2.0 * min(m, remaining)) / (m + bound_w) <= best:
+            break
+        v = full
+        for w in range(1, remaining + 1):
+            mask = pm.get(haystack[start + w - 1], 0)
+            u = v & mask
+            v = ((v + u) | (v & ~mask)) & full
+            lcs = m - bin(v).count("1")
+            r = (2.0 * lcs) / (m + w)
             if r > best:
                 best = r
         if best == 1.0:

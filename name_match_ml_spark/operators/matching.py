@@ -176,6 +176,11 @@ def score_candidates(pairs: DataFrame) -> DataFrame:
     return df.withColumn("score", score.cast("double")).drop("_r")
 
 
+_U_TEXT = ["u_norm", "u_part1", "u_part2", "u_sdx", "u_mp"]
+_E_TEXT = ["e_name", "e_first", "e_last"]
+_E_TEXT_FULL = _E_TEXT + ["f_sdx", "f_mp", "l_sdx", "l_mp"]
+
+
 def match_usernames(
     usernames: DataFrame,
     employees: DataFrame,
@@ -193,70 +198,134 @@ def match_usernames(
     (``sources/csv.py``).  Returns one row per surviving match with
     ``username, emp_id, emp_name, score, match_rank, match_type``.
 
-    Scale notes: with ``broadcast_employees`` the cross join is a
-    BroadcastNestedLoopJoin (no shuffle; usernames stream partition-local).
-    For rosters beyond broadcast size set ``blocking=True`` to generate
-    candidates via blocked equi-joins instead of the full cross product
-    (``plans/blocking.py``), trading bounded recall loss for O(U·B̄) work.
+    Scale design — the expensive Python scoring runs once per **distinct
+    text pair**, never per (username × employee) row:
+
+    1. Both sides are reduced to distinct text rows (``u_norm`` /
+       ``(e_name, e_first, e_last)``): real corpora repeat names heavily,
+       and the score is a pure function of the normalized texts.
+    2. Candidates come from a cross join of the distinct texts (broadcast
+       when the roster side fits) or, for rosters beyond broadcast size,
+       ``blocking=True`` generates them via blocked equi-joins
+       (``plans/blocking.py``), trading bounded recall loss for O(U·B̄)
+       work.
+    3. Top-k pruning happens *before* re-expansion: ``rank() <= k`` over
+       texts (rank keeps score ties — a text with k rows strictly ahead
+       can never reach the final top-k since every text carries ≥1
+       employee), and per employee-text only the k first employees by the
+       final tiebreak (``emp_id`` asc) can survive, so the expanded
+       candidate set is O(distinct_usernames · k²), not O(U·E).
+    4. The per-``u_norm`` result fans back out to the original username
+       rows with one narrow join.
     """
     u = prepare_usernames(usernames)
     e = prepare_employees(employees)
 
+    u_texts = u.select(*_U_TEXT).dropDuplicates(["u_norm"])
+    e_texts = e.select(*_E_TEXT_FULL).dropDuplicates(_E_TEXT)
+
     if blocking:
         from ..plans.blocking import blocked_candidates
 
-        pairs = blocked_candidates(u, e, broadcast_employees=broadcast_employees)
+        pairs = blocked_candidates(u_texts, e_texts, broadcast_employees=broadcast_employees)
     else:
-        pairs = u.crossJoin(F.broadcast(e) if broadcast_employees else e)
+        pairs = u_texts.crossJoin(F.broadcast(e_texts) if broadcast_employees else e_texts)
 
-    scored = score_candidates(pairs)
+    scored = score_candidates(pairs).select("u_norm", *_E_TEXT, "score")
 
-    key = ["input_id", "username"] if "input_id" in u.columns else ["username"]
-    order = [F.col("score").desc(), F.col("emp_id").asc()]
-    w_top = Window.partitionBy(*key).orderBy(*order)
-    top = (
-        scored.withColumn("_rn", F.row_number().over(w_top))
-        .filter(F.col("_rn") <= top_k)  # main.py:169 head(k)
-        .filter(F.col("score") >= threshold)  # main.py:170
+    # Texts that can still reach the final top-k: rank() (not row_number)
+    # keeps score ties, so every text whose score could compete under the
+    # emp_id tiebreak survives pruning.
+    w_text = Window.partitionBy("u_norm").orderBy(F.col("score").desc())
+    top_texts = (
+        scored.withColumn("_tr", F.rank().over(w_text)).filter(F.col("_tr") <= top_k).drop("_tr")
     )
 
-    w_rank = Window.partitionBy(*key).orderBy(F.col("score").desc())
+    # Within one employee text all employees score equally, so only the k
+    # first by the final tiebreak (emp_id asc, string order as the
+    # reference casts ids to str at main.py:124) can appear in any top-k.
+    w_emp = Window.partitionBy(*_E_TEXT).orderBy(F.col("emp_id").asc())
+    e_short = (
+        e.withColumn("_er", F.row_number().over(w_emp))
+        .filter(F.col("_er") <= top_k)
+        .select(*_E_TEXT, "emp_id", "employee_name")
+    )
+
+    slim = top_texts.join(e_short, _E_TEXT).select(
+        "u_norm", "emp_id", F.col("employee_name").alias("emp_name"), "score"
+    )
+
+    if include_not_found:
+        # One dummy candidate per distinct username text (score -1, sorts
+        # last).  It wins rank 1 only when a username has no real candidate
+        # at all (possible under blocking), which funnels every username
+        # through the single window pass below — no anti-join, no second
+        # evaluation of the scored lineage (main.py:172-179 semantics).
+        dummy = u_texts.select(
+            "u_norm",
+            F.lit("").alias("emp_id"),
+            F.lit("").alias("emp_name"),
+            F.lit(-1.0).alias("score"),
+        )
+        slim = slim.unionByName(dummy)
+
+    key = ["input_id", "username"] if "input_id" in u.columns else ["username"]
+    w_top = Window.partitionBy("u_norm").orderBy(F.col("score").desc(), F.col("emp_id").asc())
+    w_rank = Window.partitionBy("u_norm").orderBy(F.col("score").desc())
+    w_all = Window.partitionBy("u_norm")
+
+    top = (
+        slim.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") <= top_k)  # main.py:169 head(k)
+        .withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn("_max_score", F.max("score").over(w_all))
+    )
+
     labels = (
-        F.when(F.col("match_rank") == 1, "HIGH CONFIDENCE")
-        .when(F.col("match_rank") == 2, "2nd HIGH CONFIDENCE")
-        .when(F.col("match_rank") == 3, "3rd HIGH CONFIDENCE")
-        .when(F.col("match_rank") == 4, "NOT SURE")
+        F.when(F.col("_dr") == 1, "HIGH CONFIDENCE")
+        .when(F.col("_dr") == 2, "2nd HIGH CONFIDENCE")
+        .when(F.col("_dr") == 3, "3rd HIGH CONFIDENCE")
+        .when(F.col("_dr") == 4, "NOT SURE")
         .otherwise("")
     )  # main.py:181-186; ties share a label via dense_rank (main.py:188-198)
 
-    matched = (
-        top.withColumn("match_rank", F.dense_rank().over(w_rank))
-        .withColumn("match_type", labels)
-        .select(
-            *key,
-            F.col("emp_id"),
-            F.col("employee_name").alias("emp_name"),
-            F.col("score"),
-            F.col("match_rank"),
-            F.col("match_type"),
-        )
-    )
-
     if not include_not_found:
-        return matched
-
-    not_found = (
-        u.join(matched.select("username").distinct(), "username", "left_anti")
-        .select(
-            *key,
-            F.lit("N/A").alias("emp_id"),
-            F.lit("USER NOT FOUND").alias("emp_name"),
-            F.lit(0.0).alias("score"),
-            F.lit(None).cast("int").alias("match_rank"),
-            F.lit("USER NOT FOUND").alias("match_type"),
+        per_text = top.filter(F.col("score") >= threshold).select(  # main.py:170
+            "u_norm",
+            "emp_id",
+            "emp_name",
+            "score",
+            F.col("_dr").alias("match_rank"),
+            labels.alias("match_type"),
         )
-    )  # main.py:172-179
-    return matched.unionByName(not_found)
+    else:
+        # A username "has matches" iff its best (non-dummy) score clears
+        # the threshold; otherwise its rank-1 row morphs into the
+        # NOT-FOUND sentinel (main.py:172-179).  Dense ranks are
+        # unaffected by dropping the sub-threshold tail, since that tail
+        # always ranks below the kept rows.
+        is_not_found = F.col("_max_score") < threshold
+        per_text = top.filter(
+            (F.col("score") >= threshold) | (is_not_found & (F.col("_rn") == 1))
+        ).select(
+            "u_norm",
+            F.when(is_not_found, F.lit("N/A")).otherwise(F.col("emp_id")).alias("emp_id"),
+            F.when(is_not_found, F.lit("USER NOT FOUND"))
+            .otherwise(F.col("emp_name"))
+            .alias("emp_name"),
+            F.when(is_not_found, F.lit(0.0)).otherwise(F.col("score")).alias("score"),
+            F.when(is_not_found, F.lit(None).cast("int"))
+            .otherwise(F.col("_dr"))
+            .alias("match_rank"),
+            F.when(is_not_found, F.lit("USER NOT FOUND"))
+            .otherwise(labels)
+            .alias("match_type"),
+        )
+
+    # Fan the per-distinct-text result back out to every original username
+    # row (≤ k rows per u_norm on the right side; AQE broadcasts when
+    # small).
+    return u.select(*key, "u_norm").join(per_text, "u_norm").drop("u_norm")
 
 
 def format_output(matches: DataFrame) -> DataFrame:

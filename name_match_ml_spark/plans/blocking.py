@@ -9,9 +9,8 @@ highly shares at least one key:
 
 * ``tok:<token>``  — exact alphabetic tokens of the username vs first/last
   name (covers ``first.last``-style patterns, ``main.py:36-52``)
-* ``p4:/s4:<gram>`` — 4-char prefix/suffix of each token (covers
-  concatenations like ``iamkulkarni`` and decorated tokens like
-  ``meena@bhatia`` whose token contains a name as a substring edge)
+* ``g3:<gram>``    — 3-char edge grams (prefix/suffix) of each token (covers
+  concatenations like ``iamkulkarni`` and truncations like ``ravi_trip``)
 * ``sdx:<code>``   — Soundex of each token and of the stripped username vs
   Soundex of first/last name (covers typos, ``main.py:63-66``)
 
@@ -19,12 +18,15 @@ Soundex here is Spark's **builtin** (JVM, codegen) — blocking only needs
 both sides bucketed by the same function, so jellyfish parity is not
 required (scoring still uses the parity UDF).
 
-Cost model: keys per username ≈ 3·(#tokens)+1 ≤ ~10, per employee 6; the
-join shuffles both sides by key, AQE skew-join splits hot buckets (common
-surnames), and candidates are deduped on (username, emp_id) before scoring.
-Recall loss is bounded to pairs sharing no token edge-gram and no phonetic
-code — pairs the composite would score near the threshold anyway (verified
-≥60-score recall on the reference fixtures in ``tests/test_matching.py``).
+Blocking operates on **distinct text rows** (see ``operators/matching.py``:
+one row per distinct normalized username, one per distinct employee name
+text), so the join and the pair dedup shuffle only narrow text columns.
+The join shuffles both sides by key (or broadcasts the employee texts),
+AQE skew-join splits hot buckets (common surnames), and candidates are
+deduped on the text pair before scoring. Recall loss is bounded to pairs
+sharing no token edge-gram and no phonetic code — pairs the composite would
+score near the threshold anyway (verified ≥65-score recall on the reference
+fixtures in ``tests/test_matching.py``).
 """
 
 from __future__ import annotations
@@ -55,16 +57,19 @@ def _token_keys(tokens: Column) -> Column:
 
 
 def blocked_candidates(
-    u: DataFrame,
-    e: DataFrame,
+    u_texts: DataFrame,
+    e_texts: DataFrame,
     *,
     broadcast_employees: bool = False,
 ) -> DataFrame:
-    """Candidate pairs from prepared sides (see ``operators/matching.py``)
-    via one blocking-key equi-join instead of a cross product."""
+    """Candidate text pairs from prepared distinct-text sides (see
+    ``operators/matching.py``) via one blocking-key equi-join instead of a
+    cross product.  Expects ``u_norm`` distinct on the username side and
+    ``(e_name, e_first, e_last)`` distinct on the employee side; returns
+    one row per candidate (u_norm × employee-text) pair."""
     u_tokens = F.split(F.col("u_norm"), r"[^a-z]+")
     u_stripped = F.regexp_replace(F.col("u_norm"), r"[^a-z]", "")
-    u_keys = u.withColumn(
+    u_keys = u_texts.withColumn(
         "_bkey",
         F.explode(
             F.array_distinct(
@@ -83,7 +88,7 @@ def blocked_candidates(
         ),
     )
 
-    e_b = F.broadcast(e) if broadcast_employees else e
+    e_b = F.broadcast(e_texts) if broadcast_employees else e_texts
     e_keys = e_b.withColumn(
         "_bkey",
         F.explode(
@@ -93,9 +98,8 @@ def blocked_candidates(
         ),
     )
 
-    pair_key = [c for c in u.columns if c == "input_id"] + ["username", "emp_id"]
     return (
         u_keys.join(e_keys, "_bkey")
         .drop("_bkey")
-        .dropDuplicates(pair_key)
+        .dropDuplicates(["u_norm", "e_name", "e_first", "e_last"])
     )

@@ -9,6 +9,7 @@ declarative from the scan on.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -29,6 +30,14 @@ __all__ = ["TABLES", "table", "register_views"]
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown corpus table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet reader
+        # rejects; read nanos as long and rebuild the timestamp with exact
+        # integer division (micros) — double division would lose precision
+        # on 1e18-scale nanos.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

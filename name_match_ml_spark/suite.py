@@ -1,0 +1,628 @@
+"""Declared query inventory: every SURVEY.md §2 operator family as a
+(spark_fn, oracle_sql) pair over the driver corpus (TESTDATA.md).
+
+Numeric-stability contract with the DuckDB oracle: double-typed money/qty
+columns are accumulated as ``DECIMAL(18,2)`` (exact) in BOTH engines and
+cast to ``DOUBLE`` only at the end; averages are a single double division
+of exact operands. This makes value-hashes bit-identical regardless of
+aggregation order — which a distributed engine must not depend on.
+
+Timestamps: the corpus stores parquet INT64 micros; with a UTC session
+both engines see identical wall-clock fields, and outputs that must hash
+stably are reduced to epoch seconds / extracted ints / DATE.
+
+Each Spark function takes ``(spark, sf_dir)`` and aliases every computed
+column identically to its oracle SQL (driver contract requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.parquet import table
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "flagship_corpus_match"]
+
+
+def _dec(c, scale: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# Relational inventory (SURVEY.md §2.2-2.6)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with decimal-exact sums (TPC-H Q1 shape; SURVEY A4)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection + computed scalar (SURVEY P1-P8)."""
+    c = table(spark, sf_dir, "customer")
+    return c.filter((F.col("c_acctbal") > 5000) & (F.col("c_mktsegment") == "BUILDING")).select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        _dec("c_acctbal").cast("double").alias("acctbal"),
+        (_dec("c_acctbal") * F.lit(2).cast("decimal(18,2)")).cast("double").alias("acctbal_x2"),
+    )
+
+
+def q_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcastable equi join + agg (SURVEY J2)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+def q_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join + per-segment aggregate (SURVEY J2/A4)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having ≥1 'F'-status order, counted by nation."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("customers_with_f_orders"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (0 counts)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("order_count"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tiebreak (SURVEY W1/W2)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _dec("o_totalprice").cast("double").alias("totalprice"))
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders via dense_rank (SURVEY W2/W3 analog)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running frame sum per customer in date order (SURVEY W-family)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT tagged into one result (SURVEY A1/A4)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 8000).select(F.col("c_custkey").alias("k"))
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+    return (
+        rich.union(buyers).distinct().select(F.lit("union").alias("op"), "k")
+        .unionByName(rich.intersect(buyers).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(rich.exceptAll(buyers).distinct().select(F.lit("except").alias("op"), "k"))
+    )
+
+
+def q_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.concat_ws("|", F.col("p_type"), F.col("p_brand")).alias("type_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+def q_date_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+def q_math_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(_dec("l_extendedprice") * _dec("l_discount"), 2).cast("double").alias("discount_amt"),
+        F.abs(F.col("l_quantity") - 25.0).cast("double").alias("qty_dev"),
+        F.least(F.col("l_tax"), F.col("l_discount")).cast("double").alias("min_rate"),
+        F.greatest(F.col("l_tax"), F.col("l_discount")).cast("double").alias("max_rate"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty_floor"),
+    )
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select("o_orderstatus", bucket.alias("price_bucket"))
+        .groupBy("o_orderstatus", "price_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + agg (SURVEY F14 on events.props)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window over events (streaming-equivalent shape,
+    SURVEY §2.9); epoch seconds keep the hash tz-proof."""
+    e = table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# [EXT] LLM-data-pipeline operators (SURVEY §2.10) — oracle-checkable subset
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash-group: keeper id + duplicate count."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score shape over documents (SURVEY §2.10)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(F.col("text")).alias("n_chars_computed"),
+        F.size(words).alias("n_words"),
+        (F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+def q_doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "filter_project": q_filter_project,
+    "join_nation_region": q_join_nation_region,
+    "join_orders_customer": q_join_orders_customer,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "outer_join_agg": q_outer_join_agg,
+    "topk_orders": q_topk_orders,
+    "window_rank": q_window_rank,
+    "window_running_sum": q_window_running_sum,
+    "rollup_agg": q_rollup,
+    "cube_agg": q_cube,
+    "distinct_pairs": q_distinct,
+    "count_distinct": q_count_distinct,
+    "set_ops": q_set_ops,
+    "string_scalars": q_string_scalars,
+    "date_scalars": q_date_scalars,
+    "math_scalars": q_math_scalars,
+    "case_when": q_case_when,
+    "json_events": q_json_events,
+    "time_tumbling": q_time_tumbling,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "doc_lang_profile": q_doc_lang_profile,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               COUNT(*) AS count_order,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "filter_project": """
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(2 AS DECIMAL(18,2)) AS DOUBLE)
+                   AS acctbal_x2
+        FROM customer
+        WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'
+    """,
+    "join_nation_region": """
+        SELECT r_name, n_name, COUNT(*) AS customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY r_name, n_name
+    """,
+    "join_orders_customer": """
+        SELECT c_mktsegment, COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "semi_join": """
+        SELECT c_nationkey, COUNT(*) AS customers_with_f_orders
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_nationkey
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "outer_join_agg": """
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                             CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "window_rank": """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+        WHERE rk <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend
+        FROM orders
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "distinct_pairs": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    "count_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "set_ops": """
+        WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000),
+             buyers AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        SELECT 'union' AS op, k FROM (SELECT k FROM rich UNION SELECT k FROM buyers)
+        UNION ALL
+        SELECT 'intersect' AS op, k FROM (SELECT k FROM rich INTERSECT SELECT k FROM buyers)
+        UNION ALL
+        SELECT 'except' AS op, k FROM (SELECT k FROM rich EXCEPT SELECT k FROM buyers)
+    """,
+    "string_scalars": """
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               SUBSTRING(p_name, 1, 5) AS name_prefix,
+               LENGTH(p_name) AS name_len,
+               CAST(REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
+               CONCAT_WS('|', p_type, p_brand) AS type_brand,
+               REPLACE(p_name, ' ', '_') AS name_snake
+        FROM part
+    """,
+    "date_scalars": """
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(MONTH(o_orderdate) AS INT) AS order_month,
+               CAST(DAY(o_orderdate) AS INT) AS order_day,
+               CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+               CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+                   AS days_to_2002
+        FROM orders
+    """,
+    "math_scalars": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS discount_amt,
+               ABS(l_quantity - 25.0) AS qty_dev,
+               LEAST(l_tax, l_discount) AS min_rate,
+               GREATEST(l_tax, l_discount) AS max_rate,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor
+        FROM lineitem
+    """,
+    "case_when": """
+        SELECT o_orderstatus,
+               CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 200000 THEN 'medium'
+                    ELSE 'large' END AS price_bucket,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    "json_events": """
+        SELECT event_type, COUNT(*) AS cnt,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "time_tumbling": """
+        SELECT CAST(epoch(time_bucket(INTERVAL 10 MINUTE, ts)) AS BIGINT) AS bucket_start,
+               event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT MD5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS copies
+        FROM documents GROUP BY 1
+    """,
+    "text_stats": """
+        SELECT doc_id, lang,
+               LENGTH(text) AS n_chars_computed,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+        FROM documents
+    """,
+    "doc_lang_profile": """
+        SELECT lang, source, COUNT(*) AS docs, SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """,
+}
+
+
+# --------------------------------------------------------------------------
+# Flagship on the driver corpus (rows-only check: fuzzy scoring has no
+# DuckDB equivalent) — also the `entry()` query.
+# --------------------------------------------------------------------------
+
+_FIRST_NAMES = [
+    "rajesh", "ananya", "sanjay", "neha", "amit", "swati", "harsh", "pooja",
+    "vikram", "meena", "arjun", "kavya", "rohan", "divya", "nitin", "isha",
+    "manoj", "tanvi", "deepak", "ritu",
+]
+_LAST_NAMES = [
+    "sharma", "patel", "kulkarni", "reddy", "menon", "tripathi", "verma",
+    "malhotra", "bhatia", "kapoor", "joshi", "nair", "desai", "chopra",
+    "gupta", "singh", "rao", "iyer", "mehta", "saxena",
+]
+
+
+def _corpus_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic human-name roster derived from customer keys (the
+    corpus has synthetic ``Customer#...`` names; FIXTURES.md §D)."""
+    c = table(spark, sf_dir, "customer")
+    first = F.element_at(F.array(*[F.lit(x) for x in _FIRST_NAMES]), (F.col("c_custkey") % 20 + 1).cast("int"))
+    last = F.element_at(F.array(*[F.lit(x) for x in _LAST_NAMES]), ((F.col("c_custkey") / 20) % 20 + 1).cast("int"))
+    return c.select(
+        F.col("c_custkey").cast("string").alias("emp_id"),
+        F.initcap(first).alias("first_name"),
+        F.initcap(last).alias("last_name"),
+        F.concat_ws(" ", F.initcap(first), F.initcap(last)).alias("employee_name"),
+    )
+
+
+def _corpus_usernames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usernames in the reference's observed patterns (FIXTURES.md §B),
+    derived deterministically from the roster names."""
+    r = _corpus_roster(spark, sf_dir)
+    f = F.lower(F.col("first_name"))
+    l = F.lower(F.col("last_name"))
+    key = F.col("emp_id").cast("long")
+    uname = (
+        F.when(key % 7 == 0, F.concat(f, F.lit("."), l))
+        .when(key % 7 == 1, F.concat(l, F.lit("_"), f))
+        .when(key % 7 == 2, F.concat(F.substring(f, 1, 1), l, F.lit("9"), (key % 10).cast("string")))
+        .when(key % 7 == 3, F.concat(F.lit("iam_"), f))
+        .when(key % 7 == 4, F.concat(f, (key % 100).cast("string")))
+        .when(key % 7 == 5, F.concat(F.substring(f, 1, 3), F.lit("_"), l))
+        .otherwise(F.concat(F.lit("the_real_"), f))
+    )
+    return r.select(uname.alias("username")).union(
+        spark.createDataFrame([("testme",), ("ghost_user42",), ("",)], ["username"])
+    )
+
+
+def flagship_corpus_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship similarity join on the driver corpus (rows-only check).
+
+    Uses blocked candidate generation: the corpus roster grows with sf
+    (15k employees at sf0.1 → 225M cross-join pairs), and blocking is the
+    scale path the 100 TB design prescribes; cross-vs-blocked equivalence
+    on surviving matches is covered by tests/test_matching.py.
+    """
+    from .operators.matching import match_usernames
+
+    return match_usernames(
+        _corpus_usernames(spark, sf_dir),
+        _corpus_roster(spark, sf_dir),
+        blocking=True,
+        broadcast_employees=True,
+    )

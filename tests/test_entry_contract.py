@@ -1,0 +1,89 @@
+"""Mirror of the driver's correctness gate: run every declared query in
+Spark AND its DuckDB oracle on the same parquet dir, compare row count,
+column names, and exact values (column-name-sorted, order-insensitive) —
+stricter than the driver's hash so mismatches are debuggable here first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from name_match_ml_spark.sources.parquet import TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)  # full precision — exactness is the contract
+    return value
+
+
+def _rows_canonical(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql())
+
+
+def test_every_oracle_key_has_query():
+    qs = entry_mod.queries()
+    missing = [k for k in ORACLE_KEYS if k not in qs]
+    assert not missing
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    rel = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+
+    s_canon, _ = _rows_canonical(scols, [tuple(r) for r in srows])
+    d_canon, _ = _rows_canonical(dcols, drows)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"username", "emp_id", "emp_name", "score", "match_type"} <= set(df.columns)
+
+
+def test_flagship_namematch_rows_stable(spark):
+    """Rows-only query: deterministic row count across runs."""
+    q = entry_mod.queries()["flagship_namematch"]
+    n1 = q(spark, "/root/testdata/sf0.001").count()
+    n2 = q(spark, "/root/testdata/sf0.001").count()
+    assert n1 == n2 > 0
