@@ -1,0 +1,112 @@
+"""Text-analysis scalar functions for training-data pipelines [EXT]
+(SURVEY.md §2.10) — all native Catalyst expressions (whole-stage codegen);
+no Python in any hot path.
+
+* :func:`lang_id`         — stopword-profile n-gram heuristic language ID.
+* :func:`quality_score`   — length/punctuation/stopword/word-shape quality
+  heuristic in [0, 1] (the usual pre-training corpus filters).
+* :func:`token_counts`    — whitespace tokens + a BPE-ish regex pre-token
+  count (letters / digits / punctuation runs).
+* :func:`doc_fingerprint` — bottom-k MinHash-style sketch of character
+  k-grams via ``md5`` (rolling-hash winnowing analog; md5 exists in both
+  Spark and DuckDB so the sketch is oracle-checkable bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["STOPWORDS", "lang_id", "quality_score", "token_counts", "doc_fingerprint"]
+
+# Top stopwords per language — enough signal for a coarse heuristic ID.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "un", "una", "en"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, non-space punctuation
+# runs — the coarse segmentation BPE vocabularies start from.  RE2- and
+# Java-regex compatible (oracle-safe).
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language whose stopword profile overlaps
+    the document's word set most; CJK detection by Unicode block first;
+    ``und`` (undetermined) when nothing matches."""
+    words = F.array_distinct(_words(text))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    chain = F.when(text.rlike(r"[一-鿿]"), F.lit("zh")).when(best <= 0, F.lit("und"))
+    # Deterministic preference order on ties.
+    for lang in STOPWORDS:
+        chain = chain.when(scores[lang] == best, F.lit(lang))
+    return chain.otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1] — the standard cheap filters
+    applied before expensive model-based scoring:
+
+    * length band (full credit 200–8000 chars, linear falloff outside)
+    * alphabetic character ratio
+    * stopword hit ratio (any language profile)
+    * mean word length sanity (2–12 chars)
+    """
+    n = F.length(text)
+    words = _words(text)
+    n_words = F.greatest(F.size(words), F.lit(1))
+
+    len_score = F.when(n >= 200, F.least(F.lit(1.0), F.lit(8000.0) / n)).otherwise(
+        n.cast("double") / 200.0
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+        / F.greatest(n, F.lit(1)).cast("double")
+    )
+    all_stop = sorted({w for sw in STOPWORDS.values() for w in sw})
+    stop_arr = F.array(*[F.lit(s) for s in all_stop])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = F.least(F.lit(1.0), stop_hits.cast("double") * 4.0 / n_words)
+    mean_word_len = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n_words
+    )
+    word_len_score = F.when((mean_word_len >= 2) & (mean_word_len <= 12), 1.0).otherwise(0.3)
+
+    return F.round(
+        0.3 * len_score + 0.3 * alpha_ratio + 0.2 * stop_ratio + 0.2 * word_len_score, 6
+    )
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace-token and BPE-ish pre-token counts (both native)."""
+    return {
+        "ws_tokens": F.size(_words(text)),
+        "bpe_pretokens": F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)),
+    }
+
+
+def doc_fingerprint(text: Column, *, k: int = 8, sketch_size: int = 4) -> Column:
+    """Bottom-``sketch_size`` sketch of the md5 hashes of all character
+    ``k``-grams, concatenated to one string fingerprint.
+
+    The winnowing/rolling-hash idea: two documents sharing most k-gram
+    windows share most of their bottom-k sketch, so equal fingerprints ⇒
+    near-identical content.  ``md5`` + lexicographic order are identical
+    in Spark and DuckDB, making this oracle-checkable."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(norm, i, k))
+    )
+    return F.concat_ws("|", F.slice(F.array_sort(hashes), 1, sketch_size))

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns [EXT] (SURVEY.md §2.10).
+
+* :func:`cosine_topk_exact` — brute-force cosine top-k: the correctness
+  baseline; one broadcast of the query set, native ``zip_with`` dot
+  products, per-query window top-k (WindowGroupLimit pushes the rank
+  filter into the shuffle).
+* :func:`lsh_cosine_topk` — random-hyperplane LSH: each vector gets an
+  ``nbits``-bit signature from the signs of dot products with
+  deterministic pseudo-random hyperplanes (seeded ``xxhash64``, no RNG
+  state to ship); candidates share a signature bucket in ≥ 1 of
+  ``n_tables`` tables; exact re-rank inside buckets.  The scale path: at
+  100 TB the bucket join shuffles each side once by (table, signature)
+  instead of broadcasting the whole corpus.
+
+Both return ``(query_id, neighbor_id, cosine, rank)`` with deterministic
+tiebreaks, cosine rounded to 6 dp for oracle-hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_expr
+
+__all__ = ["cosine_topk_exact", "lsh_cosine_topk"]
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).cast("array<double>").alias(vec_alias)
+    )
+
+
+def cosine_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector (self-matches
+    excluded)."""
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "v_c")
+    q = _prep(queries, id_col, vec_col, "query_id", "v_q")
+    cos = cosine_expr(F.col("v_q"), F.col("v_c"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lsh_signature(vec: Column, dim: int, nbits: int, table: int) -> Column:
+    """``nbits``-bit random-hyperplane signature.
+
+    Hyperplane components are deterministic pseudo-randoms in [-1, 1):
+    ``xxhash64(table, bit, dim_index)`` scaled — reproducible across
+    executors and runs with no RNG state or broadcast of planes."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0.0),
+                lambda acc, d_idx: acc + F.get(vec, d_idx) * (
+                    (F.xxhash64(F.lit(table), F.lit(b), d_idx) % 10000).cast("double") / 5000.0
+                ),
+            )
+            > 0,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(nbits)
+    ]
+    sig = bits[0]
+    for x in bits[1:]:
+        sig = sig.bitwiseOR(x)
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    dim: int = 64,
+    nbits: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Collision probability per table is (1 - θ/π)^nbits — near neighbors
+    (small angle θ) collide in at least one of ``n_tables`` tables with
+    high probability; exact cosine re-ranks within buckets.  Recall vs
+    :func:`cosine_topk_exact` is asserted in tests/test_dedup_simsearch.py.
+
+    Defaults are tuned for weakly-separated corpora (the driver's random
+    embeddings: top-5 neighbor cos ≈ 0.33): few bits, many tables.  For
+    genuinely clustered embeddings (near-dup cos ≥ 0.8) raise ``nbits``
+    to shrink buckets — the S-curve steepens with angular separation.
+    """
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "v_c")
+    q = _prep(queries, id_col, vec_col, "query_id", "v_q")
+
+    def with_sigs(df: DataFrame, vcol: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _lsh_signature(F.col(vcol), dim, nbits, t).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("ts"),
+        ).select(*df.columns, "ts.tbl", "ts.sig")
+
+    cq = with_sigs(q, "v_q")
+    cc = with_sigs(c, "v_c")
+    cos = cosine_expr(F.col("v_q"), F.col("v_c"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cq.join(cc, ["tbl", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

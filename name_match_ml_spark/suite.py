@@ -346,6 +346,137 @@ def q_doc_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding window (10 min / 5 min hop) — each event lands in
+    exactly two windows (streaming-equivalent shape, SURVEY §2.9)."""
+    e = table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (5-minute inactivity gap) via
+    Spark's native session_window (SURVEY §2.9)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "5 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs (operators/dedup.py) — blocked by
+    word-count band, exact-verified; fully oracle-checkable."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5, length_band=16)
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only:
+    DuckDB has no xxhash64)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.3)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint pairs within Hamming ≤ 3 (rows-only: DuckDB
+    has no xxhash64/bit_count)."""
+    from .operators.dedup import simhash_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs over embeddings (oracle via DuckDB
+    list_cosine_similarity; cosine rounded to 6 dp both sides)."""
+    from .operators.dedup import embedding_near_dup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.5)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 10th vector (similarity
+    search baseline; oracle-checkable)."""
+    from .operators.simsearch import cosine_topk_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return cosine_topk_exact(emb, queries, k=5)
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 (rows-only; recall vs exact
+    asserted in tests)."""
+    from .operators.simsearch import lsh_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return lsh_cosine_topk(emb, queries, k=5)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality score + token counts per document
+    (functions/text.py; fully oracle-checkable)."""
+    from .functions.text import lang_id, quality_score, token_counts
+
+    d = table(spark, sf_dir, "documents")
+    counts = token_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        counts["ws_tokens"].alias("ws_tokens"),
+        counts["bpe_pretokens"].alias("bpe_pretokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k md5 k-gram sketch fingerprint per document
+    (functions/text.py; oracle-checkable bit-for-bit)."""
+    from .functions.text import doc_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib RandomForest train/eval on corpus-derived labeled pairs
+    (SURVEY §2.8 M1-M6; rows-only — model training has no SQL oracle)."""
+    from .ml.pipeline import evaluation_report, labeled_pairs_from_corpus, train_match_classifier
+
+    pairs = labeled_pairs_from_corpus(spark, sf_dir)
+    _, predictions = train_match_classifier(pairs, num_trees=20)
+    return evaluation_report(predictions)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -371,6 +502,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
+    "time_sliding": q_time_sliding,
+    "session_windows": q_session_windows,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ml_train_eval": q_ml_train_eval,
 }
 
 
@@ -554,6 +696,132 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang, source, COUNT(*) AS docs, SUM(n_chars) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY lang, source
+    """,
+    # Sliding 10m/5m: every event belongs to exactly the two aligned
+    # windows starting at floor_5m(ts) and floor_5m(ts) - 5m.
+    "time_sliding": """
+        SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)
+                          - k * INTERVAL 5 MINUTE) AS BIGINT) AS bucket_start,
+               event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+        GROUP BY 1, 2
+    """,
+    # Gap sessionization via the islands pattern; Spark's session_window
+    # ends are exclusive, so a gap of exactly 5 min starts a new session.
+    "session_windows": """
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) + 300 AS session_end,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """,
+    "ngram_jaccard_dedup": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS words
+          FROM documents),
+        sized AS (SELECT doc_id, words, len(words) AS n_words FROM base),
+        banded AS (
+          SELECT doc_id, words, n_words,
+                 unnest(list_distinct([n_words // 16, n_words // 16 + 1])) AS band
+          FROM sized)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / (a.n_words + b.n_words - len(list_intersect(a.words, b.words)))
+                 AS jaccard
+        FROM banded a JOIN banded b ON a.band = b.band
+        WHERE a.doc_id < b.doc_id
+          AND least(a.n_words, b.n_words) >= 0.5 * greatest(a.n_words, b.n_words)
+          AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                / (a.n_words + b.n_words - len(list_intersect(a.words, b.words))) >= 0.5
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+    "cosine_topk": """
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                         CAST(c.embedding AS DOUBLE[])), 6)
+                            DESC, c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id % 10 = 0)
+        WHERE rank <= 5
+    """,
+    "text_quality": """
+        WITH base AS (
+          SELECT doc_id, text, length(text) AS n,
+                 list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+          FROM documents),
+        scored AS (
+          SELECT doc_id, text, n, words,
+                 list_distinct(words) AS words_d,
+                 greatest(len(words), 1) AS n_words_g,
+                 len(list_intersect(list_distinct(words),
+                     ['the','and','of','to','in','is','that','it','was','for'])) AS s_en,
+                 len(list_intersect(list_distinct(words),
+                     ['le','la','les','de','des','et','est','un','une','que'])) AS s_fr,
+                 len(list_intersect(list_distinct(words),
+                     ['el','la','los','de','que','y','es','un','una','en'])) AS s_es,
+                 len(list_intersect(list_distinct(words),
+                     ['der','die','das','und','ist','von','ein','eine','zu','den'])) AS s_de
+          FROM base)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN greatest(s_en, s_fr, s_es, s_de) <= 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                    WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                    WHEN s_de = greatest(s_en, s_fr, s_es, s_de) THEN 'de'
+                    ELSE 'und' END AS lang_guess,
+               ROUND(
+                 0.3 * (CASE WHEN n >= 200 THEN least(1.0, 8000.0 / n)
+                             ELSE n / 200.0 END)
+                 + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / CAST(greatest(n, 1) AS DOUBLE))
+                 + 0.2 * least(1.0, len(list_filter(words, w -> list_contains(
+                     ['and','das','de','den','der','des','die','ein','eine','el','en',
+                      'es','est','et','for','in','is','ist','it','la','le','les','los',
+                      'of','que','that','the','to','un','una','und','une','von','was',
+                      'y','zu'], w))) * 4.0 / n_words_g)
+                 + 0.2 * (CASE WHEN COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+                                    / CAST(n_words_g AS DOUBLE) BETWEEN 2 AND 12
+                               THEN 1.0 ELSE 0.3 END), 6) AS quality,
+               len(words) AS ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS bpe_pretokens
+        FROM scored
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               array_to_string(list_slice(list_sort(
+                 [md5(substring(norm, i, 8))
+                  for i in generate_series(1, greatest(length(norm) - 7, 1))]), 1, 4), '|')
+                 AS fingerprint
+        FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+              FROM documents)
     """,
 }
 

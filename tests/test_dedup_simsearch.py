@@ -1,0 +1,138 @@
+"""Dedup + similarity-search operator tests (SURVEY.md §2.10 [EXT]):
+brute-force oracles on small data, recall gates for the approximate paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from name_match_ml_spark.operators.simsearch import cosine_topk_exact, lsh_cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ["spark sql window join group sort merge " + " ".join(f"w{i}" for i in range(k, k + 8)) for k in range(12)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # exact duplicates
+    rows += [(100 + i, base[i]) for i in range(3)]
+    # near duplicates: one word changed
+    rows += [(200 + i, base[i].replace("sql", "hive")) for i in range(3)]
+    # unrelated
+    rows += [(300, "completely different content about cats and dogs only")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _word_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.lower().split()), set(b.lower().split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.content_hash: r for r in exact_dedup(docs).collect()}
+    copies = sorted(r.copies for r in out.values())
+    assert copies.count(2) == 3  # three duplicated texts
+    total = sum(r.copies for r in out.values())
+    assert total == docs.count()
+    # keeper is the min doc_id of each group
+    for r in out.values():
+        if r.copies == 2:
+            assert r.keeper_doc_id < 100
+
+
+def test_ngram_jaccard_matches_bruteforce(docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, length_band=8).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    want = {}
+    for a in rows:
+        for b in rows:
+            if a < b:
+                j = _word_jaccard(rows[a], rows[b])
+                if j >= 0.6:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(docs):
+    got = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # every exact-duplicate pair must collide (identical signatures)
+    for i in range(3):
+        assert (i, 100 + i) in got
+    # near-dup (1 word of ~15 changed → J ≈ 0.87) should be caught too
+    caught_near = sum((i, 200 + i) in got for i in range(3))
+    assert caught_near >= 2
+    # verification step: every reported pair really clears the threshold
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for a, b in got:
+        assert _word_jaccard(rows[a], rows[b]) >= 0.3  # shingle-J ≤ word-J slack
+
+
+def test_simhash_identical_and_near(docs):
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=16).collect()}
+    for i in range(3):
+        assert got.get((i, 100 + i)) == 0  # identical text → identical fingerprint
+    assert (0, 300) not in got  # unrelated text far away
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(emb):
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = {}
+    for r in cosine_topk_exact(emb, queries, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    for qid in [v for v in vecs if v % 50 == 0]:
+        q = vecs[qid]
+        sims = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            c = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            sims.append((round(c, 6), nid))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        want = [(i + 1, nid, c) for i, (c, nid) in enumerate(sims[:3])]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_exact(emb, queries, k=5)
+    approx = lsh_cosine_topk(emb, queries, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_embedding_near_dup_symmetric_bruteforce(emb):
+    sub = emb.filter(F.col("vec_id") < 120)
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dup(sub, threshold=0.3).collect()}
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in sub.collect()}
+    want = {}
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                c = round(float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))), 6)
+                if c >= 0.3:
+                    want[(a, b)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
