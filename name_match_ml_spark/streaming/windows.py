@@ -1,0 +1,181 @@
+"""Structured Streaming operators over the ``events`` stream [EXT]
+(SURVEY.md §2.9 — the reference has no streaming; semantics follow Spark's
+documented model, and every windowed aggregation here has a batch twin in
+``suite.py`` checked against a DuckDB oracle).
+
+Design: the same *unbounded* logical plan works in batch and streaming —
+each builder takes whatever ``events`` DataFrame it is given (static or
+``readStream``), so tests can assert stream ≡ batch on identical input.
+
+Scale notes: watermarks bound state (late data beyond the watermark is
+dropped, so state per window/session is finite); stateful operators shuffle
+once by their grouping key; ``dropDuplicatesWithinWatermark`` keeps only
+the id→latest-ts map within the watermark horizon instead of an unbounded
+seen-set.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "stream_events",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_aggregate",
+    "dedup_within_watermark",
+    "running_user_totals",
+]
+
+# Raw parquet schema: ts is INT64 nanos (TESTDATA events.parquet).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    New files appearing under ``events_dir`` become micro-batches — the
+    standard landing-zone ingestion pattern.  Nanos → timestamp conversion
+    mirrors ``sources/parquet.py``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window count/sum per event type with a watermark bounding
+    window state (late rows beyond it are dropped)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window variant: each event lands in window/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, *, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user — Spark merges overlapping
+    [ts, ts+gap) intervals; a session closes (and emits, in append mode)
+    once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stateful exactly-once dedup on event_id bounded by the watermark:
+    duplicate deliveries within the horizon are dropped while state stays
+    finite (vs an unbounded ``dropDuplicates`` seen-set)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_TOTALS_STATE = StructType(
+    [StructField("cnt", LongType()), StructField("total", DoubleType())]
+)
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("cnt", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value total across micro-batches — the
+    arbitrary-state template the built-in windows can't express."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, round(total, 6)))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt], "total": [round(total, 6)]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -467,6 +467,33 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image histogram/mean-RGB features over binary media columns via
+    mapInPandas (multimodal/columns.py; rows-only — decode is a stub,
+    SURVEY §2.10)."""
+    from .multimodal.columns import image_features, synthesize_media_assets
+
+    d = table(spark, sf_dir, "documents")
+    return image_features(synthesize_media_assets(d))
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM16 audio features (numpy decode) via mapInPandas
+    (rows-only: no blob decode in DuckDB)."""
+    from .multimodal.columns import audio_features, synthesize_media_assets
+
+    d = table(spark, sf_dir, "documents")
+    return audio_features(synthesize_media_assets(d))
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native frame-index sampling over video payloads (rows-only)."""
+    from .multimodal.columns import sample_video_frames, synthesize_media_assets
+
+    d = table(spark, sf_dir, "documents")
+    return sample_video_frames(synthesize_media_assets(d), every_n=10)
+
+
 def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib RandomForest train/eval on corpus-derived labeled pairs
     (SURVEY §2.8 M1-M6; rows-only — model training has no SQL oracle)."""
@@ -512,6 +539,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "ml_train_eval": q_ml_train_eval,
 }
 

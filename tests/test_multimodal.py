@@ -1,0 +1,101 @@
+"""Multimodal column plumbing tests (SURVEY.md §2.10 [EXT]): schema,
+batch shape, deterministic fake image decode, REAL PCM16 audio decode,
+native frame sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.multimodal.columns import (
+    audio_features,
+    decode_image,
+    image_features,
+    resize_images,
+    sample_video_frames,
+    synthesize_media_assets,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(90)
+    df = synthesize_media_assets(docs)
+    df.cache().count()
+    return df
+
+
+def test_media_schema(assets):
+    assert [f.name for f in assets.schema.fields] == ["asset_id", "data", "meta"]
+    meta_fields = {f.name for f in assets.schema["meta"].dataType.fields}
+    assert meta_fields == {"media_type", "format", "width", "height", "sample_rate", "n_frames"}
+    types = {r.t for r in assets.select(F.col("meta.media_type").alias("t")).distinct().collect()}
+    assert types == {"image", "audio", "video"}
+
+
+def test_decode_image_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", 4, 4)
+    a = decode_image(b"abc", 4, 3, fake=True)
+    b = decode_image(b"abc", 4, 3, fake=True)
+    assert a.shape == (3, 4, 3) and a.dtype == np.uint8
+    assert np.array_equal(a, b)  # deterministic
+    c = decode_image(b"other", 4, 3, fake=True)
+    assert not np.array_equal(a, c)
+
+
+def test_image_features(assets):
+    feats = image_features(assets, bins=16).collect()
+    n_images = assets.filter(F.col("meta.media_type") == "image").count()
+    assert len(feats) == n_images > 0
+    for r in feats:
+        assert len(r.mean_rgb) == 3
+        assert len(r.histogram) == 16
+        assert abs(sum(r.histogram) - 1.0) < 1e-5
+        assert all(0 <= v <= 255 for v in r.mean_rgb)
+
+
+def test_resize_images(assets):
+    out = resize_images(assets, width=8, height=6).collect()
+    assert out
+    for r in out:
+        assert (r.width, r.height) == (8, 6)
+        assert len(bytes(r.data)) == 8 * 6 * 3
+
+
+def test_audio_features_real_pcm(assets, spark):
+    got = {r.asset_id: r for r in audio_features(assets).collect()}
+    raw = {
+        r.asset_id: bytes(r.data)
+        for r in assets.filter(F.col("meta.media_type") == "audio").collect()
+    }
+    assert set(got) == set(raw) and got
+    for aid, data in raw.items():
+        data = data[: len(data) - (len(data) % 2)]
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        assert got[aid].n_samples == len(samples)
+        assert got[aid].duration_s == pytest.approx(len(samples) / 16000, abs=1e-6)
+        assert got[aid].rms == pytest.approx(float(np.sqrt((samples**2).mean())), abs=1e-5)
+
+
+def test_sample_video_frames(assets):
+    frames = sample_video_frames(assets, every_n=10).collect()
+    videos = {
+        r.asset_id: r.n_frames
+        for r in assets.filter(F.col("meta.media_type") == "video")
+        .select("asset_id", F.col("meta.n_frames").alias("n_frames"))
+        .collect()
+    }
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r.frame_idx)
+    assert set(by_asset) == set(videos)
+    for aid, idxs in by_asset.items():
+        want = list(range(0, videos[aid], 10))
+        assert sorted(idxs) == want, aid
+        for r in frames:
+            if r.asset_id == aid:
+                assert len(bytes(r.frame_data)) >= 1

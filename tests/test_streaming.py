@@ -1,0 +1,117 @@
+"""Structured Streaming tests (SURVEY.md §2.9 [EXT]): every streaming
+aggregation must equal its batch twin on the same input (stream ≡ batch),
+late data must be governed by the watermark, and stateful operators must
+carry state across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.sources.parquet import table
+from name_match_ml_spark.streaming.windows import (
+    dedup_within_watermark,
+    running_user_totals,
+    session_aggregate,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return table(spark, SF, "events")
+
+
+def _run_stream(df, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName("t_out")
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = df.sparkSession
+    out = spark.table("t_out").collect()
+    q.stop()
+    spark.catalog.dropTempView("t_out")
+    return out
+
+
+def _rows_set(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, batch_events):
+    got = _run_stream(tumbling_counts(stream_events(spark, events_dir)), "complete")
+    want = tumbling_counts(batch_events).collect()
+    assert _rows_set(got) == _rows_set(want)
+    assert len(got) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_dir, batch_events):
+    got = _run_stream(sliding_counts(stream_events(spark, events_dir)), "complete")
+    want = sliding_counts(batch_events).collect()
+    assert _rows_set(got) == _rows_set(want)
+    # sliding 10m/5m → every event in exactly 2 windows
+    assert sum(r.cnt for r in got) == 2 * batch_events.count()
+
+
+def test_session_stream_equals_batch(spark, events_dir, batch_events):
+    got = _run_stream(session_aggregate(stream_events(spark, events_dir)), "complete")
+    want = session_aggregate(batch_events).collect()
+    assert _rows_set(got) == _rows_set(want)
+    for r in got:
+        assert r.session_end >= r.session_start + 300  # gap-exclusive end
+
+
+def test_dedup_within_watermark_drops_duplicates(spark, events_dir):
+    # duplicate every event: a second identical file in the source dir
+    import shutil as sh
+
+    dup_dir = events_dir  # same dir: two files → two micro-batch inputs
+    sh.copy(f"{dup_dir}/events.parquet", f"{dup_dir}/events_copy.parquet")
+    try:
+        stream = dedup_within_watermark(stream_events(spark, dup_dir))
+        got = _run_stream(stream, "append")
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids)), "duplicate event_ids survived dedup"
+        assert len(set(ids)) == 1000  # all original events kept once
+    finally:
+        import os
+
+        os.remove(f"{dup_dir}/events_copy.parquet")
+
+
+def test_running_user_totals_stateful(spark, events_dir, batch_events):
+    got = _run_stream(running_user_totals(stream_events(spark, events_dir)), "update")
+    # final state per user (last update wins) must equal the batch totals
+    final = {}
+    for r in got:
+        final[r.user_id] = (r.cnt, r.total)
+    want = {
+        r.user_id: (r.cnt, r.total)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (cnt, total) in want.items():
+        assert final[uid][0] == cnt, uid
+        assert final[uid][1] == pytest.approx(total, abs=1e-5), uid
