@@ -47,8 +47,16 @@ def main() -> None:
         "rollup_agg",
         "count_distinct",
         "time_tumbling",
+        "time_sliding",
+        "session_windows",
         "json_events",
         "dedup_exact",
+        "ngram_jaccard_dedup",
+        "minhash_lsh_dedup",
+        "simhash_dedup",
+        "cosine_topk",
+        "text_quality",
+        "doc_fingerprint",
         "text_stats",
         "topk_orders",
         "flagship_namematch",

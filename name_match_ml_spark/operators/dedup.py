@@ -68,9 +68,16 @@ def ngram_jaccard_pairs(
     adjacent band of width ``length_band`` loses nothing for reasonable t
     while cutting the pair space by the number of bands.
     """
+    # Words are dictionary-encoded to 64-bit hashes up front: the O(pairs)
+    # intersections then compare longs, not strings (same sizes —
+    # collisions over a real vocabulary are ~2^-64 per pair).
     base = docs.select(
         F.col(id_col).alias("doc_id"), _word_set(text_col).alias("words")
-    ).withColumn("n_words", F.size("words"))
+    ).select(
+        "doc_id",
+        F.array_distinct(F.transform("words", lambda w: F.xxhash64(w))).alias("wh"),
+        F.size("words").alias("n_words"),
+    )
 
     banded = base.withColumn(
         "band",
@@ -86,17 +93,15 @@ def ngram_jaccard_pairs(
     a = banded.select(
         F.col("band"),
         F.col("doc_id").alias("doc_a"),
-        F.col("words").alias("words_a"),
+        F.col("wh").alias("wh_a"),
         F.col("n_words").alias("n_a"),
     )
     b = banded.select(
         F.col("band"),
         F.col("doc_id").alias("doc_b"),
-        F.col("words").alias("words_b"),
+        F.col("wh").alias("wh_b"),
         F.col("n_words").alias("n_b"),
     )
-    inter = F.size(F.array_intersect(F.col("words_a"), F.col("words_b")))
-    union = F.col("n_a") + F.col("n_b") - inter
     return (
         a.join(b, ["band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -106,9 +111,23 @@ def ngram_jaccard_pairs(
             F.least(F.col("n_a"), F.col("n_b"))
             >= threshold * F.greatest(F.col("n_a"), F.col("n_b"))
         )
-        .withColumn("jaccard", inter.cast("double") / union)
+        # intersect computed once per pair (named column, not inlined)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect(F.col("wh_a"), F.col("wh_b"))).alias("inter"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
