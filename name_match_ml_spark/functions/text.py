@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["STOPWORDS", "lang_id", "quality_score", "token_counts", "doc_fingerprint"]
+__all__ = [
+    "STOPWORDS",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprint",
+    "ws_normalize",
+]
 
 # Top stopwords per language — enough signal for a coarse heuristic ID.
 STOPWORDS: dict[str, list[str]] = {
@@ -37,11 +44,16 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, words: Column | None = None) -> Column:
     """Heuristic language ID: the language whose stopword profile overlaps
     the document's word set most; CJK detection by Unicode block first;
-    ``und`` (undetermined) when nothing matches."""
-    words = F.array_distinct(_words(text))
+    ``und`` (undetermined) when nothing matches.
+
+    The word set is referenced once per language profile plus once per
+    tie-break branch — pass ``words`` as a **materialized** word-array
+    column (its own projection) to avoid re-splitting the text per
+    reference (higher-order functions evaluate inline subtrees per use)."""
+    words = F.array_distinct(_words(text) if words is None else words)
     scores = {
         lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in sw])))
         for lang, sw in STOPWORDS.items()
@@ -54,7 +66,7 @@ def lang_id(text: Column) -> Column:
     return chain.otherwise(F.lit("und"))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, words: Column | None = None) -> Column:
     """Composite quality heuristic in [0, 1] — the standard cheap filters
     applied before expensive model-based scoring:
 
@@ -62,9 +74,12 @@ def quality_score(text: Column) -> Column:
     * alphabetic character ratio
     * stopword hit ratio (any language profile)
     * mean word length sanity (2–12 chars)
+
+    Pass ``words`` as a materialized word-array column when calling on a
+    hot path (see :func:`lang_id`).
     """
     n = F.length(text)
-    words = _words(text)
+    words = _words(text) if words is None else words
     n_words = F.greatest(F.size(words), F.lit(1))
 
     len_score = F.when(n >= 200, F.least(F.lit(1.0), F.lit(8000.0) / n)).otherwise(
@@ -88,25 +103,40 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def token_counts(text: Column) -> dict[str, Column]:
+def token_counts(text: Column, words: Column | None = None) -> dict[str, Column]:
     """Whitespace-token and BPE-ish pre-token counts (both native)."""
     return {
-        "ws_tokens": F.size(_words(text)),
+        "ws_tokens": F.size(_words(text) if words is None else words),
         "bpe_pretokens": F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)),
     }
 
 
-def doc_fingerprint(text: Column, *, k: int = 8, sketch_size: int = 4) -> Column:
+def doc_fingerprint(
+    text: Column, *, k: int = 8, sketch_size: int = 4, normalized: bool = False
+) -> Column:
     """Bottom-``sketch_size`` sketch of the md5 hashes of all character
     ``k``-grams, concatenated to one string fingerprint.
 
     The winnowing/rolling-hash idea: two documents sharing most k-gram
     windows share most of their bottom-k sketch, so equal fingerprints ⇒
     near-identical content.  ``md5`` + lexicographic order are identical
-    in Spark and DuckDB, making this oracle-checkable."""
-    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    in Spark and DuckDB, making this oracle-checkable.
+
+    On hot paths, stage :func:`ws_normalize` as its own projection and
+    pass ``normalized=True``: the k-gram ``transform`` references the
+    text once per character position, and higher-order functions
+    re-evaluate inline subtrees per element — an inline
+    ``regexp_replace`` here costs O(len²) regex work per doc (measured
+    ~20× on the driver corpus)."""
+    norm = text if normalized else ws_normalize(text)
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(norm, i, k))
     )
     return F.concat_ws("|", F.slice(F.array_sort(hashes), 1, sketch_size))
+
+
+def ws_normalize(text: Column) -> Column:
+    """The normalization :func:`doc_fingerprint` applies — exposed so call
+    sites can stage it as a materialized projection."""
+    return F.lower(F.regexp_replace(text, r"\s+", " "))

@@ -6,7 +6,8 @@ the north-star scope in ``BASELINE.json``.  All candidate generation is
 blocked/bucketed so no operator materializes the O(N²) pair space:
 
 * :func:`exact_dedup`          — content-hash groupBy (one shuffle).
-* :func:`ngram_jaccard_pairs`  — word-set Jaccard ≥ t within cheap blocks.
+* :func:`ngram_jaccard_pairs`  — exact shingle-Jaccard ≥ t via a fused
+  count-join (one shuffle aggregation, no per-pair array work).
 * :func:`minhash_lsh_pairs`    — MinHash signatures + LSH band buckets,
   verified with exact Jaccard (the classic shingle→minhash→band→bucket-join
   pipeline, all native expressions; only pairs sharing a band collide).
@@ -46,10 +47,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _words(text_col: str) -> Column:
+    """Whitespace word sequence (order preserved, duplicates kept)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
 def _word_set(text_col: str) -> Column:
-    return F.array_distinct(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
-    )
+    return F.array_distinct(_words(text_col))
 
 
 def ngram_jaccard_pairs(
@@ -58,67 +62,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    length_band: int = 16,
+    shingle_n: int = 2,
 ) -> DataFrame:
-    """Word-set Jaccard near-dup pairs within (length-band) blocks.
+    """ALL pairs with word-``shingle_n``-gram-shingle Jaccard ≥ ``threshold``
+    — exact and lossless (requires ``threshold > 0``).
 
-    Jaccard(A,B) = |A∩B| / |A∪B| over distinct word sets.  Blocking: a pair
-    with Jaccard ≥ t must have |A| and |B| within a factor (1-t)/1 of each
-    other, so comparing only docs whose word-count falls in the same or
-    adjacent band of width ``length_band`` loses nothing for reasonable t
-    while cutting the pair space by the number of bands.
+    Candidate generation and |A∩B| are fused into one shuffle aggregation
+    (the "count-join" from the set-similarity-join literature): explode each
+    doc's distinct shingle hashes → narrow self-equi-join on the shingle →
+    ``groupBy(doc_a, doc_b).count()`` is exactly the intersection size.
+    Pairs sharing no shingle never enter the plan (their J = 0), and the
+    size-ratio filter ``min/max ≥ t`` prunes before the aggregate.
+
+    Scale design (100 TB):
+
+    * the join/shuffle carries only ``(doc_id, n, hash)`` longs — never
+      shingle strings or per-doc arrays — so shuffle bytes are
+      O(total shingle occurrences), and map-side partial aggregation
+      collapses the join output to O(co-occurring pairs) before the wire;
+    * total work is Σ_s df(s)² over shingle document frequencies: near-
+      linear on real corpora where shingles are rare; hot shingles are
+      split by AQE skew-join handling.  At extreme scale the standard
+      mitigation is dropping stop-shingles (df above a cap) first — an
+      *approximate* knob deliberately not applied here, since this
+      operator is the oracle-exact baseline (``minhash_lsh_pairs`` is the
+      sketch-based scale path).
+    * 64-bit shingle hashing (``xxhash64``) makes cross-doc collisions
+      ~2⁻⁶⁴ per pair — negligible against any real corpus.
     """
-    # Words are dictionary-encoded to 64-bit hashes up front: the O(pairs)
-    # intersections then compare longs, not strings (same sizes —
-    # collisions over a real vocabulary are ~2^-64 per pair).
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _word_set(text_col).alias("words")
-    ).select(
+    base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    tok = base.select(
         "doc_id",
-        F.array_distinct(F.transform("words", lambda w: F.xxhash64(w))).alias("wh"),
-        F.size("words").alias("n_words"),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("h"),
     )
-
-    banded = base.withColumn(
-        "band",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor(F.col("n_words") / length_band),
-                    F.floor(F.col("n_words") / length_band) + 1,
-                )
-            )
-        ),
-    )
-    a = banded.select(
-        F.col("band"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("wh").alias("wh_a"),
-        F.col("n_words").alias("n_a"),
-    )
-    b = banded.select(
-        F.col("band"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("wh").alias("wh_b"),
-        F.col("n_words").alias("n_b"),
-    )
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
     return (
-        a.join(b, ["band"])
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # size filter: |A∩B| ≤ min(|A|,|B|) ⇒ J ≤ min/max — prune before
-        # the O(|A|+|B|) intersect
+        # size filter: |A∩B| ≤ min ⇒ J ≤ min/max — prune pre-aggregation
         .filter(
             F.least(F.col("n_a"), F.col("n_b"))
             >= threshold * F.greatest(F.col("n_a"), F.col("n_b"))
         )
-        # intersect computed once per pair (named column, not inlined)
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect(F.col("wh_a"), F.col("wh_b"))).alias("inter"),
-        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .select(
             "doc_a",
             "doc_b",
@@ -128,17 +117,40 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
 def _shingles(words: Column, n: int = 2) -> Column:
-    """Word n-gram shingles (falls back to single words for short docs)."""
+    """Word n-gram shingles (falls back to single words for short docs).
+
+    ``words`` MUST be a materialized column (attribute), not an inline
+    expression: higher-order functions run outside whole-stage codegen and
+    re-evaluate inline argument subtrees once per array element — an
+    inline ``split()`` here turns O(len) shingling into O(len²) work
+    (measured 20× on the driver corpus).  Use
+    :func:`_staged_shingle_hashes`, which stages each step as its own
+    projection."""
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)]),
     )
     return F.array_distinct(F.when(F.size(words) >= n, grams).otherwise(words))
+
+
+def _staged_shingle_hashes(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """``(doc_id, sh: array<long>)`` — distinct 64-bit shingle hashes per
+    doc, with words → shingles → hashes each materialized as its own
+    projection so no higher-order function receives an inline subtree
+    (see :func:`_shingles`).  Hashing to longs up front keeps every
+    downstream shuffle/compare narrow."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("_w"))
+        .select("doc_id", _shingles(F.col("_w"), shingle_n).alias("_sh"))
+        .select("doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
 
 
 def minhash_lsh_pairs(
@@ -154,83 +166,95 @@ def minhash_lsh_pairs(
     """MinHash + LSH near-dup pairs, verified with exact shingle Jaccard.
 
     Pipeline (all native Catalyst expressions, no Python):
-    shingle (word ``shingle_n``-grams) → ``num_perm`` MinHash values
-    (``array_min`` over seeded ``xxhash64``) → ``bands`` band signatures →
-    explode → self-join per (band, signature) bucket → exact-Jaccard
-    verification of the candidates.  With r = num_perm/bands rows per band,
-    collision probability is 1-(1-J^r)^bands — the standard S-curve; pairs
-    far below ``threshold`` almost never collide, so verification work
-    tracks the true duplicate count, not N².
+    shingle hashes (staged projections, see :func:`_staged_shingle_hashes`)
+    → ``num_perm`` MinHash values (``array_min`` over seeded ``xxhash64``,
+    each permutation's expression appearing exactly once in the plan) →
+    ``bands`` band signatures → explode → **narrow** self-join per
+    (band, signature) bucket carrying only ids → pair dedup → re-attach
+    the shingle arrays to the surviving candidates for exact-Jaccard
+    verification.  With r = num_perm/bands rows per band, collision
+    probability is 1-(1-J^r)^bands — the standard S-curve; pairs far
+    below ``threshold`` almost never collide, so verification work tracks
+    the true duplicate count, not N².
+
+    Scale notes: the band join shuffles three longs per (doc, band) — no
+    text, no arrays; the verification joins move arrays only for the
+    (few) deduped candidates, and AQE broadcasts the candidate side when
+    it is small.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _shingles(_word_set(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
 
     def _minhash(p: int):
-        return F.array_min(F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(p), s)))
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(p), s)))
 
-    sig = F.array(*[_minhash(p) for p in range(num_perm)])
-    with_sig = base.withColumn("sig", sig)
-
+    # Band signatures consume each permutation's min exactly once, so the
+    # plan never materializes (or worse, re-evaluates) a num_perm-wide
+    # signature array.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    *[F.get(F.col("sig"), b * rows_per_band + r) for r in range(rows_per_band)]
+                    *[_minhash(b * rows_per_band + r) for r in range(rows_per_band)]
                 ).alias("band_sig"),
             )
             for b in range(bands)
         ]
     )
-    exploded = with_sig.select(
-        "doc_id", "shingles", F.explode(band_structs).alias("bs")
-    ).select("doc_id", "shingles", "bs.band", "bs.band_sig")
+    banded = base.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.band_sig"
+    )
 
-    a = exploded.select(
-        "band",
-        "band_sig",
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = exploded.select(
-        "band",
-        "band_sig",
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
+    a = banded.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    cand = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("jaccard", inter.cast("double") / union)
+    )
+
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("inter"),
+            (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).alias("sz"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / (F.col("sz") - F.col("inter"))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def simhash_fingerprint(words: Column, bits: int = 64) -> Column:
+def simhash_fingerprint(word_hashes: Column, bits: int = 64) -> Column:
     """SimHash as a native expression: bit b of the fingerprint is set iff
     the majority of word hashes have bit b set (equivalently, the sign of
-    Σ_words ±1 over bit b of ``xxhash64(word)``).
+    Σ_words ±1 over bit b of the 64-bit word hash).
 
-    One ``filter``+``size`` per bit — stays in whole-stage codegen (the
-    repeated ``xxhash64(w)`` subtrees are deduplicated by codegen
-    subexpression elimination); no Python."""
+    ``word_hashes`` must be a **materialized** ``array<long>`` column
+    (``xxhash64`` per word, hashed once in its own projection) — higher-
+    order functions re-evaluate inline argument subtrees per element, so
+    passing raw words would re-hash every word ``bits`` times.  One
+    ``filter``+``size`` pass over the long array per bit; no Python."""
     def _bit_filter(b: int):
-        return lambda w: F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
-    n_words = F.size(words)
+    n_words = F.size(word_hashes)
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        n_set = F.size(F.filter(words, _bit_filter(b)))
+        n_set = F.size(F.filter(word_hashes, _bit_filter(b)))
         bit_val = (1 << b) if b < bits - 1 else -(1 << (bits - 1))
         fp = fp.bitwiseOR(
             F.when(n_set * 2 > n_words, F.lit(bit_val).cast("long")).otherwise(
@@ -256,9 +280,12 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash_fingerprint(_word_set(text_col)).alias("fp"),
+    # words → word hashes → fingerprint, each its own projection (see
+    # simhash_fingerprint's materialization requirement).
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), _word_set(text_col).alias("_w"))
+        .select("doc_id", F.transform("_w", lambda w: F.xxhash64(w)).alias("_wh"))
+        .select("doc_id", simhash_fingerprint(F.col("_wh")).alias("fp"))
     )
     banded = base.select(
         "doc_id",

@@ -24,7 +24,37 @@ TABLES = (
     "embeddings",
 )
 
+# Tables whose queries do expression-heavy per-row work (similarity
+# scoring, shingling, JSON extraction, vector math) before the first
+# shuffle — for those, map-side parallelism pays for one extra small
+# exchange.  lineitem/orders are deliberately excluded: their queries are
+# aggregation/join-shaped, where Catalyst's map-side partial aggregation
+# collapses rows BEFORE any exchange, and a pre-shuffle would defeat it
+# (measured: repartitioning lineitem made TPC-H-Q1-shape 1.5× slower).
+# region/nation/supplier broadcast; fanning 5 rows over 32 tasks only adds
+# scheduling overhead.
+_EXPRESSION_HEAVY_TABLES = frozenset(
+    {"customer", "part", "events", "documents", "embeddings"}
+)
+
 __all__ = ["TABLES", "table", "register_views"]
+
+
+def _ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan has fewer partitions than the
+    session's parallelism.
+
+    The driver corpus ships each table as ONE single-row-group parquet file
+    — an unsplittable scan partition — so without this every map-side
+    expression/UDF stage (shingling, scoring, feature extraction, partial
+    aggregation) runs on one core.  On a real cluster the scan is already
+    split by ``spark.sql.files.maxPartitionBytes`` and this guard is a
+    no-op (the condition is false), so no extra shuffle is introduced at
+    scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,8 +67,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # on 1e18-scale nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _EXPRESSION_HEAVY_TABLES:
+        df = _ensure_scan_parallelism(df)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -387,12 +387,12 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs (operators/dedup.py) — blocked by
-    word-count band, exact-verified; fully oracle-checkable."""
+    """Exact bigram-shingle Jaccard ≥ 0.5 pairs (operators/dedup.py) via
+    the fused count-join; lossless, fully oracle-checkable."""
     from .operators.dedup import ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.5, length_band=16)
+    return ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,14 +445,17 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality score + token counts per document
     (functions/text.py; fully oracle-checkable)."""
-    from .functions.text import lang_id, quality_score, token_counts
+    from .functions.text import _words, lang_id, quality_score, token_counts
 
     d = table(spark, sf_dir, "documents")
-    counts = token_counts(F.col("text"))
-    return d.select(
+    # Words split once in a materialized projection — every scalar below
+    # references the array attribute, not a re-split of the text.
+    staged = d.select("doc_id", "text", _words(F.col("text")).alias("_w"))
+    counts = token_counts(F.col("text"), words=F.col("_w"))
+    return staged.select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text"), words=F.col("_w")).alias("lang_guess"),
+        quality_score(F.col("text"), words=F.col("_w")).alias("quality"),
         counts["ws_tokens"].alias("ws_tokens"),
         counts["bpe_pretokens"].alias("bpe_pretokens"),
     )
@@ -461,10 +464,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k md5 k-gram sketch fingerprint per document
     (functions/text.py; oracle-checkable bit-for-bit)."""
-    from .functions.text import doc_fingerprint
+    from .functions.text import doc_fingerprint, ws_normalize
 
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return d.select("doc_id", ws_normalize(F.col("text")).alias("_norm")).select(
+        "doc_id", doc_fingerprint(F.col("_norm"), normalized=True).alias("fingerprint")
+    )
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,23 +766,27 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_dedup": """
         WITH base AS (
           SELECT doc_id,
-                 list_distinct(list_filter(
-                   string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS words
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '') AS words
           FROM documents),
-        sized AS (SELECT doc_id, words, len(words) AS n_words FROM base),
-        banded AS (
-          SELECT doc_id, words, n_words,
-                 unnest(list_distinct([n_words // 16, n_words // 16 + 1])) AS band
-          FROM sized)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                 / (a.n_words + b.n_words - len(list_intersect(a.words, b.words)))
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1])
+                   ELSE words END) AS shingles
+          FROM base),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+                  WHERE len(shingles) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
                  AS jaccard
-        FROM banded a JOIN banded b ON a.band = b.band
-        WHERE a.doc_id < b.doc_id
-          AND least(a.n_words, b.n_words) >= 0.5 * greatest(a.n_words, b.n_words)
-          AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                / (a.n_words + b.n_words - len(list_intersect(a.words, b.words))) >= 0.5
+        FROM sized a JOIN sized b
+          ON a.doc_id < b.doc_id
+         AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5
     """,
     "embedding_near_dup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

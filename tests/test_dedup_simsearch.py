@@ -49,18 +49,30 @@ def test_exact_dedup_groups(docs):
             assert r.keeper_doc_id < 100
 
 
-def test_ngram_jaccard_matches_bruteforce(docs):
+def _shingle_jaccard(a: str, b: str, n: int) -> float:
+    def sh(t: str) -> set[str]:
+        w = t.lower().split()
+        if len(w) < n:
+            return set(w)
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.mark.parametrize("n,threshold", [(1, 0.6), (2, 0.5)])
+def test_ngram_jaccard_matches_bruteforce(docs, n, threshold):
     got = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.6, length_band=8).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=threshold, shingle_n=n).collect()
     }
     rows = {r.doc_id: r.text for r in docs.collect()}
     want = {}
     for a in rows:
         for b in rows:
             if a < b:
-                j = _word_jaccard(rows[a], rows[b])
-                if j >= 0.6:
+                j = _shingle_jaccard(rows[a], rows[b], n)
+                if j >= threshold:
                     want[(a, b)] = j
     assert set(got) == set(want)
     for k in want:
