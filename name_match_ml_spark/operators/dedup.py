@@ -145,11 +145,17 @@ def _staged_shingle_hashes(
     projection so no higher-order function receives an inline subtree
     (see :func:`_shingles`).  Hashing to longs up front keeps every
     downstream shuffle/compare narrow."""
+    # The empty-doc filter runs against the cheap words stage, NOT the
+    # final shingle column (equivalent: shingles are empty iff words are):
+    # a filter on `sh` would be predicate-pushed below the projections,
+    # substituting the whole shingle expression tree into the condition —
+    # whose HOF lambdas then re-evaluate their inline input per element
+    # (measured 25× on this stage).
     return (
         docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("_w"))
+        .filter(F.size("_w") > 0)
         .select("doc_id", _shingles(F.col("_w"), shingle_n).alias("_sh"))
         .select("doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
 
 

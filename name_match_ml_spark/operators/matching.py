@@ -53,6 +53,10 @@ __all__ = [
 
 _SPLIT_PATTERN = r"[\._\-\s]"  # main.py:32
 
+# Re-spread blocked candidates before the Arrow scoring stage (see
+# match_usernames); module-level so benchmarks can A/B it.
+_REPARTITION_PAIRS = True
+
 
 def _norm(c: Column) -> Column:
     return F.trim(F.lower(F.coalesce(c.cast("string"), F.lit(""))))
@@ -228,6 +232,14 @@ def match_usernames(
         from ..plans.blocking import blocked_candidates
 
         pairs = blocked_candidates(u_texts, e_texts, broadcast_employees=broadcast_employees)
+        if _REPARTITION_PAIRS:
+            # The scoring stage's cost is per-ROW Python (Arrow UDF), not
+            # per-byte, but AQE coalesces the candidate dedup's output by
+            # bytes — a few MB of candidate pairs collapse to ~1 partition
+            # and the UDF serializes.  Re-spread explicitly; the narrow
+            # text pairs make this exchange trivial next to the scoring
+            # it parallelizes.
+            pairs = pairs.repartition(usernames.sparkSession.sparkContext.defaultParallelism)
     else:
         pairs = u_texts.crossJoin(F.broadcast(e_texts) if broadcast_employees else e_texts)
 

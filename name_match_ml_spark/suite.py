@@ -702,7 +702,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "json_events": """
         SELECT event_type, COUNT(*) AS cnt,
-               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
@@ -728,7 +728,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "doc_lang_profile": """
-        SELECT lang, source, COUNT(*) AS docs, SUM(n_chars) AS total_chars,
+        SELECT lang, source, COUNT(*) AS docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY lang, source
     """,
