@@ -24,8 +24,10 @@ O(N²).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..plans.staging import stage
 
 __all__ = [
     "exact_dedup",
@@ -63,59 +65,129 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_n: int = 2,
+    strategy: str = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """ALL pairs with word-``shingle_n``-gram-shingle Jaccard ≥ ``threshold``
-    — exact and lossless (requires ``threshold > 0``).
+    — exact and lossless (requires ``threshold > 0``), via one of two
+    strategies whose costs dominate on opposite corpus shapes:
 
-    Candidate generation and |A∩B| are fused into one shuffle aggregation
-    (the "count-join" from the set-similarity-join literature): explode each
-    doc's distinct shingle hashes → narrow self-equi-join on the shingle →
-    ``groupBy(doc_a, doc_b).count()`` is exactly the intersection size.
-    Pairs sharing no shingle never enter the plan (their J = 0), and the
-    size-ratio filter ``min/max ≥ t`` prunes before the aggregate.
+    * ``"prefix"`` — prefix-filtered set-similarity join (AllPairs/PPJoin
+      family): under a global rarest-first shingle order,
+      ``J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉``, so matching pairs must share a
+      shingle within their first ``n - ⌈t·n⌉ + 1`` shingles of that
+      order.  Only prefix shingles become join keys; candidates pass the
+      PPJoin length filter ``min(n_a,n_b) ≥ t·max(n_a,n_b)`` and are
+      verified exactly with one ``array_intersect`` per pair.  Join
+      fan-out is Σ_s pdf(s)² over *prefix* document frequencies — ≈ the
+      true duplicate count on sparse-vocabulary corpora (web text, where
+      most shingles have df ≈ 1).
+    * ``"countjoin"`` — fused candidate+intersection: explode distinct
+      shingle hashes, narrow self-equi-join on the hash, and
+      ``groupBy(pair).count()`` *is* |A∩B| (map-side partial aggregation
+      collapses the join output before the wire).  Work is Σ_s df(s)²
+      over full frequencies, but every row is three longs through
+      whole-stage codegen — cheaper than prefix+verify on
+      dense-vocabulary corpora where prefixes stop pruning.
+    * ``"auto"`` — one aggregate over the (tiny) shingle df table picks:
+      mean df ≥ 16 ⇒ dense ⇒ countjoin, else prefix.  Runs eagerly at
+      plan-build time; with ``materialize`` the stats pass reuses the
+      staged shingle table, so it costs one scan of stored longs.
 
-    Scale design (100 TB):
+    ``materialize`` stages the shingle table once
+    (:func:`..plans.staging.stage`) — every strategy consumes it 2-3
+    times, and re-deriving it per consumer re-runs the higher-order
+    shingling per pass (measured ~10× on sf0.1; see staging.py).
 
-    * the join/shuffle carries only ``(doc_id, n, hash)`` longs — never
-      shingle strings or per-doc arrays — so shuffle bytes are
-      O(total shingle occurrences), and map-side partial aggregation
-      collapses the join output to O(co-occurring pairs) before the wire;
-    * total work is Σ_s df(s)² over shingle document frequencies: near-
-      linear on real corpora where shingles are rare; hot shingles are
-      split by AQE skew-join handling.  At extreme scale the standard
-      mitigation is dropping stop-shingles (df above a cap) first — an
-      *approximate* knob deliberately not applied here, since this
-      operator is the oracle-exact baseline (``minhash_lsh_pairs`` is the
-      sketch-based scale path).
-    * 64-bit shingle hashing (``xxhash64``) makes cross-doc collisions
-      ~2⁻⁶⁴ per pair — negligible against any real corpus.
+    Shared scale properties (100 TB): shuffles carry only longs —
+    ``(doc_id, n, hash)`` streams, id pairs, and (prefix path) shingle
+    arrays for the few deduped candidates; hot shingles/prefixes are
+    split by AQE skew-join; 64-bit ``xxhash64`` shingle hashing makes
+    cross-doc collisions ~2⁻⁶⁴ per pair.  At extreme scale the standard
+    *approximate* knob — dropping stop-shingles with df above a cap — is
+    deliberately not applied here: this operator is the oracle-exact
+    baseline (``minhash_lsh_pairs`` is the sketch-based path).
     """
     base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    base = stage(base, "doc_id", enabled=materialize)
     tok = base.select(
         "doc_id",
         F.size("sh").alias("n"),
         F.explode("sh").alias("h"),
     )
-    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
-    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
-    return (
+
+    jaccard_of = lambda inter, sz: (  # noqa: E731
+        inter.cast("double") / (sz - inter)
+    ).alias("jaccard")
+
+    if strategy == "auto":
+        row = tok.groupBy("h").count().select(F.avg("count").alias("m")).first()
+        strategy = "countjoin" if (row["m"] or 0.0) >= 16 else "prefix"
+
+    if strategy == "countjoin":
+        a = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+        b = tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+        return (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # length filter: |A∩B| ≤ min ⇒ J ≤ min/max — prune pre-agg
+            .filter(
+                F.least(F.col("n_a"), F.col("n_b"))
+                >= threshold * F.greatest(F.col("n_a"), F.col("n_b"))
+            )
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select(
+                "doc_a",
+                "doc_b",
+                jaccard_of(F.col("inter"), F.col("n_a") + F.col("n_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # Global document frequency per shingle: tiny (≤ distinct shingles),
+    # broadcast back onto the token stream.
+    df_tbl = tok.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+
+    # Rarest-first rank within each doc; keep the (n - ⌈t·n⌉ + 1)-prefix.
+    # The 1e-9 nudge only ever *lengthens* the prefix (safe direction)
+    # against float noise in t·n.
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("h").asc())
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
+    prefix = (
+        tok.join(F.broadcast(df_tbl), "h")
+        .withColumn("_pr", F.row_number().over(w_doc))
+        .filter(F.col("_pr") <= prefix_len)
+        .select("doc_id", "n", "h")
+    )
+
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+    cand = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        # size filter: |A∩B| ≤ min ⇒ J ≤ min/max — prune pre-aggregation
         .filter(
             F.least(F.col("n_a"), F.col("n_b"))
             >= threshold * F.greatest(F.col("n_a"), F.col("n_b"))
         )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ).alias("jaccard"),
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("inter"),
+            (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).alias("sz"),
         )
+        .select("doc_a", "doc_b", jaccard_of(F.col("inter"), F.col("sz")))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -168,6 +240,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact shingle Jaccard.
 
@@ -192,7 +265,13 @@ def minhash_lsh_pairs(
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
 
-    base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    # The shingle table feeds banding + both verification sides — stage
+    # it once (see plans/staging.py).
+    base = stage(
+        _staged_shingle_hashes(docs, text_col, id_col, shingle_n),
+        "doc_id",
+        enabled=materialize,
+    )
 
     def _minhash(p: int):
         return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(p), s)))
@@ -276,6 +355,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -293,6 +373,9 @@ def simhash_pairs(
         .select("doc_id", F.transform("_w", lambda w: F.xxhash64(w)).alias("_wh"))
         .select("doc_id", simhash_fingerprint(F.col("_wh")).alias("fp"))
     )
+    # The 64-bit-majority fingerprint (64 HOF passes per doc) feeds both
+    # join sides — stage it once (see plans/staging.py).
+    base = stage(base, "doc_id", enabled=materialize)
     banded = base.select(
         "doc_id",
         "fp",

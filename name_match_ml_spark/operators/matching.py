@@ -42,6 +42,7 @@ from ..functions.scoring import (
     pair_ratios_udf,
     phonetic_codes_udf,
 )
+from ..plans.staging import stage
 
 __all__ = [
     "prepare_employees",
@@ -194,6 +195,7 @@ def match_usernames(
     include_not_found: bool = True,
     broadcast_employees: bool = True,
     blocking: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end flagship pipeline.
 
@@ -222,8 +224,12 @@ def match_usernames(
     4. The per-``u_norm`` result fans back out to the original username
        rows with one narrow join.
     """
-    u = prepare_usernames(usernames)
-    e = prepare_employees(employees)
+    # The prepared sides each feed 2-3 consumers (candidates, dummy
+    # branch, final fan-out join / employee re-attach); staging runs the
+    # Arrow phonetic UDFs once per side instead of once per consumer
+    # (see plans/staging.py).
+    u = stage(prepare_usernames(usernames), "u_norm", enabled=materialize)
+    e = stage(prepare_employees(employees), "e_name", enabled=materialize)
 
     u_texts = u.select(*_U_TEXT).dropDuplicates(["u_norm"])
     e_texts = e.select(*_E_TEXT_FULL).dropDuplicates(_E_TEXT)

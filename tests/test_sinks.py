@@ -1,0 +1,62 @@
+"""Sink round-trips (SURVEY.md §2.1 S7/S8)."""
+
+import os
+
+from name_match_ml_spark.sources.sinks import load_model, save_csv, save_model, save_parquet
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("alice", "1", 97.5), ("bob", "2", 55.0)], ["username", "emp_id", "score"]
+    )
+    out = str(tmp_path / "matches_csv")
+    save_csv(df, out, single_file=True)
+    back = spark.read.option("header", True).csv(out)
+    assert sorted(back.columns) == ["emp_id", "score", "username"]
+    assert back.count() == 2
+    # single_file writes exactly one part file
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "x")], ["k", "v", "p"]
+    )
+    out = str(tmp_path / "res_parquet")
+    save_parquet(df, out, partition_by=("p",))
+    assert {"p=x", "p=y"}.issubset(set(os.listdir(out)))
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: filter on p reads only one directory
+    assert back.filter("p = 'x'").count() == 2
+
+
+def test_model_sink_roundtrip(spark, tmp_path):
+    from name_match_ml_spark.ml.pipeline import train_match_classifier
+
+    pairs = spark.createDataFrame(
+        [
+            ("john.smith", "John Smith", 1),
+            ("jsmith", "John Smith", 1),
+            ("maria.garcia", "Maria Garcia", 1),
+            ("mgarcia", "Maria Garcia", 1),
+            ("quartz99", "John Smith", 0),
+            ("zzyzx", "Maria Garcia", 0),
+            ("nobody_here", "John Smith", 0),
+            ("xjqk", "Maria Garcia", 0),
+        ]
+        * 4,
+        ["username", "employee_name", "label"],
+    )
+    model, _ = train_match_classifier(pairs, num_trees=5)
+    out = str(tmp_path / "model")
+    save_model(model, out)
+    back = load_model(spark, out)
+    scored = back.transform(
+        __import__("name_match_ml_spark.ml.pipeline", fromlist=["pair_features"]).pair_features(
+            spark.createDataFrame([("john.smith", "John Smith", 1)], ["username", "employee_name", "label"])
+        )
+    )
+    assert "prediction" in scored.columns
+    assert scored.count() == 1
