@@ -62,9 +62,24 @@ def main() -> None:
         "flagship_namematch",
     ]
 
-    # Warm up the session (JVM/codegen/Arrow init).
+    # Warm up the session: JVM/codegen init, then the Python worker pool +
+    # Arrow serialization path (forking $cpus workers and importing pandas
+    # is one-time environment cost, not engine time — without this the one
+    # Arrow-UDF query in the list pays it).
     spark.range(1000).selectExpr("sum(id)").collect()
     queries["distinct_pairs"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s * 1.0, "double")
+    (
+        spark.range(int(cpus) * 1000)
+        .repartition(int(cpus))
+        .select(_warm(col("id")))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in headline:
