@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .sources.parquet import table
+from .sources.parquet import register_views, table
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL", "flagship_corpus_match"]
 
@@ -187,6 +187,20 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: explicit grouping sets — (status, priority) and (status) and ()
+    in one aggregation pass (Catalyst expands to Expand + single hash agg)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
 
 
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +536,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_sum": q_window_running_sum,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
+    "grouping_sets_agg": q_grouping_sets,
     "distinct_pairs": q_distinct,
     "count_distinct": q_count_distinct,
     "set_ops": q_set_ops,
@@ -642,6 +657,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "grouping_sets_agg": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
     "distinct_pairs": """
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
