@@ -366,15 +366,32 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    # words → word hashes → fingerprint, each its own projection (see
-    # simhash_fingerprint's materialization requirement).
-    base = (
-        docs.select(F.col(id_col).alias("doc_id"), _word_set(text_col).alias("_w"))
-        .select("doc_id", F.transform("_w", lambda w: F.xxhash64(w)).alias("_wh"))
-        .select("doc_id", simhash_fingerprint(F.col("_wh")).alias("fp"))
+    # Fingerprint via explode + one hash aggregate (64 conditional bit
+    # sums per doc) instead of 64 interpreted HOF array passes
+    # (:func:`simhash_fingerprint`, kept as the per-row expression form):
+    # the sums run inside whole-stage codegen, and map-side partial
+    # aggregation collapses each doc to one 64-sum row before the
+    # shuffle, so the exchange carries ~one narrow row per doc.
+    wh = docs.select(F.col(id_col).alias("doc_id"), F.explode(_word_set(text_col)).alias("_t")).select(
+        "doc_id", F.xxhash64("_t").alias("h")
     )
-    # The 64-bit-majority fingerprint (64 HOF passes per doc) feeds both
-    # join sides — stage it once (see plans/staging.py).
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = wh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nw"), *bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 is the long's sign bit
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{b}") * 2 > F.col("_nw"), F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    base = agg.select("doc_id", fp.alias("fp"))
+    # The fingerprint table feeds both join sides — stage it once (see
+    # plans/staging.py).
     base = stage(base, "doc_id", enabled=materialize)
     banded = base.select(
         "doc_id",
