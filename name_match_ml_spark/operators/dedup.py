@@ -424,14 +424,28 @@ def simhash_pairs(
     )
 
 
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two double-array columns — one sequential
+    ``aggregate`` so the accumulation order is deterministic
+    (oracle-hash-stable)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def norm_expr(a: Column) -> Column:
+    """L2 norm of a double-array column (same deterministic accumulation).
+
+    Attach this per *side* before a similarity join — the norm is a
+    per-vector quantity, and computing it inside a per-pair cosine wastes
+    2/3 of the (interpreted) higher-order-function work on the pair
+    stream (see :func:`cosine_expr`)."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double-array columns, computed with one
-    sequential ``aggregate`` per term so the accumulation order is
-    deterministic (oracle-hash-stable)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    return dot / (na * nb)
+    """Cosine similarity of two double-array columns.  Convenience form
+    for one-shot use; hot paths precompute :func:`norm_expr` per side and
+    divide :func:`dot_expr` by the norm product instead."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
 def embedding_near_dup(
@@ -448,10 +462,10 @@ def embedding_near_dup(
     corpora use :func:`simsearch.lsh_cosine_topk`'s bucketing instead."""
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
-    cos = cosine_expr(F.col("v_a"), F.col("v_b"))
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cos = dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))

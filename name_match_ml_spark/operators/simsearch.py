@@ -21,14 +21,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_expr
+from .dedup import dot_expr, norm_expr
 
 __all__ = ["cosine_topk_exact", "lsh_cosine_topk"]
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
+    # Norms are per-vector: compute them per side here, never per pair
+    # (see norm_expr).
+    v = F.col(vec_col).cast("array<double>")
     return df.select(
-        F.col(id_col).alias(id_alias), F.col(vec_col).cast("array<double>").alias(vec_alias)
+        F.col(id_col).alias(id_alias),
+        v.alias(vec_alias),
+        norm_expr(v).alias(f"n_{vec_alias}"),
     )
 
 
@@ -44,7 +49,7 @@ def cosine_topk_exact(
     excluded)."""
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "v_c")
     q = _prep(queries, id_col, vec_col, "query_id", "v_q")
-    cos = cosine_expr(F.col("v_q"), F.col("v_c"))
+    cos = dot_expr(F.col("v_q"), F.col("v_c")) / (F.col("n_v_q") * F.col("n_v_c"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         q.crossJoin(c)
@@ -126,7 +131,7 @@ def lsh_cosine_topk(
 
     cq = with_sigs(q, "v_q")
     cc = with_sigs(c, "v_c")
-    cos = cosine_expr(F.col("v_q"), F.col("v_c"))
+    cos = dot_expr(F.col("v_q"), F.col("v_c")) / (F.col("n_v_q") * F.col("n_v_c"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cq.join(cc, ["tbl", "sig"])
