@@ -11,18 +11,18 @@ Decode reality in this build environment (no PIL/opencv/librosa):
 
 * **Audio** is REAL: PCM16 decoding needs only numpy (``frombuffer``),
   so :func:`audio_features` computes true RMS/duration/peak.
-* **Image decode is a STUB** — :func:`decode_image` raises
-  ``NotImplementedError`` unless ``fake=True``, which substitutes a
-  deterministic md5-seeded pixel array so the downstream plumbing
-  (schemas, batch shapes, histogram features, resize) is fully
-  exercised.  Swapping in PIL later changes ONE function.
+* **Image decode is REAL for binary PPM/PGM** (P6/P5, maxval ≤ 255):
+  :func:`decode_image` is a pure-numpy netpbm decoder and
+  :func:`encode_ppm` the matching encoder, so the decode → feature →
+  resize → re-encode path runs on genuine image bytes end-to-end.
+  Compressed formats (JPEG/PNG/…) need PIL/opencv and raise
+  ``NotImplementedError`` — swapping in PIL later changes ONE function.
 * **Video** is modeled as metadata-only frame sampling (frame offsets
   into the payload) — the partition/explode plumbing is real.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -46,6 +46,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "synthesize_media_assets",
     "decode_image",
+    "encode_ppm",
     "image_features",
     "resize_images",
     "audio_features",
@@ -74,15 +75,32 @@ MEDIA_SCHEMA = StructType(
 
 def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     """Deterministic fake assets from the documents table (test corpus):
-    payload = text bytes cycled; media_type rotates image/audio/video.
-    Real pipelines would read parquet/webdataset with identical schema."""
+    media_type rotates image/audio/video.  Image payloads are VALID
+    binary PPM (P6) files — header + raster of the document's printable
+    ASCII bytes cycled to ``width*height*3`` — built entirely with native
+    expressions so synthesis stays JVM-side.  Audio/video payloads are
+    raw text bytes (PCM16-interpretable / frame-sliceable).  Real
+    pipelines would read parquet/webdataset with identical schema."""
     t = F.col("doc_id") % 3
-    payload = F.encode(F.col("text"), "UTF-8")
+    w = (F.col("doc_id") % 8 + 4) * 4
+    h = (F.col("doc_id") % 6 + 3) * 4
+    # Printable-ASCII raster source: 1 char == 1 byte, so native string
+    # repeat/substring arithmetic is exact byte arithmetic.
+    ascii_src = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    ascii_src = F.coalesce(F.nullif(ascii_src, F.lit("")), F.lit("spark"))
+    n_pix = (w * h * 3).cast("int")
+    raster = F.substring(
+        F.repeat(ascii_src, (n_pix / F.length(ascii_src)).cast("int") + 1), 1, n_pix
+    )
+    ppm = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"), raster
+    )
+    payload = F.encode(F.when(t == 0, ppm).otherwise(F.col("text")), "UTF-8")
     meta = F.struct(
         F.when(t == 0, "image").when(t == 1, "audio").otherwise("video").alias("media_type"),
-        F.when(t == 0, "fake-rgb").when(t == 1, "pcm16").otherwise("fake-frames").alias("format"),
-        F.when(t == 0, (F.col("doc_id") % 8 + 4) * 4).otherwise(F.lit(None)).cast("int").alias("width"),
-        F.when(t == 0, (F.col("doc_id") % 6 + 3) * 4).otherwise(F.lit(None)).cast("int").alias("height"),
+        F.when(t == 0, "ppm").when(t == 1, "pcm16").otherwise("fake-frames").alias("format"),
+        F.when(t == 0, w).otherwise(F.lit(None)).cast("int").alias("width"),
+        F.when(t == 0, h).otherwise(F.lit(None)).cast("int").alias("height"),
         F.when(t == 1, 16000).otherwise(F.lit(None)).cast("int").alias("sample_rate"),
         F.when(t == 2, F.col("doc_id") % 50 + 10).otherwise(F.lit(None)).cast("int").alias("n_frames"),
     )
@@ -91,24 +109,55 @@ def synthesize_media_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(data: bytes, width: int, height: int, *, fake: bool = False) -> np.ndarray:
+def decode_image(data: bytes) -> np.ndarray:
     """Decode an image payload to an (H, W, 3) uint8 array.
 
-    STUB: real decoding requires PIL/opencv, absent from this build
-    environment.  ``fake=True`` produces a deterministic md5-seeded
-    array with the correct shape/dtype so downstream feature plumbing is
-    fully testable; the default raises to make the stub impossible to
-    mistake for a real decoder."""
-    if not fake:
+    REAL decoder for binary netpbm (P6 RGB, P5 grayscale; maxval ≤ 255),
+    pure numpy — header tokens parsed with ``#``-comment handling, raster
+    via zero-copy ``frombuffer``.  Grayscale is expanded to 3 channels so
+    downstream features see one shape.  Compressed formats (JPEG/PNG/…)
+    require PIL/opencv, absent from this build environment, and raise
+    ``NotImplementedError`` — swapping in PIL later changes only this
+    function."""
+    buf = bytes(data or b"")
+    magic = buf[:2]
+    if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "real image decode needs PIL/opencv (not in build env); "
-            "pass fake=True for the deterministic test decoder"
+            f"only binary PPM/PGM (P6/P5) decode is implemented without "
+            f"PIL/opencv; payload starts with {magic!r}"
         )
-    n = width * height * 3
-    seed = hashlib.md5(bytes(data or b"")).digest()
-    reps = n // len(seed) + 1
-    buf = (seed * reps)[:n]
-    return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3)
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(buf[i:j])
+        i = j
+    width, height, maxval = (int(t) for t in toks)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters are not supported")
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    channels = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(buf, dtype=np.uint8, count=width * height * channels, offset=i)
+    img = raster.reshape(height, width, channels)
+    return np.repeat(img, 3, axis=2) if channels == 1 else img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a binary PPM (P6) payload —
+    the inverse of :func:`decode_image`, used by :func:`resize_images`
+    so transformed assets remain valid, re-decodable image files."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
 IMAGE_FEATURES_SCHEMA = StructType(
@@ -132,8 +181,8 @@ def image_features(assets: DataFrame, *, bins: int = 16) -> DataFrame:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                w, h = int(row["width"]), int(row["height"])
-                img = decode_image(row["data"], w, h, fake=True)
+                img = decode_image(row["data"])
+                h, w = img.shape[:2]
                 lum = img.mean(axis=2)
                 hist, _ = np.histogram(lum, bins=bins, range=(0, 255))
                 hist = hist.astype(np.float32)
@@ -149,9 +198,9 @@ def image_features(assets: DataFrame, *, bins: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
 
-    images = assets.filter(F.col("meta.media_type") == "image").select(
-        "asset_id", "data", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
-    )
+    # Only asset_id + payload cross the Arrow boundary; dimensions come
+    # from the decoded header itself.
+    images = assets.filter(F.col("meta.media_type") == "image").select("asset_id", "data")
     return images.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
 
@@ -166,33 +215,29 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(assets: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Nearest-neighbor resize of the (fake-)decoded pixels — the exact
-    plumbing a PIL-backed resize would use: decode → transform →
-    re-encode bytes, one Arrow batch at a time."""
+    """Nearest-neighbor resize over really-decoded pixels: decode PPM →
+    index-map resample → re-encode PPM, one Arrow batch at a time — the
+    exact plumbing a PIL-backed resize would use."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                img = decode_image(
-                    row["data"], int(row["width"]), int(row["height"]), fake=True
-                )
+                img = decode_image(row["data"])
                 ys = (np.arange(height) * img.shape[0] // height).clip(0, img.shape[0] - 1)
                 xs = (np.arange(width) * img.shape[1] // width).clip(0, img.shape[1] - 1)
                 resized = img[ys][:, xs]
                 out.append(
                     {
                         "asset_id": row["asset_id"],
-                        "data": resized.tobytes(),
+                        "data": encode_ppm(resized),
                         "width": width,
                         "height": height,
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
 
-    images = assets.filter(F.col("meta.media_type") == "image").select(
-        "asset_id", "data", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
-    )
+    images = assets.filter(F.col("meta.media_type") == "image").select("asset_id", "data")
     return images.mapInPandas(resize, RESIZED_SCHEMA)
 
 

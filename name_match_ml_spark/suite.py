@@ -487,13 +487,27 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image histogram/mean-RGB features over binary media columns via
-    mapInPandas (multimodal/columns.py; rows-only — decode is a stub,
-    SURVEY §2.10)."""
+    """REAL PPM-decode image features (mean-RGB + luminance histogram)
+    via mapInPandas (multimodal/columns.py; rows-only — no blob decode
+    in DuckDB, SURVEY §2.10).  Arrays are flattened to scalar / pipe-
+    joined string columns at this query surface so the driver's
+    canonicalizer can sort and hash the rows; the library operator keeps
+    the array form."""
     from .multimodal.columns import image_features, synthesize_media_assets
 
     d = table(spark, sf_dir, "documents")
-    return image_features(synthesize_media_assets(d))
+    feats = image_features(synthesize_media_assets(d))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round(F.col("mean_rgb")[0], 6).alias("mean_r"),
+        F.round(F.col("mean_rgb")[1], 6).alias("mean_g"),
+        F.round(F.col("mean_rgb")[2], 6).alias("mean_b"),
+        F.concat_ws(
+            "|", F.transform("histogram", lambda x: F.round(x.cast("double"), 6).cast("string"))
+        ).alias("histogram"),
+    )
 
 
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,6 +1,6 @@
 """Multimodal column plumbing tests (SURVEY.md §2.10 [EXT]): schema,
-batch shape, deterministic fake image decode, REAL PCM16 audio decode,
-native frame sampling."""
+batch shape, REAL PPM image decode, REAL PCM16 audio decode, native
+frame sampling."""
 
 from __future__ import annotations
 
@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from name_match_ml_spark.multimodal.columns import (
     audio_features,
     decode_image,
+    encode_ppm,
     image_features,
     resize_images,
     sample_video_frames,
@@ -36,26 +37,47 @@ def test_media_schema(assets):
     assert types == {"image", "audio", "video"}
 
 
-def test_decode_image_stub_contract():
+def test_decode_image_real_ppm_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # header comments + P5 grayscale expansion
+    gray = b"P5\n# a comment\n2 2\n255\n\x00\x40\x80\xff"
+    g = decode_image(gray)
+    assert g.shape == (2, 2, 3)
+    assert np.array_equal(g[:, :, 0], np.array([[0, 0x40], [0x80, 0xFF]], dtype=np.uint8))
+    assert np.array_equal(g[:, :, 0], g[:, :, 2])  # channels replicated
     with pytest.raises(NotImplementedError):
-        decode_image(b"abc", 4, 4)
-    a = decode_image(b"abc", 4, 3, fake=True)
-    b = decode_image(b"abc", 4, 3, fake=True)
-    assert a.shape == (3, 4, 3) and a.dtype == np.uint8
-    assert np.array_equal(a, b)  # deterministic
-    c = decode_image(b"other", 4, 3, fake=True)
-    assert not np.array_equal(a, c)
+        decode_image(b"\x89PNG\r\n")  # compressed formats need PIL
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")  # 16-bit
+
+
+def test_synthesized_image_payloads_are_valid_ppm(assets):
+    rows = assets.filter(F.col("meta.media_type") == "image").collect()
+    assert rows
+    for r in rows:
+        img = decode_image(bytes(r.data))
+        assert img.shape == (r.meta.height, r.meta.width, 3)
+        assert img.dtype == np.uint8
 
 
 def test_image_features(assets):
     feats = image_features(assets, bins=16).collect()
     n_images = assets.filter(F.col("meta.media_type") == "image").count()
     assert len(feats) == n_images > 0
+    raw = {
+        r.asset_id: bytes(r.data)
+        for r in assets.filter(F.col("meta.media_type") == "image").collect()
+    }
     for r in feats:
         assert len(r.mean_rgb) == 3
         assert len(r.histogram) == 16
         assert abs(sum(r.histogram) - 1.0) < 1e-5
-        assert all(0 <= v <= 255 for v in r.mean_rgb)
+        # mean_rgb really comes from the decoded raster
+        img = decode_image(raw[r.asset_id])
+        assert (r.height, r.width) == img.shape[:2]
+        np.testing.assert_allclose(r.mean_rgb, img.reshape(-1, 3).mean(axis=0), atol=1e-9)
 
 
 def test_resize_images(assets):
@@ -63,7 +85,8 @@ def test_resize_images(assets):
     assert out
     for r in out:
         assert (r.width, r.height) == (8, 6)
-        assert len(bytes(r.data)) == 8 * 6 * 3
+        resized = decode_image(bytes(r.data))  # output is itself valid PPM
+        assert resized.shape == (6, 8, 3)
 
 
 def test_audio_features_real_pcm(assets, spark):
