@@ -1,9 +1,9 @@
 """Similarity search over embedding columns [EXT] (SURVEY.md §2.10).
 
 * :func:`cosine_topk_exact` — brute-force cosine top-k: the correctness
-  baseline; one broadcast of the query set, native ``zip_with`` dot
-  products, per-query window top-k (WindowGroupLimit pushes the rank
-  filter into the shuffle).
+  baseline, computed as one numpy GEMM per Arrow batch of the corpus
+  against a broadcast query matrix (no pair stream ever materializes);
+  per-batch partial top-k then a tiny global window top-k.
 * :func:`lsh_cosine_topk` — random-hyperplane LSH: each vector gets an
   ``nbits``-bit signature from the signs of dot products with
   deterministic pseudo-random hyperplanes (seeded ``xxhash64``, no RNG
@@ -18,12 +18,25 @@ tiebreaks, cosine rounded to 6 dp for oracle-hash stability.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from .dedup import dot_expr, norm_expr
 
 __all__ = ["cosine_topk_exact", "lsh_cosine_topk"]
+
+_TOPK_CAND_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
@@ -44,17 +57,79 @@ def cosine_topk_exact(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_slack: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k neighbors of each query vector (self-matches
-    excluded)."""
-    c = _prep(corpus, id_col, vec_col, "neighbor_id", "v_c")
-    q = _prep(queries, id_col, vec_col, "query_id", "v_q")
-    cos = dot_expr(F.col("v_q"), F.col("v_c")) / (F.col("n_v_q") * F.col("n_v_c"))
+    excluded).
+
+    Scale design: the query side is small by contract (it is a top-k
+    *query set*), so it is collected once here (an eager job at plan
+    construction, like a broadcast-hash build side) and broadcast as a
+    row-normalized numpy matrix.  The corpus then streams through one
+    Arrow ``mapInPandas`` doing a single GEMM per batch — all dot
+    products stay inside BLAS instead of an interpreted per-pair
+    higher-order function, and no query×corpus pair stream ever hits a
+    shuffle.  Each batch emits only its local top-``(k + batch_slack)``
+    rows per query, ordered by the same (rounded cosine desc, id asc)
+    key the final window uses, so the global top-k — a window over
+    ``O(batches · queries · k)`` rows — is exact.  ``batch_slack``
+    absorbs rounding-order ties at the batch cutoff; a failure would
+    need ``k + batch_slack`` candidates within 1e-6 cosine of the
+    cutoff inside one batch.
+
+    Memory bound per task: ``O(arrow_batch_rows × n_queries)`` doubles
+    for the score block (10k × 10k ≈ 800 MB worst case — cap
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` or the query count
+    accordingly)."""
+    spark = corpus.sparkSession
+    qrows = (
+        queries.select(F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not qrows:
+        empty = spark.createDataFrame([], _TOPK_CAND_SCHEMA)
+        return empty.withColumn("rank", F.lit(1)).limit(0)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+    take = k + batch_slack
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_Qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            # Pre-sort rows by id so a stable sort on score yields the
+            # (cosine desc, neighbor_id asc) total order per column.
+            order = np.argsort(cids, kind="stable")
+            cids = cids[order]
+            C = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ b_Qn.T  # (batch, n_queries) — the GEMM
+            R = np.round(S, 6)
+            R[np.equal.outer(cids, b_qids)] = -np.inf  # self-matches out
+            top = np.argsort(-R, axis=0, kind="stable")[: min(take, len(cids))]
+            n_top, m = top.shape
+            rows = top.ravel(order="F")
+            cols = np.repeat(np.arange(m), n_top)
+            keep = np.isfinite(R[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[cols[keep]],
+                    "neighbor_id": cids[rows[keep]],
+                    "cosine": S[rows[keep], cols[keep]],
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(score, _TOPK_CAND_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cos, 6))
+        cand.withColumn("cosine", F.round("cosine", 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
