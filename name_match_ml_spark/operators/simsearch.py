@@ -140,15 +140,18 @@ def _lsh_signature(vec: Column, dim: int, nbits: int, table: int) -> Column:
     """``nbits``-bit random-hyperplane signature.
 
     Hyperplane components are deterministic pseudo-randoms in [-1, 1):
-    ``xxhash64(table, bit, dim_index)`` scaled — reproducible across
-    executors and runs with no RNG state or broadcast of planes."""
+    ``pmod(xxhash64(table, bit, dim_index), 10000)/5000 - 1`` —
+    reproducible across executors and runs with no RNG state or
+    broadcast of planes."""
     bits = [
         F.when(
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 F.lit(0.0),
                 lambda acc, d_idx: acc + F.get(vec, d_idx) * (
-                    (F.xxhash64(F.lit(table), F.lit(b), d_idx) % 10000).cast("double") / 5000.0
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(b), d_idx), F.lit(10000)).cast("double")
+                    / 5000.0
+                    - 1.0
                 ),
             )
             > 0,
@@ -168,8 +171,9 @@ def lsh_cosine_topk(
     *,
     k: int = 5,
     dim: int = 64,
-    nbits: int = 4,
-    n_tables: int = 8,
+    nbits: int | None = None,
+    n_tables: int = 12,
+    target_bucket_rows: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -180,11 +184,20 @@ def lsh_cosine_topk(
     high probability; exact cosine re-ranks within buckets.  Recall vs
     :func:`cosine_topk_exact` is asserted in tests/test_dedup_simsearch.py.
 
-    Defaults are tuned for weakly-separated corpora (the driver's random
-    embeddings: top-5 neighbor cos ≈ 0.33): few bits, many tables.  For
-    genuinely clustered embeddings (near-dup cos ≥ 0.8) raise ``nbits``
-    to shrink buckets — the S-curve steepens with angular separation.
+    ``nbits=None`` (default) sizes buckets from the corpus: ``nbits =
+    clamp(log2(N / target_bucket_rows), 4, 24)`` via one eager
+    ``count()`` at plan construction — a fixed bit width would leave
+    buckets holding ``N / 2^nbits`` rows, degenerating toward all-pairs
+    as the corpus grows.  Each doubling of N adds one bit, holding both
+    expected bucket size and per-table recall-at-distance constant.
+    Raising ``nbits`` (more, smaller buckets) trades recall for cost;
+    raise ``n_tables`` to win recall back — the S-curve steepens with
+    angular separation, so clustered near-dup corpora (cos ≥ 0.8) keep
+    high recall even at large ``nbits``.
     """
+    if nbits is None:
+        n = corpus.count()
+        nbits = max(4, min(24, int(np.ceil(np.log2(max(n, 1) / target_bucket_rows)))))
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "v_c")
     q = _prep(queries, id_col, vec_col, "query_id", "v_q")
 

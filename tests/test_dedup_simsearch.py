@@ -124,27 +124,58 @@ def test_cosine_topk_matches_numpy(emb):
         assert sorted(got[qid]) == want, qid
 
 
-def test_lsh_topk_recall(emb):
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_lsh_topk_recall(spark, sf_dir):
+    # Adaptive nbits must hold the recall gate as the corpus grows
+    # (random weakly-separated embeddings are the worst case for
+    # hyperplane LSH — clustered corpora only do better).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     exact = cosine_topk_exact(emb, queries, k=5)
     approx = lsh_cosine_topk(emb, queries, k=5)
     exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low at {sf_dir}"
 
 
-def test_embedding_near_dup_symmetric_bruteforce(emb):
-    sub = emb.filter(F.col("vec_id") < 120)
-    got = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dup(sub, threshold=0.3).collect()}
+def _near_dup_bruteforce(sub, threshold):
     vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in sub.collect()}
     want = {}
     for a in vecs:
         for b in vecs:
             if a < b:
                 c = round(float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))), 6)
-                if c >= 0.3:
+                if c >= threshold:
                     want[(a, b)] = c
+    return want
+
+
+@pytest.mark.parametrize("n_chunks", [None, 1, 4, 7])
+def test_embedding_near_dup_symmetric_bruteforce(emb, n_chunks):
+    sub = emb.filter(F.col("vec_id") < 120)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(sub, threshold=0.3, n_chunks=n_chunks).collect()
+    }
+    want = _near_dup_bruteforce(sub, 0.3)
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_embedding_near_dup_plan_has_no_cartesian(emb):
+    df = embedding_near_dup(emb, threshold=0.5, n_chunks=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # blocked GEMM path is in the plan
+
+
+def test_cosine_topk_plan_has_no_cartesian(emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    df = cosine_topk_exact(emb, queries, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # GEMM scorer path
