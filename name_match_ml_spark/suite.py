@@ -216,6 +216,33 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 sketch aggregate (SURVEY §2.5): HyperLogLog++ cardinality per
+    return flag — the aggregate a 100 TB pipeline actually uses, since
+    exact COUNT(DISTINCT) shuffles every distinct key while the sketch
+    shuffles a fixed few KB per group.
+
+    Spark's HLL++ and DuckDB's HLL give different point estimates, so
+    the portable (hash-checkable) output is the exact count plus a
+    bounded-relative-error flag: estimate/exact within ±10% (both
+    engines target ~2-5% rsd, so the envelope holds deterministically
+    on both)."""
+    li = table(spark, sf_dir, "lineitem")
+    ratio = F.col("_approx").cast("double") / F.col("exact_parts").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            ratio.between(0.9, 1.1).alias("approx_within_10pct"),
+        )
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT tagged into one result (SURVEY A1/A4)."""
     c = table(spark, sf_dir, "customer")
@@ -332,6 +359,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def q_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming dedup
+    (streaming/windows.py::dedup_within_watermark, §2.9): synthesize
+    duplicate deliveries (every 10th event redelivered one minute
+    later), then keep the FIRST arrival per event_id — exactly what
+    ``dropDuplicatesWithinWatermark`` emits when the horizon covers the
+    redelivery lag.  Fully oracle-expressible as a row_number window;
+    the stream≡batch equivalence itself is pinned in
+    tests/test_streaming.py."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    redelivered = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    delivered = e.unionByName(redelivered)
+    w = Window.partitionBy("event_id").orderBy(F.col("ts"), F.col("user_id"))
+    return (
+        delivered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
         )
     )
 
@@ -553,6 +608,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_agg": q_grouping_sets,
     "distinct_pairs": q_distinct,
     "count_distinct": q_count_distinct,
+    "approx_count_distinct": q_approx_count_distinct,
     "set_ops": q_set_ops,
     "string_scalars": q_string_scalars,
     "date_scalars": q_date_scalars,
@@ -561,6 +617,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_events": q_json_events,
     "time_tumbling": q_time_tumbling,
     "dedup_exact": q_dedup_exact,
+    "dedup_within_watermark": q_dedup_within_watermark,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -687,6 +744,14 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(DISTINCT l_suppkey) AS distinct_supps
         FROM lineitem GROUP BY l_returnflag
     """,
+    "approx_count_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+                 / COUNT(DISTINCT l_partkey) BETWEEN 0.9 AND 1.1
+                 AS approx_within_10pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "set_ops": """
         WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000),
              buyers AS (SELECT DISTINCT o_custkey AS k FROM orders)
@@ -754,6 +819,20 @@ ORACLE_SQL: dict[str, str] = {
                MIN(doc_id) AS keeper_doc_id,
                COUNT(*) AS copies
         FROM documents GROUP BY 1
+    """,
+    "dedup_within_watermark": """
+        WITH delivered AS (
+          SELECT event_id, ts, user_id, event_type, value FROM events
+          UNION ALL
+          SELECT event_id, ts + INTERVAL 1 MINUTE, user_id, event_type, value
+          FROM events WHERE event_id % 10 = 0),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY ts, user_id) AS rn
+          FROM delivered)
+        SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               user_id, event_type, value
+        FROM ranked WHERE rn = 1
     """,
     "text_stats": """
         SELECT doc_id, lang,

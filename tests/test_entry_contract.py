@@ -87,3 +87,23 @@ def test_flagship_namematch_rows_stable(spark):
     n1 = q(spark, "/root/testdata/sf0.001").count()
     n2 = q(spark, "/root/testdata/sf0.001").count()
     assert n1 == n2 > 0
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The HLL++ estimate must sit within the declared ±10% envelope of
+    the exact cardinality in every group (rsd=0.05 target)."""
+    rows = entry_mod.queries()["approx_count_distinct"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r.approx_within_10pct for r in rows)
+
+
+def test_dedup_within_watermark_recovers_originals(spark):
+    """First-arrival dedup over synthesized redeliveries must return
+    exactly the original event set."""
+    import duckdb as _dd
+
+    got = entry_mod.queries()["dedup_within_watermark"](spark, SF_DIR).count()
+    want = _dd.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    assert got == want
