@@ -16,6 +16,34 @@ import re
 import sys
 import time
 
+# PINNED headline set (round 1 baseline = BENCH_r01.json): keep this
+# list stable across rounds so per-query and total deltas stay
+# apples-to-apples.  New suite queries are deliberately NOT auto-added;
+# extend only with a conscious baseline reset.
+HEADLINE = [
+    "pricing_summary",
+    "join_orders_customer",
+    "outer_join_agg",
+    "window_rank",
+    "window_running_sum",
+    "rollup_agg",
+    "count_distinct",
+    "time_tumbling",
+    "time_sliding",
+    "session_windows",
+    "json_events",
+    "dedup_exact",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+    "text_stats",
+    "topk_orders",
+    "flagship_namematch",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,29 +66,8 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
-    headline = [
-        "pricing_summary",
-        "join_orders_customer",
-        "outer_join_agg",
-        "window_rank",
-        "window_running_sum",
-        "rollup_agg",
-        "count_distinct",
-        "time_tumbling",
-        "time_sliding",
-        "session_windows",
-        "json_events",
-        "dedup_exact",
-        "ngram_jaccard_dedup",
-        "minhash_lsh_dedup",
-        "simhash_dedup",
-        "cosine_topk",
-        "text_quality",
-        "doc_fingerprint",
-        "text_stats",
-        "topk_orders",
-        "flagship_namematch",
-    ]
+    headline = HEADLINE
+    load_start = os.getloadavg()
 
     # Warm up the session: JVM/codegen init, then the Python worker pool +
     # Arrow serialization path (forking $cpus workers and importing pandas
@@ -99,6 +106,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Machine-load context: r1 showed readings inflate 2-3x
+                # under concurrent load; compare rounds with similar load.
+                "load_1m_start": round(load_start[0], 2),
+                "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -179,9 +179,14 @@ def labeled_pairs_from_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("label"),
     )
     # Negative: same username against the name of a far-away employee.
-    shifted = r.select(
-        ((key + 7) % 40).alias("_grp"), F.col("employee_name").alias("_other")
-    ).dropDuplicates(["_grp"])
+    # groupBy+min, not dropDuplicates: the surviving row of a
+    # dropDuplicates is partition-order-dependent, which would make the
+    # training set (and eval metrics) vary across runs/cluster layouts.
+    shifted = (
+        r.select(((key + 7) % 40).alias("_grp"), F.col("employee_name").alias("_other"))
+        .groupBy("_grp")
+        .agg(F.min("_other").alias("_other"))
+    )
     neg = (
         pos.withColumn("_grp", (F.col("id") % 40))
         .join(F.broadcast(shifted), "_grp")

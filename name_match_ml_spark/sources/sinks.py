@@ -28,8 +28,14 @@ __all__ = ["save_csv", "save_parquet", "save_model", "load_model"]
 
 
 def save_csv(df: DataFrame, path: str, *, single_file: bool = False) -> None:
-    """S7: result table → header'd CSV (``main.py:211-221``)."""
-    out = df.coalesce(1) if single_file else df
+    """S7: result table → header'd CSV (``main.py:211-221``).
+
+    ``single_file`` uses ``repartition(1)`` rather than ``coalesce(1)``:
+    coalesce propagates the 1-partition constraint up the plan and would
+    serialize the whole upstream pipeline into one task; repartition
+    keeps upstream parallel and only funnels the (small) result through
+    one writer."""
+    out = df.repartition(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
