@@ -88,13 +88,21 @@ def main() -> None:
         .save()
     )
 
+    # min-of-2 per query: single-run readings vary 2-3x under this
+    # host's background load (measured: ngram_jaccard_dedup 3.4-23.7 s
+    # for identical plans); the min of two executions is the standard
+    # noise-robust estimator and is reported as such below.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in headline:
         if name not in queries:
             continue
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -106,6 +114,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs_per_query,
+                "agg": "min",
                 # Machine-load context: r1 showed readings inflate 2-3x
                 # under concurrent load; compare rounds with similar load.
                 "load_1m_start": round(load_start[0], 2),

@@ -465,8 +465,15 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified (rows-only:
-    DuckDB has no xxhash64)."""
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified.
+
+    Oracle-checkable against plain exact Jaccard: the operator
+    exact-verifies every LSH candidate, so its output differs from the
+    exact pairs only by band-collision misses — and on this corpus the
+    duplicate pairs sit at J≈0.9 where 8 bands × 4 rows has miss
+    probability (1-J⁴)⁸ ≈ 1e-4 per pair; measured recall is exactly
+    1.0 at sf0.01 AND sf0.1 (every one of the 25 / 256 exact pairs is
+    recovered), so the declared oracle is the exact-Jaccard SQL."""
     from .operators.dedup import minhash_lsh_pairs
 
     d = table(spark, sf_dir, "documents")
@@ -575,11 +582,16 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native frame-index sampling over video payloads (rows-only)."""
+    """Native frame-index sampling over video payloads.  The declared
+    query projects the frame bytes as a hex string: DuckDB 1.0 has no
+    BLOB substring, but byte slice [i, i+n) of a payload is exactly hex
+    chars [2i, 2(i+n)) of ``hex(payload)`` — so the whole operator
+    (synthesis → explode → byte slicing) is oracle-checkable."""
     from .multimodal.columns import sample_video_frames, synthesize_media_assets
 
     d = table(spark, sf_dir, "documents")
-    return sample_video_frames(synthesize_media_assets(d), every_n=10)
+    frames = sample_video_frames(synthesize_media_assets(d), every_n=10)
+    return frames.select("asset_id", "frame_idx", F.hex("frame_data").alias("frame_hex"))
 
 
 def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +914,54 @@ ORACLE_SQL: dict[str, str] = {
          AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                 / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+    # MinHash+LSH with exact verification ≡ exact Jaccard whenever LSH
+    # recall is 1.0 — measured true at sf0.01 and sf0.1 (dup pairs sit
+    # at J≈0.9, far above the 0.3 threshold; see q_minhash_lsh_dedup).
+    "minhash_lsh_dedup": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1])
+                   ELSE words END) AS shingles
+          FROM base),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+                  WHERE len(shingles) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+                 AS jaccard
+        FROM sized a JOIN sized b
+          ON a.doc_id < b.doc_id
+         AND least(a.n, b.n) >= 0.3 * greatest(a.n, b.n)
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+    """,
+    # Byte slice [i, i+n) of the payload == hex chars [2i, 2(i+n)) of
+    # hex(payload) — DuckDB 1.0 has no BLOB substring, so the compare
+    # happens in hex space on both sides.
+    "multimodal_frame_sample": """
+        WITH videos AS (
+          SELECT doc_id AS asset_id,
+                 hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nbytes,
+                 CAST(doc_id % 50 + 10 AS INT) AS n_frames
+          FROM documents WHERE doc_id % 3 = 2),
+        f AS (
+          SELECT asset_id, hx, n_frames,
+                 greatest(CAST(nbytes // n_frames AS INT), 1) AS chunk,
+                 unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+          FROM videos)
+        SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+               substring(hx, CAST(frame_idx * chunk * 2 + 1 AS BIGINT),
+                         CAST(chunk * 2 AS BIGINT)) AS frame_hex
+        FROM f
     """,
     "embedding_near_dup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
