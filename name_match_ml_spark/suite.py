@@ -391,6 +391,44 @@ def q_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): every error event picks up
+    the latest click by the same user at or before its timestamp —
+    union + running-last window, one shuffle on user_id, no range
+    explosion.  Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    from .operators.temporal import asof_join
+
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(errors, clicks, on="user_id", right_payload=["ts", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+        F.unix_timestamp("ts_asof").alias("click_ts_s"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (operators/temporal.py): events joined into
+    overlapping value bands [i·20, i·20+30) through fixed-width bucket
+    equi-join — no BroadcastNestedLoopJoin, no cartesian."""
+    from .operators.temporal import range_join_buckets
+
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(25).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 30.0).alias("hi"),
+    )
+    return range_join_buckets(
+        e, bands, point_col="value", lo_col="lo", hi_col="hi", bucket_width=20.0
+    ).select("event_id", "band_id", "value")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -630,6 +668,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_tumbling": q_time_tumbling,
     "dedup_exact": q_dedup_exact,
     "dedup_within_watermark": q_dedup_within_watermark,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -845,6 +885,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
                user_id, event_type, value
         FROM ranked WHERE rn = 1
+    """,
+    "asof_join": """
+        SELECT e.event_id, e.user_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s, e.value,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s,
+               c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "range_join": """
+        SELECT e.event_id, b.band_id, e.value
+        FROM events e
+        JOIN (SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
+              FROM range(25) t(i)) b
+          ON e.value >= b.lo AND e.value < b.hi
     """,
     "text_stats": """
         SELECT doc_id, lang,

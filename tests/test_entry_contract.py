@@ -38,8 +38,11 @@ def _canon(value):
 
 def _rows_canonical(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # NULLs sort first within a column (None is not orderable against
+    # int/str; the driver's pandas canonicalizer handles NaN natively).
     return sorted(
-        tuple(_canon(r[i]) for i in order) for r in rows
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is not None, v) for v in t),
     ), [cols[i] for i in order]
 
 
