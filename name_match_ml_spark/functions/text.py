@@ -14,7 +14,7 @@ no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -23,6 +23,7 @@ __all__ = [
     "quality_score",
     "token_counts",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "ws_normalize",
 ]
 
@@ -134,6 +135,55 @@ def doc_fingerprint(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(norm, i, k))
     )
     return F.concat_ws("|", F.slice(F.array_sort(hashes), 1, sketch_size))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed sklearn-style idf:
+    ``ln((N+1)/(df+1)) + 1``), rounded to 6 dp, ties broken by term.
+
+    Shuffle budget at scale: one aggregate on (doc, term) — partial
+    map-side combine collapses duplicate terms before the exchange; the
+    document-frequency table is vocabulary-sized and broadcast back (no
+    second fact shuffle); the corpus size N is a 1-row broadcast; the
+    final per-document window re-keys on doc only.  Rank is computed on
+    the ROUNDED score so the ordering is reproducible across engines
+    (double ulp differences in ``ln`` cannot flip it).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
 
 
 def ws_normalize(text: Column) -> Column:

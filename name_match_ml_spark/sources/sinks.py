@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.ml import PipelineModel
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["save_csv", "save_parquet", "save_model", "load_model"]
+__all__ = [
+    "save_csv",
+    "save_parquet",
+    "save_bucketed",
+    "save_model",
+    "load_model",
+]
 
 
 def save_csv(df: DataFrame, path: str, *, single_file: bool = False) -> None:
@@ -46,6 +52,36 @@ def save_parquet(df: DataFrame, path: str, *, partition_by: tuple[str, ...] = ()
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    *,
+    buckets: int,
+    key: str,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted parquet table (``bucketBy``/``sortBy`` →
+    ``saveAsTable``): the co-located-join storage layout for keys that
+    are joined or aggregated repeatedly.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO exchanges — each task reads matching bucket files from
+    both sides (verified by tests/test_sinks.py: no ``Exchange`` node in
+    the joined plan).  At 100 TB this converts every recurring fact⋈fact
+    join from a full shuffle of both sides into a local merge, which is
+    the single largest shuffle saving a warehouse layout can buy; the
+    bucket count should be sized so one bucket of the larger table fits
+    an executor's memory (e.g. 100 TB / 4096 buckets ≈ 25 GB).
+
+    ``saveAsTable`` is required (bucket metadata lives in the catalog,
+    not the files); ``path`` pins an explicit location when given.
+    """
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(buckets, key).sortBy(key).saveAsTable(name)
 
 
 def save_model(model: PipelineModel, path: str) -> None:

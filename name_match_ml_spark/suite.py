@@ -173,6 +173,28 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions (SURVEY W-family [EXT]): previous/next
+    order and inter-order gap per customer, plus a spend quartile via
+    ntile.  Both windows share the per-customer partitioning, so Catalyst
+    plans ONE exchange + two sorts — the shuffle is paid once."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_spend = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)).alias(
+            "days_since_prev"
+        ),
+        F.ntile(4).over(w_spend).alias("spend_quartile"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
@@ -240,6 +262,25 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_parts",
             ratio.between(0.9, 1.1).alias("approx_within_10pct"),
         )
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY A4 [EXT]).
+
+    ``percentile`` is the exact linear-interpolation aggregate (sorts
+    each group's values); at 100 TB the drop-in scale path is
+    ``approx_percentile`` (KLL-style sketch, fixed memory per group,
+    mergeable map-side) — exact here because the oracle must hash-match.
+    l_quantity values are small integers stored as double, so the
+    interpolation arithmetic is exact in both engines; rounding is
+    belt-and-braces."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 6).alias("qty_p25"),
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", 0.75), 6).alias("qty_p75"),
+        F.count(F.lit(1)).alias("cnt"),
     )
 
 
@@ -586,6 +627,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/text.py [EXT]; fully
+    oracle-checkable — rank is computed on the rounded score so double
+    ulp differences in ``ln`` cannot flip the ordering)."""
+    from .functions.text import tfidf_top_terms
+
+    d = table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PPM-decode image features (mean-RGB + luminance histogram)
     via mapInPandas (multimodal/columns.py; rows-only — no blob decode
@@ -653,6 +704,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders": q_topk_orders,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
+    "window_lag_lead": q_window_lag_lead,
+    "quantiles": q_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
     "grouping_sets_agg": q_grouping_sets,
@@ -769,6 +823,46 @@ ORACLE_SQL: dict[str, str] = {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                    AS running_spend
         FROM orders
+    """,
+    "window_lag_lead": """
+        SELECT o_custkey, o_orderkey,
+               LAG(o_orderkey, 1) OVER w AS prev_order,
+               LEAD(o_orderkey, 1) OVER w AS next_order,
+               CAST(date_diff('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS INT)
+                   AS days_since_prev,
+               CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INT) AS spend_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "tfidf_top_terms": """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    w -> w <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+          FROM scored)
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
     """,
     "rollup_agg": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

@@ -60,3 +60,33 @@ def test_model_sink_roundtrip(spark, tmp_path):
     )
     assert "prediction" in scored.columns
     assert scored.count() == 1
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero
+    exchanges — the co-located-join layout save_bucketed exists for."""
+    from pyspark.sql import functions as F
+
+    from name_match_ml_spark.sources.sinks import save_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_customer")
+    o = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 100).alias("custkey")
+    )
+    c = spark.range(100).select(
+        F.col("id").alias("custkey"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    save_bucketed(o, "bk_orders", buckets=8, key="custkey", path=str(tmp_path / "o"))
+    save_bucketed(c, "bk_customer", buckets=8, key="custkey", path=str(tmp_path / "c"))
+
+    joined = (
+        spark.table("bk_orders")
+        .hint("merge")  # force sort-merge so broadcast doesn't mask bucketing
+        .join(spark.table("bk_customer"), "custkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_customer")
