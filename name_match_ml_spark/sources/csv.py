@@ -137,7 +137,14 @@ def load_usernames(spark: SparkSession, path: str) -> DataFrame:
     """Username CSV scan (``main.py:150-156``): lowercase headers, require
     a ``username`` column, cast to string.  Carries ``input_id`` (file
     order, per-partition monotonic) so output can preserve input order as
-    the reference's result file does (``main.py:163``)."""
+    the reference's result file does (``main.py:163``).
+
+    Caveat: ``monotonically_increasing_id`` orders rows *within* each
+    scan partition but numbers partitions by index, so with multiple
+    input files (or a split file) ids follow partition order, not global
+    file order.  Exact for the reference's single-file uploads; use
+    ``rdd.zipWithIndex`` if strict global order over a multi-file drop
+    ever matters (costs one extra pass)."""
     df = normalize_headers(spark.read.option("header", True).csv(path))
     if "username" not in df.columns:
         raise ValueError("Usernames CSV must contain 'username' column.")

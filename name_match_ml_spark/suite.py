@@ -284,6 +284,69 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab (SURVEY A4 [EXT]): order counts and revenue per
+    nation × order status, statuses as columns.
+
+    ``pivot`` is given the EXPLICIT value list — without it Spark runs
+    an eager distinct job at plan-build time to discover the columns,
+    an extra pass over the fact table that a 100 TB plan can't afford.
+    The dimension side (customer⋈nation) is broadcast so the only fact
+    shuffle is the final per-nation aggregate; revenue sums go through
+    decimal for cross-engine exactness."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group (SURVEY A4 [EXT]): sample
+    stddev, sample covariance, and Pearson correlation of quantity vs
+    extended price per return flag.
+
+    Built-in ``corr``/``covar_samp``/``stddev`` are the scale path, but
+    their double accumulation is summation-order-dependent, so the
+    cross-engine hash could flip on the last ulp.  Instead the moments
+    (Σx, Σy, Σxy, Σx², Σy²) are accumulated EXACTLY in decimal — both
+    inputs have ≤2 decimals so every product has ≤4 — and the closed
+    forms are evaluated in double on those exact sums: deterministic,
+    still one partial-aggregable pass, same shuffle shape as the
+    built-ins."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return sums.select(
+        "l_returnflag",
+        n.cast("bigint").alias("cnt"),
+        F.round(F.sqrt(var_x / (n * (n - 1))), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y / (n * (n - 1))), 6).alias("stddev_price"),
+        F.round(cov_n / (n * (n - 1)), 6).alias("covar_qty_price"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT tagged into one result (SURVEY A1/A4)."""
     c = table(spark, sf_dir, "customer")
@@ -429,6 +492,22 @@ def q_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
         )
+    )
+
+
+def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful streaming operator
+    (streaming/windows.py::running_user_totals, §2.9): the final state
+    per user — event count and 6-dp value total — equals a plain
+    grouped aggregate over the same events.  The stream≡batch
+    equivalence is pinned in tests/test_streaming.py; this query makes
+    the operator's semantics oracle-checkable.  Value sums go through
+    decimal (inputs have 2 decimals) so the hash can't flip on
+    double summation order."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(_dec("value")).cast("double"), 6).alias("total"),
     )
 
 
@@ -637,6 +716,81 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, k=3)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (LLM-pipeline [EXT]): split each
+    document into 50-token chunks with stride 40 (10-token overlap) —
+    the standard pre-tokenization shaping for training corpora.
+
+    All native: one split per document, chunk indices from
+    ``sequence``+``explode``, per-chunk text via ``slice`` on the staged
+    token array — no Python, no shuffle at all (chunking is
+    embarrassingly parallel per document; output partitioning inherits
+    the scan)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "").alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    n_chunks = F.when(F.col("n") <= 50, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((F.col("n") - 50) / 40.0) + 1
+    )
+    return (
+        toks.withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice("tk", (F.col("chunk_id") * 40 + 1).cast("int"), 50).alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ck").alias("n_tokens"),
+            F.concat_ws(" ", "ck").alias("chunk_text"),
+        )
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (LLM-pipeline [EXT]): count and mask emails and
+    phone numbers.  The synthetic corpus contains no PII, so a
+    deterministic fraction of documents gets one appended (email for
+    doc_id%7==0, phone for doc_id%11==0) before redaction — the same
+    synthesize-then-operate pattern as the watermark-dedup twin.  All
+    native regex (codegen); per-document, so no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\d{3}-\d{3}-\d{4}"
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).alias("emails"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).alias("phones"),
+        F.length(
+            F.regexp_replace(F.regexp_replace("t", email_re, "[EMAIL]"), phone_re, "[PHONE]")
+        ).alias("redacted_len"),
+        F.right(
+            F.regexp_replace(F.regexp_replace("t", email_re, "[EMAIL]"), phone_re, "[PHONE]"),
+            F.lit(60),
+        ).alias("tail"),
+    )
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PPM-decode image features (mean-RGB + luminance histogram)
     via mapInPandas (multimodal/columns.py; rows-only — no blob decode
@@ -706,7 +860,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_sum": q_window_running_sum,
     "window_lag_lead": q_window_lag_lead,
     "quantiles": q_quantiles,
+    "pivot_status": q_pivot_status,
+    "stats_agg": q_stats_agg,
+    "stateful_totals": q_stateful_totals,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_chunks": q_doc_chunks,
+    "pii_redact": q_pii_redact,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
     "grouping_sets_agg": q_grouping_sets,
@@ -843,6 +1002,96 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
                COUNT(*) AS cnt
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "pivot_status": """
+        SELECT n_name,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS F_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'F') AS DOUBLE) AS F_revenue,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS O_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'O') AS DOUBLE) AS O_revenue,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS P_cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (o_orderstatus = 'P') AS DOUBLE) AS P_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "stats_agg": """
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))
+                               AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_quantity AS DECIMAL(18,2))
+                               AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))
+                               AS DECIMAL(38,4))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS cnt,
+               ROUND(sqrt((n*sxx - sx*sx) / (n*(n-1))), 6) AS stddev_qty,
+               ROUND(sqrt((n*syy - sy*sy) / (n*(n-1))), 6) AS stddev_price,
+               ROUND((n*sxy - sx*sy) / (n*(n-1)), 6) AS covar_qty_price,
+               ROUND((n*sxy - sx*sy)
+                     / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price
+        FROM s
+    """,
+    "stateful_totals": """
+        SELECT user_id, COUNT(*) AS cnt,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total
+        FROM events GROUP BY user_id
+    """,
+    "doc_chunks": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS tk
+          FROM documents),
+        sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+        idx AS (
+          SELECT doc_id, tk,
+                 unnest(range(0, CASE WHEN n <= 50 THEN 1
+                                      ELSE CAST(ceil((n - 50) / 40.0) AS BIGINT) + 1
+                                 END)) AS chunk_id
+          FROM sized)
+        SELECT doc_id, chunk_id,
+               CAST(len(list_slice(tk, chunk_id*40 + 1, chunk_id*40 + 50)) AS INT)
+                   AS n_tokens,
+               array_to_string(list_slice(tk, chunk_id*40 + 1, chunk_id*40 + 50), ' ')
+                   AS chunk_text
+        FROM idx
+    """,
+    "pii_redact": """
+        WITH aug AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact user' || doc_id || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS t
+          FROM documents),
+        red AS (
+          SELECT doc_id, t,
+                 regexp_replace(
+                   regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                   '\\d{3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS r
+          FROM aug)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT)
+                   AS emails,
+               CAST(len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS INT) AS phones,
+               CAST(length(r) AS INT) AS redacted_len,
+               right(r, 60) AS tail
+        FROM red
     """,
     "tfidf_top_terms": """
         WITH words AS (
