@@ -676,6 +676,16 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=5)
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-cell) approximate top-5 (rows-only; recall vs exact
+    asserted in tests) — the data-adaptive ANN scale path beside LSH."""
+    from .operators.simsearch import ivf_cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return ivf_cosine_topk(emb, queries, k=5, nprobe=6)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality score + token counts per document
     (functions/text.py; fully oracle-checkable)."""
@@ -893,6 +903,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_image_features": q_multimodal_image_features,

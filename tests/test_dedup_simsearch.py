@@ -179,3 +179,30 @@ def test_cosine_topk_plan_has_no_cartesian(emb):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" in plan  # GEMM scorer path
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_topk_recall(spark, sf_dir):
+    # IVF cells adapt to corpus density; with nprobe cells per query the
+    # gate must hold even on weakly-clustered random embeddings.  Also
+    # pin the contract shape: k rows per query, rank 1..k, cosine desc.
+    from name_match_ml_spark.operators.simsearch import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_exact(emb, queries, k=5)
+    approx = ivf_cosine_topk(emb, queries, k=5, nprobe=6)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = approx.collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low at {sf_dir}"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), q
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True), q
+        assert all(r.neighbor_id != q for r in rs)
