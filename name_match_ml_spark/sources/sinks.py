@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "save_csv",
     "save_parquet",
+    "save_jsonl",
+    "load_jsonl",
+    "save_orc",
+    "load_orc",
     "save_bucketed",
     "save_model",
     "load_model",
@@ -52,6 +56,39 @@ def save_parquet(df: DataFrame, path: str, *, partition_by: tuple[str, ...] = ()
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def save_jsonl(df: DataFrame, path: str) -> None:
+    """[EXT] JSON-lines sink — the interchange format of LLM training-data
+    pipelines (one document per line; splittable, streamable, appendable).
+    Distributed write, one ``.json`` part per partition."""
+    df.write.mode("overwrite").json(path)
+
+
+def load_jsonl(spark: SparkSession, path: str, *, schema=None) -> DataFrame:
+    """[EXT] JSON-lines source.  Pass an explicit ``schema`` at scale:
+    without one Spark runs a full inference pass over the data before the
+    real scan — 2× the I/O on 100 TB — and inferred types can drift
+    between runs (a long column becomes double when one value has a
+    decimal point)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def save_orc(df: DataFrame, path: str, *, partition_by: tuple[str, ...] = ()) -> None:
+    """[EXT] ORC sink — same columnar/pushdown properties as parquet via
+    the same writer surface, for warehouses standardized on ORC."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """[EXT] ORC source (filter/column pushdown works as with parquet)."""
+    return spark.read.orc(path)
 
 
 def save_bucketed(

@@ -90,3 +90,64 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     assert joined.count() == 1000
     spark.sql("DROP TABLE IF EXISTS bk_orders")
     spark.sql("DROP TABLE IF EXISTS bk_customer")
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from name_match_ml_spark.sources.sinks import load_jsonl, save_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha doc", 0.5), (2, "beta doc", 1.25)], ["doc_id", "text", "q"]
+    )
+    out = str(tmp_path / "docs_jsonl")
+    save_jsonl(df, out)
+    back = load_jsonl(spark, out, schema="doc_id long, text string, q double")
+    assert sorted((r.doc_id, r.text, r.q) for r in back.collect()) == [
+        (1, "alpha doc", 0.5),
+        (2, "beta doc", 1.25),
+    ]
+
+
+def test_orc_sink_roundtrip_and_pushdown(spark, tmp_path):
+    from name_match_ml_spark.sources.sinks import load_orc, save_orc
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", i % 3) for i in range(30)], ["doc_id", "text", "p"]
+    )
+    out = str(tmp_path / "docs_orc")
+    save_orc(df, out, partition_by=("p",))
+    back = load_orc(spark, out).filter("p = 1").select("doc_id")
+    assert back.count() == 10
+    # partition pruning: the pruned scan must read only the p=1 directory
+    scan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in scan, scan
+
+
+def test_parquet_partition_pruning(spark, tmp_path):
+    """partition_by exists FOR pruning — assert the re-read scan actually
+    prunes (PartitionFilters carries the predicate, not PushedFilters)."""
+    df = spark.createDataFrame(
+        [(i, "x" * 5, "odd" if i % 2 else "even") for i in range(20)],
+        ["k", "v", "bucket"],
+    )
+    out = str(tmp_path / "pruned")
+    save_parquet(df, out, partition_by=("bucket",))
+    rd = spark.read.parquet(out).filter("bucket = 'odd'").select("k")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:120]
+    assert rd.count() == 10
+
+
+def test_sql_entry_point(spark):
+    """ANSI-SQL surface over registered corpus views (spark.sql parity
+    with the DataFrame API the suite uses)."""
+    from name_match_ml_spark.sources.parquet import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    out = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert len(out) == 5 and all(r.nations == 5 for r in out)
