@@ -115,3 +115,29 @@ def test_running_user_totals_stateful(spark, events_dir, batch_events):
     for uid, (cnt, total) in want.items():
         assert final[uid][0] == cnt, uid
         assert final[uid][1] == pytest.approx(total, abs=1e-5), uid
+
+
+def test_foreachbatch_parquet_sink_idempotent(spark, events_dir, batch_events, tmp_path):
+    """The idempotent foreachBatch parquet sink must (a) equal the batch
+    result and (b) not duplicate rows when the stream restarts from the
+    same checkpoint (replay overwrites, append would double)."""
+    from name_match_ml_spark.streaming.sinks import write_stream_parquet
+
+    out = str(tmp_path / "sunk")
+    ckpt = str(tmp_path / "ckpt")
+    errors = stream_events(spark, events_dir).filter(F.col("event_type") == "error")
+    q = write_stream_parquet(errors, out, checkpoint=ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    want = batch_events.filter(F.col("event_type") == "error").count()
+    assert spark.read.parquet(out).count() == want
+
+    # restart from the same checkpoint: nothing new → no duplicates
+    q2 = write_stream_parquet(
+        stream_events(spark, events_dir).filter(F.col("event_type") == "error"),
+        out,
+        checkpoint=ckpt,
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    assert spark.read.parquet(out).count() == want
