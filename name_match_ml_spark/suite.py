@@ -622,6 +622,28 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into clusters (operators/graph.py
+    connected components over the exact-Jaccard pair stream): one row
+    per clustered doc with its cluster root and the cluster size —
+    the keeper-selection step of a dedup pipeline.  Fully
+    oracle-checkable (DuckDB recursive CTE reaches the same unique
+    fixpoint)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    comp = connected_components(pairs)
+    w_sz = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified.
 
@@ -898,6 +920,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_sliding": q_time_sliding,
     "session_windows": q_session_windows,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1324,6 +1347,41 @@ ORACLE_SQL: dict[str, str] = {
          AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                 / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> '') AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(words) >= 2
+                   THEN list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1])
+                   ELSE words END) AS shingles
+          FROM base),
+        sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+                  WHERE len(shingles) > 0),
+        pairs AS (
+          SELECT a.doc_id AS s, b.doc_id AS d
+          FROM sized a JOIN sized b
+            ON a.doc_id < b.doc_id
+           AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+        edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        comp AS (
+          SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+          FROM reach GROUP BY s)
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_keeper
+        FROM comp
     """,
     # MinHash+LSH with exact verification ≡ exact Jaccard whenever LSH
     # recall is 1.0 — measured true at sf0.01 and sf0.1 (dup pairs sit

@@ -206,3 +206,23 @@ def test_ivf_topk_recall(spark, sf_dir):
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True), q
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_connected_components_topologies(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multi-round propagation),
+    # triangle 10-11-12, isolated pair (20, 21)
+    from name_match_ml_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_empty(spark):
+    from name_match_ml_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
