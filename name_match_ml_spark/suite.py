@@ -823,6 +823,49 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII span extraction via the arrow-optimized Python UDTF
+    (functions/spans.py, SURVEY §2.7 U3): [start, end) offsets of each
+    synthesized email/phone — offsets are the one regex product native
+    functions can't emit.  Fully oracle-checkable because the synthesis
+    appends PII at arithmetically known positions, so DuckDB can compute
+    the expected spans exactly — the oracle verifies the UDTF's offset
+    math, not just row counts."""
+    from .functions.spans import register_regex_spans
+
+    register_regex_spans(spark)
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    aug.createOrReplaceTempView("pii_aug")
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    phone_re = r"\\d{3}-\\d{3}-\\d{4}"
+    return spark.sql(
+        f"""
+        SELECT doc_id, 'email' AS kind, s.start, s.end, s.match
+        FROM pii_aug, LATERAL regex_spans(t, '{email_re}') s
+        UNION ALL
+        SELECT doc_id, 'phone' AS kind, s.start, s.end, s.match
+        FROM pii_aug, LATERAL regex_spans(t, '{phone_re}') s
+        """
+    )
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PPM-decode image features (mean-RGB + luminance histogram)
     via mapInPandas (multimodal/columns.py; rows-only — no blob decode
@@ -898,6 +941,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
+    "pii_spans": q_pii_spans,
     "rollup_agg": q_rollup,
     "cube_agg": q_cube,
     "grouping_sets_agg": q_grouping_sets,
@@ -1126,6 +1170,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(length(r) AS INT) AS redacted_len,
                right(r, 60) AS tail
         FROM red
+    """,
+    "pii_spans": """
+        WITH aug AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN 'user' || doc_id || '@example.com' END AS em,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN '415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 END AS ph
+          FROM documents),
+        emails AS (
+          SELECT doc_id, 'email' AS kind,
+                 CAST(length(text) + 9 AS INT) AS start,
+                 CAST(length(text) + 9 + length(em) AS INT) AS "end",
+                 em AS match
+          FROM aug WHERE em IS NOT NULL),
+        phones AS (
+          SELECT doc_id, 'phone' AS kind,
+                 CAST(length(text)
+                      + COALESCE(9 + length(em), 0) + 6 AS INT) AS start,
+                 CAST(length(text)
+                      + COALESCE(9 + length(em), 0) + 6 + 12 AS INT) AS "end",
+                 ph AS match
+          FROM aug WHERE ph IS NOT NULL)
+        SELECT * FROM emails UNION ALL SELECT * FROM phones
     """,
     "tfidf_top_terms": """
         WITH words AS (

@@ -88,3 +88,25 @@ def test_doc_fingerprint_deterministic_and_matches_python(spark):
 
     for _id, text in texts:
         assert got[_id] == py_fp(text), _id
+
+
+def test_regex_spans_udtf_matches_re(spark):
+    """UDTF spans must equal driver-side re.finditer on the same docs."""
+    import re as _re
+
+    from name_match_ml_spark.functions.spans import register_regex_spans
+
+    register_regex_spans(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("span_docs")
+    pat = r"[a-z]+a[a-z]*"  # words containing 'a'
+    got = spark.sql(
+        f"SELECT d.doc_id, s.start, s.end, s.match "
+        f"FROM span_docs d, LATERAL regex_spans(d.text, '{pat}') s"
+    ).collect()
+    got_set = {(r.doc_id, r.start, r.end, r.match) for r in got}
+    want = set()
+    for r in docs.select("doc_id", "text").collect():
+        for m in _re.finditer(pat, r.text or ""):
+            want.add((r.doc_id, m.start(), m.end(), m.group()))
+    assert got_set == want and want, (len(got_set), len(want))
