@@ -24,6 +24,7 @@ __all__ = [
     "token_counts",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "chunk_documents",
     "ws_normalize",
 ]
 
@@ -183,6 +184,52 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Sliding-window token chunking: ``chunk_size``-token windows every
+    ``stride`` tokens (``chunk_size - stride`` overlap) — the standard
+    pre-tokenization shaping for training corpora.  Invariants (property-
+    tested in tests/test_properties.py): every token lands in ≥1 chunk;
+    every chunk except possibly the last has exactly ``chunk_size``
+    tokens; chunk ``i`` starts at token ``i·stride``.
+
+    All native — one split per document, indices from
+    ``sequence``+``explode``, per-chunk text via ``slice`` — so chunking
+    is embarrassingly parallel per document with no shuffle; output
+    partitioning inherits the scan."""
+    if not 0 < stride <= chunk_size:
+        raise ValueError("require 0 < stride <= chunk_size")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "").alias("tk"),
+    ).withColumn("n", F.size("tk"))
+    n_chunks = F.when(F.col("n") <= chunk_size, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((F.col("n") - chunk_size) / float(stride)) + 1
+    )
+    return (
+        toks.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice("tk", (F.col("chunk_id") * stride + 1).cast("int"), chunk_size).alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ck").alias("n_tokens"),
+            F.concat_ws(" ", "ck").alias("chunk_text"),
+        )
     )
 
 

@@ -753,33 +753,12 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     document into 50-token chunks with stride 40 (10-token overlap) —
     the standard pre-tokenization shaping for training corpora.
 
-    All native: one split per document, chunk indices from
-    ``sequence``+``explode``, per-chunk text via ``slice`` on the staged
-    token array — no Python, no shuffle at all (chunking is
-    embarrassingly parallel per document; output partitioning inherits
-    the scan)."""
+    All native (functions/text.py::chunk_documents): no Python, no
+    shuffle at all — chunking is embarrassingly parallel per document."""
+    from .functions.text import chunk_documents
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "").alias("tk"),
-    ).withColumn("n", F.size("tk"))
-    n_chunks = F.when(F.col("n") <= 50, F.lit(1).cast("bigint")).otherwise(
-        F.ceil((F.col("n") - 50) / 40.0) + 1
-    )
-    return (
-        toks.withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)))
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.slice("tk", (F.col("chunk_id") * 40 + 1).cast("int"), 50).alias("ck"),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.size("ck").alias("n_tokens"),
-            F.concat_ws(" ", "ck").alias("chunk_text"),
-        )
-    )
+    return chunk_documents(d, chunk_size=50, stride=40)
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
