@@ -36,6 +36,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_aggregate",
+    "click_error_interval_join",
     "dedup_within_watermark",
     "running_user_totals",
 ]
@@ -129,6 +130,48 @@ def session_aggregate(
             "cnt",
             "sum_value",
         )
+    )
+
+
+def click_error_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    *,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each error pairs with the same
+    user's clicks in the preceding ``horizon`` (the
+    what-did-they-click-before-it-broke query).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions — that pair of constraints is what lets
+    Spark expire buffered rows (a click older than
+    ``watermark + horizon`` can never match a future error, so its
+    state is dropped).  An unbounded condition would buffer both
+    streams forever.  Works identically on static inputs (the batch
+    twin ``suite.py::q_range_join`` family / test's batch run)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = errors.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "error_id",
+        "click_id",
+        F.unix_timestamp("e_ts").alias("error_ts_s"),
+        F.unix_timestamp("c_ts").alias("click_ts_s"),
     )
 
 

@@ -495,6 +495,21 @@ def q_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/windows.py::click_error_interval_join, §2.9): same
+    builder, static input (``withWatermark`` is a no-op in batch; inner
+    interval joins emit on match, so stream ≡ batch — pinned in
+    tests/test_streaming.py).  Fully oracle-checkable."""
+    from .streaming.windows import click_error_interval_join
+
+    e = table(spark, sf_dir, "events")
+    return click_error_interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "error"),
+    )
+
+
 def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the custom stateful streaming operator
     (streaming/windows.py::running_user_totals, §2.9): the final state
@@ -917,6 +932,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_status": q_pivot_status,
     "stats_agg": q_stats_agg,
     "stateful_totals": q_stateful_totals,
+    "stream_interval_join": q_stream_interval_join,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
@@ -1105,6 +1121,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, COUNT(*) AS cnt,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total
         FROM events GROUP BY user_id
+    """,
+    "stream_interval_join": """
+        SELECT c.user_id,
+               e.event_id AS error_id,
+               c.event_id AS click_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) AS error_ts_s,
+               CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
     """,
     "doc_chunks": """
         WITH toks AS (

@@ -141,3 +141,21 @@ def test_foreachbatch_parquet_sink_idempotent(spark, events_dir, batch_events, t
     q2.awaitTermination(120)
     q2.stop()
     assert spark.read.parquet(out).count() == want
+
+
+def test_interval_join_stream_equals_batch(spark, events_dir, batch_events):
+    """Watermarked stream-stream inner interval join emits on match, so
+    its availableNow drain must equal the same builder on static input."""
+    from name_match_ml_spark.streaming.windows import click_error_interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "error"),
+        )
+
+    sc, se = split(stream_events(spark, events_dir))
+    got = _rows_set(_run_stream(click_error_interval_join(sc, se), "append"))
+    bc, be = split(batch_events)
+    want = _rows_set(click_error_interval_join(bc, be).collect())
+    assert got == want and want
