@@ -107,30 +107,40 @@ def derive_name_columns(df: DataFrame) -> DataFrame:
     return df
 
 
-def employees_from_df(df: DataFrame) -> DataFrame:
+def employees_from_df(df: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """Full canonicalization pipeline on an already-loaded DataFrame:
     normalize → alias → derive → cast/trim/fill → project
-    (``main.py:102-129``)."""
+    (``main.py:102-129``).
+
+    ``on_error="raise"`` (default) fails loudly on missing columns;
+    ``on_error="empty"`` reproduces the reference's degrade-to-empty
+    semantics (``main.py:131-133`` swallows the error and shows an empty
+    table) — same canonical schema, zero rows."""
+    if on_error not in ("raise", "empty"):
+        raise ValueError(f"on_error must be 'raise' or 'empty', got {on_error!r}")
     df = apply_column_aliases(normalize_headers(df))
     df = derive_name_columns(df)
     if not set(EMPLOYEE_COLUMNS) <= set(df.columns):
         missing = sorted(set(EMPLOYEE_COLUMNS) - set(df.columns))
+        if on_error == "empty":
+            return df.sparkSession.createDataFrame(
+                [], ", ".join(f"{c} string" for c in EMPLOYEE_COLUMNS)
+            )
         raise ValueError(f"employee input missing columns: {missing}")
     for c in EMPLOYEE_COLUMNS:
         df = df.withColumn(c, _trimmed_str(c))
     return df.select(*EMPLOYEE_COLUMNS)
 
 
-def load_employees(spark: SparkSession, path: str) -> DataFrame:
+def load_employees(spark: SparkSession, path: str, *, on_error: str = "raise") -> DataFrame:
     """CSV scan + canonicalization (``main.py:93-133``).
 
-    Unlike the reference (which swallows errors into an empty frame and
-    flashes a UI message), schema failures raise ``ValueError`` — an engine
-    should fail loudly; callers wanting the reference's degrade-to-empty
-    behavior can catch it.
+    Engine default is fail-loud (``ValueError`` on schema failure);
+    ``on_error="empty"`` opts into the reference's exact degrade-to-empty
+    behavior (``main.py:131-133``).
     """
     df = spark.read.option("header", True).csv(path)
-    return employees_from_df(df)
+    return employees_from_df(df, on_error=on_error)
 
 
 def load_usernames(spark: SparkSession, path: str) -> DataFrame:

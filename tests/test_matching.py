@@ -101,6 +101,22 @@ def test_fullname_split_derivation(spark):
     assert (by_id["2"].first_name, by_id["2"].last_name) == ("Neha", "")
 
 
+def test_ingest_error_modes(spark):
+    """Default fails loudly; on_error='empty' reproduces the reference's
+    degrade-to-empty semantics (main.py:131-133) with the canonical
+    schema."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([("x",)], ["unrelated"])
+    with _pytest.raises(ValueError, match="missing columns"):
+        employees_from_df(bad)
+    out = employees_from_df(bad, on_error="empty")
+    assert out.columns == ["emp_id", "first_name", "last_name", "employee_name"]
+    assert out.count() == 0
+    with _pytest.raises(ValueError, match="on_error"):
+        employees_from_df(bad, on_error="bogus")
+
+
 def test_flagship_matches_oracle(spark, ref_dfs):
     employees, usernames = ref_dfs
     emps, unames = _ref_rows()
