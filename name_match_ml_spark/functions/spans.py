@@ -25,7 +25,7 @@ from pyspark.sql.functions import udtf
 __all__ = ["RegexSpans", "register_regex_spans"]
 
 
-@udtf(returnType="start: int, end: int, match: string")
+@udtf(returnType="start: int, end: int, match: string", useArrow=True)
 class RegexSpans:
     """``eval(text, pattern)`` → one row per non-overlapping match with
     [start, end) character offsets, in document order."""

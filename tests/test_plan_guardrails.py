@@ -1,0 +1,37 @@
+"""Physical-plan guardrails over EVERY declared query (SURVEY.md §4).
+
+Correctness tests can't catch a plan regressing from a blocked join to a
+cartesian product or from Arrow to row-at-a-time Python — both stay
+correct and only fall over at scale.  This builds each declared query at
+sf0.001 and rejects the anti-patterns outright, with an explicit
+allowlist for the two intended appearances.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> tokens allowed in that plan, with the reason they're fine
+ALLOWED = {
+    # 1-row corpus-count broadcast (F.broadcast(n_docs) crossJoin): a
+    # nested-loop join against a single row is free at any scale.
+    "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+}
+
+FORBIDDEN = (
+    "CartesianProduct",  # unblocked all-pairs
+    "BroadcastNestedLoopJoin",  # usually a missing equi-join key
+    "BatchEvalPython",  # row-at-a-time Python (UDF or UDTF) — Arrow only
+)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_no_scale_antipatterns(spark, name):
+    q = entry_mod.queries()[name]
+    plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    hits = [t for t in FORBIDDEN if t in plan and t not in ALLOWED.get(name, ())]
+    assert not hits, f"{name}: {hits} in physical plan\n{plan[:2000]}"
