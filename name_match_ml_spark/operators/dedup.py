@@ -93,10 +93,25 @@ def ngram_jaccard_pairs(
       over full frequencies, but every row is three longs through
       whole-stage codegen — cheaper than prefix+verify on
       dense-vocabulary corpora where prefixes stop pruning.
+    * ``"bitmap"`` — chunk-pair GEMM over vocabulary indicator vectors:
+      when the distinct-shingle vocabulary V is small, each doc is a
+      V-bit set-membership vector and |A∩B| for a whole block of pairs
+      is ONE ``float32`` matrix product (exact: counts ≤ 2²⁴).  Reuses
+      the :func:`embedding_near_dup` blocking (chunk-pair equi-join, no
+      cartesian node, one BLAS call per block task).  This is the
+      regime where countjoin is at its WORST — dense vocab means
+      Σdf(s)² approaches V·(N/V·avg_n)² — while the GEMM does the same
+      arithmetic at BLAS throughput.  Only eligible when a
+      chunk×V block fits a task (V ≤ ~16k), and only *faster* at
+      EXTREME density (mean df approaching N: Σdf² → V·N² shuffled join
+      rows vs N²·V BLAS flops, and a shuffled row costs ~50× a flop; at
+      moderate density the two tie — measured 2.8 s vs 2.7 s on the
+      sf0.1 corpus).  Web-scale vocabularies take the other paths.
     * ``"auto"`` — one aggregate over the (tiny) shingle df table picks:
-      mean df ≥ 16 ⇒ dense ⇒ countjoin, else prefix.  Runs eagerly at
-      plan-build time; with ``materialize`` the stats pass reuses the
-      staged shingle table, so it costs one scan of stored longs.
+      mean df ≥ N/4 with vocab ≤ 16384 ⇒ bitmap; mean df ≥ 16 ⇒
+      countjoin; else prefix.  Runs eagerly at plan-build time; with
+      ``materialize`` the stats pass reuses the staged shingle table, so
+      it costs one scan of stored longs.
 
     ``materialize`` stages the shingle table once
     (:func:`..plans.staging.stage`) — every strategy consumes it 2-3
@@ -125,8 +140,21 @@ def ngram_jaccard_pairs(
     ).alias("jaccard")
 
     if strategy == "auto":
-        row = tok.groupBy("h").count().select(F.avg("count").alias("m")).first()
-        strategy = "countjoin" if (row["m"] or 0.0) >= 16 else "prefix"
+        row = (
+            tok.groupBy("h")
+            .count()
+            .select(F.count(F.lit(1)).alias("v"), F.avg("count").alias("m"))
+            .first()
+        )
+        m, v = (row["m"] or 0.0), (row["v"] or 0)
+        dense = m >= 16
+        if dense and v <= _BITMAP_MAX_VOCAB and m >= base.count() / 4.0:
+            strategy = "bitmap"
+        else:
+            strategy = "countjoin" if dense else "prefix"
+
+    if strategy == "bitmap":
+        return _bitmap_jaccard_pairs(base, threshold)
 
     if strategy == "countjoin":
         a = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
@@ -192,6 +220,92 @@ def ngram_jaccard_pairs(
             (F.size(F.col("sh_a")) + F.size(F.col("sh_b"))).alias("sz"),
         )
         .select("doc_a", "doc_b", jaccard_of(F.col("inter"), F.col("sz")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_BITMAP_MAX_VOCAB = 16384
+_BITMAP_CHUNK_ROWS = 1024  # best of {512, 1024, 2048, 4096} on local[32]
+
+_JACCARD_PAIR_SCHEMA = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("jaccard", DoubleType()),
+    ]
+)
+
+
+def _bitmap_jaccard_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard ≥ t via blocked indicator-matrix products (the
+    ``"bitmap"`` strategy of :func:`ngram_jaccard_pairs`; same chunk-pair
+    blocking as :func:`embedding_near_dup`).
+
+    Eager at plan build: one distinct-shingle collect (V ≤
+    ``_BITMAP_MAX_VOCAB`` longs — broadcast like a hash-join build side)
+    and one count for chunk sizing.  Each block task reconstructs its
+    rows' indicator matrices with one vectorized ``searchsorted`` against
+    the broadcast vocabulary and computes |A∩B| for every pair in the
+    block with one float32 GEMM; Jaccard is then exact integer arithmetic
+    in float64 — bit-identical to the countjoin path's
+    ``inter/(n_a+n_b-inter)``."""
+    spark = base.sparkSession
+    vocab = np.sort(
+        np.array(
+            [r[0] for r in base.select(F.explode("sh").alias("h")).distinct().collect()],
+            dtype=np.int64,
+        )
+    )
+    bc_vocab = spark.sparkContext.broadcast(vocab)
+    c = max(1, -(-base.count() // _BITMAP_CHUNK_ROWS))
+    chunked = base.withColumn("chunk", F.pmod(F.xxhash64("doc_id"), F.lit(c)).cast("int"))
+    pairs = spark.createDataFrame(
+        [(a, b, a * c + b) for a in range(c) for b in range(a, c)],
+        "ca int, cb int, pid int",
+    )
+    side_a = chunked.join(F.broadcast(pairs), chunked["chunk"] == pairs["ca"]).select(
+        "pid", "doc_id", "sh", F.lit("a").alias("side")
+    )
+    side_b = chunked.join(
+        F.broadcast(pairs), (chunked["chunk"] == pairs["cb"]) & (pairs["ca"] != pairs["cb"])
+    ).select("pid", "doc_id", "sh", F.lit("b").alias("side"))
+
+    def indicator(rows: pd.Series, voc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lens = np.array([len(x) for x in rows], dtype=np.int64)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in rows]) if len(rows) else np.empty(0, np.int64)
+        m = np.zeros((len(rows), len(voc)), dtype=np.float32)
+        m[np.repeat(np.arange(len(rows)), lens), np.searchsorted(voc, flat)] = 1.0
+        return m, lens
+
+    def score_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        voc = bc_vocab.value
+        pid = int(key[0])
+        diagonal = (pid // c) == (pid % c)
+        a = pdf[pdf["side"] == "a"]
+        b = a if diagonal else pdf[pdf["side"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+            )
+        ida = a["doc_id"].to_numpy(dtype=np.int64)
+        idb = b["doc_id"].to_numpy(dtype=np.int64)
+        A, na = indicator(a["sh"], voc)
+        B, nb = (A, na) if diagonal else indicator(b["sh"], voc)
+        inter = A @ B.T  # exact set-intersection counts in float32
+        union = na[:, None] + nb[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            J = inter.astype(np.float64) / union
+        i, j = np.nonzero(J >= threshold)
+        keep = ida[i] < idb[j] if diagonal else ida[i] != idb[j]
+        i, j = i[keep], j[keep]
+        lo = np.minimum(ida[i], idb[j])
+        hi = np.maximum(ida[i], idb[j])
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "jaccard": J[i, j]})
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("pid")
+        .applyInPandas(score_block, _JACCARD_PAIR_SCHEMA)
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -226,3 +226,31 @@ def test_connected_components_empty(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["prefix", "countjoin", "bitmap"])
+def test_ngram_strategies_agree(spark, docs, strategy):
+    """All three exact strategies must produce identical pairs AND
+    identical jaccard doubles (same integer arithmetic)."""
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, strategy="countjoin").collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, strategy=strategy).collect()
+    }
+    assert got == want and want
+
+
+def test_ngram_corpus_bitmap_equals_countjoin(spark):
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    b = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, threshold=0.5, strategy="bitmap").collect()
+    }
+    cj = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, threshold=0.5, strategy="countjoin").collect()
+    }
+    assert b == cj and cj
