@@ -48,6 +48,7 @@ __all__ = [
     "pair_features",
     "build_pipeline",
     "train_match_classifier",
+    "tune_match_classifier",
     "evaluation_report",
     "labeled_pairs_from_corpus",
 ]
@@ -119,6 +120,53 @@ def train_match_classifier(
     train, test = featured.randomSplit([1.0 - test_fraction, test_fraction], seed=seed)
     model = build_pipeline(num_trees=num_trees, seed=seed).fit(train)
     return model, model.transform(test)
+
+
+def tune_match_classifier(
+    pairs: DataFrame,
+    *,
+    num_trees_grid: tuple[int, ...] = (20, 100),
+    max_depth_grid: tuple[int, ...] = (5, 10),
+    n_folds: int = 3,
+    seed: int = 32,
+    parallelism: int = 4,
+) -> tuple[PipelineModel, dict[str, float], float]:
+    """[EXT] M-family extension: k-fold cross-validated hyperparameter
+    search over the RandomForest grid.  Returns (best fitted model,
+    chosen params, best mean AUC).
+
+    Scale shape: ``CrossValidator`` fits folds×grid models; with
+    ``parallelism`` they train concurrently, and every fit is itself a
+    distributed tree build — tuning parallelizes on both axes.  Seeded
+    fold assignment keeps the search reproducible."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    featured = pair_features(pairs).withColumn("label", F.col("label").cast("double"))
+    pipe = build_pipeline(seed=seed)
+    rf = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol="label"),
+        numFolds=n_folds,
+        seed=seed,
+        parallelism=parallelism,
+    )
+    cv_model = cv.fit(featured)
+    best = cv_model.bestModel
+    best_rf = best.stages[-1]
+    params = {
+        "numTrees": float(best_rf.getNumTrees),
+        "maxDepth": float(best_rf.getMaxDepth()),
+    }
+    return best, params, float(max(cv_model.avgMetrics))
 
 
 def evaluation_report(predictions: DataFrame) -> DataFrame:

@@ -100,3 +100,20 @@ def test_corpus_labeled_pairs(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_cv_tuning_beats_floor(spark, train_pairs):
+    """[EXT] CrossValidator grid search must run reproducibly and reach
+    a sane AUC on a subsample (small grid keeps this test fast)."""
+    from name_match_ml_spark.ml.pipeline import tune_match_classifier
+
+    sample = train_pairs.limit(800)
+    model, params, auc = tune_match_classifier(
+        sample, num_trees_grid=(10, 30), max_depth_grid=(4,), n_folds=2
+    )
+    assert params["numTrees"] in (10.0, 30.0) and params["maxDepth"] == 4.0
+    assert auc >= 0.85, auc
+    scored = model.transform(
+        pair_features(sample).withColumn("label", F.col("label").cast("double"))
+    )
+    assert "prediction" in scored.columns
