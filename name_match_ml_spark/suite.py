@@ -173,6 +173,96 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog [EXT]: top-10 unshipped orders by revenue for one
+    market segment.  3-table join where BOTH filters sit on the scans
+    (pushed) and the dimension side (filtered customer keys) broadcasts;
+    revenue aggregates through decimal for hash stability; top-10 via
+    the sort-limit TakeOrderedAndProject path."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+            "decimal(38,4)"
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog [EXT]: revenue per nation where customer and
+    supplier share the nation, one region, one order-year.  The 6-table
+    join: fact lineitem keeps its partitioning through the orderkey
+    shuffle; customer/supplier/nation/region dims broadcast; the
+    c_nationkey = s_nationkey condition closes the join cycle."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+            "decimal(38,4)"
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog [EXT]: top-20 customers by revenue lost to
+    returns in one quarter.  Filters pushed to both fact scans, nation
+    broadcast, single aggregate keyed by the customer attributes."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    revenue = F.sum(
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+            "decimal(38,4)"
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset window functions (SURVEY W-family [EXT]): previous/next
     order and inter-order gap per customer, plus a spend quartile via
@@ -927,6 +1017,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders": q_topk_orders,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_items": q_returned_items,
     "window_lag_lead": q_window_lag_lead,
     "quantiles": q_quantiles,
     "pivot_status": q_pivot_status,
@@ -1055,6 +1148,55 @@ ORACLE_SQL: dict[str, str] = {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                    AS running_spend
         FROM orders
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+               o_orderpriority,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1999-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
     """,
     "window_lag_lead": """
         SELECT o_custkey, o_orderkey,
