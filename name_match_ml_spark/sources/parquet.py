@@ -61,13 +61,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown corpus table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects; read nanos as long and rebuild the timestamp with exact
-        # integer division (micros) — double division would lose precision
-        # on 1e18-scale nanos.
+        # events.ts has shipped as either INT64 TIMESTAMP(NANOS) (which
+        # Spark's parquet reader rejects without nanosAsLong) or a plain
+        # timestamp[us]; branch on the landed dtype so both corpora load.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos as long; rebuild with exact integer division (micros) —
+            # double division would lose precision on 1e18-scale nanos.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # normalize to TIMESTAMP_LTZ (session tz is pinned UTC) so
+            # window/watermark semantics match the long-nanos path.
+            df = df.withColumn("ts", F.to_timestamp("ts"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _EXPRESSION_HEAVY_TABLES:

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -41,28 +42,43 @@ __all__ = [
     "running_user_totals",
 ]
 
-# Raw parquet schema: ts is INT64 nanos (TESTDATA events.parquet).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_field) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_field),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Raw parquet schema when ts lands as INT64 TIMESTAMP(NANOS) (read as long
+# via nanosAsLong); corpora with plain timestamp[us] use the NTZ variant.
+EVENTS_SCHEMA = _events_schema(LongType())
+EVENTS_SCHEMA_NTZ = _events_schema(TimestampNTZType())
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     New files appearing under ``events_dir`` become micro-batches — the
-    standard landing-zone ingestion pattern.  Nanos → timestamp conversion
-    mirrors ``sources/parquet.py``."""
+    standard landing-zone ingestion pattern.  The events corpus has shipped
+    with ``ts`` as either INT64 TIMESTAMP(NANOS) or timestamp[us]; a one-off
+    batch footer peek (plan-build time, not per-row) picks the matching
+    stream schema, and the ts normalization mirrors ``sources/parquet.py``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    landed = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if landed == "bigint":
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        # exact integer division: double division loses precision at 1e18
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(EVENTS_SCHEMA_NTZ).parquet(events_dir)
+    # session tz is pinned UTC, so NTZ → LTZ is a no-op rebase; keeps the
+    # watermark/window column type identical to the long-nanos path.
+    return raw.withColumn("ts", F.to_timestamp("ts"))
 
 
 def tumbling_counts(
