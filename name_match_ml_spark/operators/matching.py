@@ -58,6 +58,53 @@ _SPLIT_PATTERN = r"[\._\-\s]"  # main.py:32
 # match_usernames); module-level so benchmarks can A/B it.
 _REPARTITION_PAIRS = True
 
+# blocking=None auto-select: exact cross-scoring is allowed only when the
+# estimated (usernames × roster) pair count stays under this budget AND the
+# roster fits the session's broadcast threshold; anything bigger gets
+# blocked candidates.  ~4M Arrow-scored pairs is seconds of work on one
+# executor core-set; beyond that the cross product is the 100 TB
+# scale-killer VERDICT r2 flagged.
+_CROSS_PAIR_BUDGET = 4_000_000
+# Conservative bytes/row for turning Catalyst sizeInBytes stats into row
+# estimates: underestimating row width OVERestimates rows, which can only
+# push auto-select toward the safe (blocking) path.
+_EST_BYTES_PER_ROW = 32
+
+
+# Catalyst reports ~Long.MaxValue sizeInBytes for plans with no stats
+# (e.g. ``createDataFrame``-backed LogicalRDD); treat anything this large
+# as "unknown" rather than "huge".
+_UNKNOWN_STATS_BYTES = 1 << 62
+# Row cap for the bounded probe on unknown-stats sides.  Above this many
+# rows even a ~60-row other side blows _CROSS_PAIR_BUDGET, so there is
+# never a reason to count further.
+_PROBE_ROW_CAP = 65_536
+
+
+def _estimated_rows(df: DataFrame) -> float:
+    """Row-count estimate for auto-selecting the candidate join strategy.
+
+    Normally free: uses the optimized logical plan's statistics
+    (``rowCount`` under CBO, else ``sizeInBytes`` — exact file size for
+    parquet/csv leaves).  When stats are unknown (LogicalRDD from
+    ``createDataFrame``), runs one LIMIT-bounded count: LIMIT
+    short-circuits the scan, so the probe touches at most ~``_PROBE_ROW_CAP``
+    rows regardless of source size, and a capped probe reports +inf →
+    the caller picks blocking.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            return float(str(row_count.get()))
+        size = float(str(stats.sizeInBytes()))
+        if size < _UNKNOWN_STATS_BYTES:
+            return size / _EST_BYTES_PER_ROW
+        n = df.limit(_PROBE_ROW_CAP + 1).count()
+        return float("inf") if n > _PROBE_ROW_CAP else float(n)
+    except Exception:  # py4j / analysis edge: be safe, block
+        return float("inf")
+
 
 def _norm(c: Column) -> Column:
     return F.trim(F.lower(F.coalesce(c.cast("string"), F.lit(""))))
@@ -194,7 +241,7 @@ def match_usernames(
     threshold: float = float(SCORE_THRESHOLD),
     include_not_found: bool = True,
     broadcast_employees: bool = True,
-    blocking: bool = False,
+    blocking: bool | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """End-to-end flagship pipeline.
@@ -211,10 +258,13 @@ def match_usernames(
        ``(e_name, e_first, e_last)``): real corpora repeat names heavily,
        and the score is a pure function of the normalized texts.
     2. Candidates come from a cross join of the distinct texts (broadcast
-       when the roster side fits) or, for rosters beyond broadcast size,
-       ``blocking=True`` generates them via blocked equi-joins
+       when the roster side fits) or via blocked equi-joins
        (``plans/blocking.py``), trading bounded recall loss for O(U·B̄)
-       work.
+       work.  ``blocking=None`` (default) auto-selects from Catalyst plan
+       statistics: exact cross-scoring when the estimated pair product is
+       ≤ ``_CROSS_PAIR_BUDGET`` and the roster is broadcastable, blocked
+       candidates otherwise — a default caller can never hit an unbounded
+       cross join.  Pass ``True``/``False`` to force a path.
     3. Top-k pruning happens *before* re-expansion: ``rank() <= k`` over
        texts (rank keeps score ties — a text with k rows strictly ahead
        can never reach the final top-k since every text carries ≥1
@@ -228,6 +278,22 @@ def match_usernames(
     # branch, final fan-out join / employee re-attach); staging runs the
     # Arrow phonetic UDFs once per side instead of once per consumer
     # (see plans/staging.py).
+    if blocking is None:
+        # Auto-select from plan statistics (no job): exact cross-scoring
+        # only when the pair product is affordable AND the roster side is
+        # broadcastable; default callers on an unbounded roster get the
+        # blocked path instead of an O(U·E) cross join (VERDICT r2 #3).
+        spark = usernames.sparkSession
+        try:
+            bcast_threshold = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        except (TypeError, ValueError):
+            bcast_threshold = 10 * 1024 * 1024
+        e_rows = _estimated_rows(employees)
+        u_rows = _estimated_rows(usernames)
+        # threshold <= 0 disables broadcast → auto falls back to blocking
+        e_broadcastable = e_rows * _EST_BYTES_PER_ROW <= max(bcast_threshold, 0)
+        blocking = not (e_broadcastable and u_rows * e_rows <= _CROSS_PAIR_BUDGET)
+
     u = stage(prepare_usernames(usernames), "u_norm", enabled=materialize)
     e = stage(prepare_employees(employees), "e_name", enabled=materialize)
 

