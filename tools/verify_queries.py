@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's full correctness gate.
+
+Runs EVERY declared query (``__spark_entry__.queries()``) at sf0.01 and,
+where an oracle exists (``oracle_sql()``), runs the DuckDB oracle
+side-by-side and compares row count, column-name set, and exact values
+(column-name-sorted, row-order-insensitive).  Queries without an oracle
+get a rows-only check (``spark_rows > 0``).  Results are written as one
+JSON object per query to ``CORRECTNESS_LOCAL_r{N}.json`` so no driver
+sampling can hide a red cell (VERDICT r2 "What's wrong" #1).
+
+Usage: python tools/verify_queries.py [--round 3] [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _canon(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)
+    if isinstance(value, (bytes, bytearray)):
+        return value.hex()
+    return value
+
+
+def _rows_canonical(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is not None, str(type(v)), v) for v in t),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    from name_match_ml_spark.sources.parquet import TABLES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify-queries")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.only or sorted(queries)
+
+    results: dict[str, dict] = {}
+    n_hash = n_rows_only = n_err = 0
+    for name in names:
+        t0 = time.perf_counter()
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = queries[name](spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+            rec["spark_rows"] = len(srows)
+            if name in oracles:
+                rel = duck.execute(oracles[name])
+                dcols = [d[0] for d in rel.description]
+                drows = rel.fetchall()
+                rec["oracle_rows"] = len(drows)
+                rec["rows_match"] = len(srows) == len(drows)
+                rec["schema_match"] = sorted(scols) == sorted(dcols)
+                if rec["rows_match"] and rec["schema_match"]:
+                    rec["hash_match"] = _rows_canonical(scols, srows) == _rows_canonical(
+                        dcols, drows
+                    )
+                else:
+                    rec["hash_match"] = False
+                if rec["hash_match"]:
+                    n_hash += 1
+                else:
+                    n_err += 1
+            else:
+                rec["err"] = "no_oracle"
+                if len(srows) > 0:
+                    n_rows_only += 1
+                else:
+                    n_err += 1
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=3).strip().splitlines()[-1][:300]
+            n_err += 1
+        rec["sec"] = round(time.perf_counter() - t0, 2)
+        results[name] = rec
+        status = (
+            "HASH-PASS"
+            if rec["hash_match"]
+            else ("rows-only" if rec["err"] == "no_oracle" and rec["spark_rows"] else "FAIL")
+        )
+        print(f"{name:32s} {status:10s} rows={rec['spark_rows']} ({rec['sec']}s)", flush=True)
+
+    out = f"CORRECTNESS_LOCAL_r{args.round:02d}.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(
+        f"\n{len(names)} queries: {n_hash} hash-pass, {n_rows_only} rows-only, "
+        f"{n_err} failing -> {out}"
+    )
+    spark.stop()
+    return 1 if n_err else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
