@@ -93,16 +93,38 @@ def main() -> None:
     # for identical plans); the min of two executions is the standard
     # noise-robust estimator and is reported as such below.
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Load is recorded per QUERY, not per run (VERDICT r2 "what's wrong"
+    # #2: a 3.6x swing on an unchanged one-aggregate plan tracked a
+    # load_1m spike).  The retry trigger is run DISPERSION, not absolute
+    # load — a 32-core bench generates load_1m ≈ 10 all by itself, so an
+    # absolute bound can't tell self-load from contention, but two clean
+    # runs of the same plan agree within ~1.5x while a contended window
+    # shows 2-3x.  Up to 2 extra runs per noisy query.
+    spread_bound = float(os.environ.get("SPARK_GRAFT_SPREAD_BOUND", "2.0"))
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
+    query_spread: dict[str, float] = {}
     for name in headline:
         if name not in queries:
             continue
-        best = float("inf")
-        for _ in range(runs_per_query):
+        runs: list[float] = []
+        best_load = float("inf")
+
+        def _noisy() -> bool:
+            return max(runs) / min(runs) > spread_bound
+
+        while len(runs) < runs_per_query or (_noisy() and len(runs) < runs_per_query + 2):
+            l0 = os.getloadavg()[0]
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            run_load = max(l0, os.getloadavg()[0])
+            if not runs or dt < min(runs):
+                best_load = run_load
+            runs.append(dt)
+        timings[name] = round(min(runs), 3)
+        query_load[name] = round(best_load, 2)
+        query_spread[name] = round(max(runs) / min(runs), 2)
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -116,6 +138,12 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": runs_per_query,
                 "agg": "min",
+                # load_1m observed around each query's BEST run, and the
+                # max/min spread across its runs: spread near 1.0 means a
+                # trustworthy reading, spread >2 means the host was noisy
+                # even after retries.
+                "query_load_1m": query_load,
+                "query_spread": query_spread,
                 # Machine-load context: r1 showed readings inflate 2-3x
                 # under concurrent load; compare rounds with similar load.
                 "load_1m_start": round(load_start[0], 2),
