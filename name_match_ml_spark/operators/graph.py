@@ -4,28 +4,37 @@ resolution (SURVEY.md §2.10).
 Every near-dup operator in :mod:`.dedup` emits *pairs*; a training-data
 pipeline needs *clusters* (pick one keeper per group of mutual
 near-duplicates, drop the rest).  Pairs → clusters is connected
-components on the similarity graph, computed here with iterative
-min-label propagation on DataFrames:
+components on the similarity graph.  Two algorithms, one API:
 
-* every node starts labeled with its own id;
-* each round, every node takes the min of its own label and its
-  neighbors' labels (one equi-join + one min-aggregate — both shuffles
-  carry only longs);
-* a round with zero changes is the fixpoint: every node holds the
-  smallest id reachable in its component.
+* ``label`` — iterative min-label propagation: every node starts labeled
+  with its own id; each round every node takes the min of its own and its
+  neighbors' labels (one equi-join + one min-aggregate, shuffling only
+  longs).  Rounds = graph diameter: ideal for near-dup graphs, which are
+  dense and shallow (duplicates of a document are near-duplicates of
+  each other) — 2-3 rounds in practice.
+* ``star`` — alternating large-star/small-star edge rewriting (Kiveris
+  et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+  large-star hangs every neighbor larger than the current node off the
+  neighborhood minimum; small-star re-hangs the smaller ones.  Both are
+  one groupBy-min + one join per phase over an edge list that only
+  shrinks toward stars, and the alternation converges in O(log n) rounds
+  *regardless of diameter* — the 100 TB answer for chain-shaped
+  components (e.g. boilerplate drift A≈B≈C≈…) where label propagation
+  would need diameter rounds.
+* ``auto`` (default) — label propagation first (the fast path for the
+  shallow graphs dedup actually produces); if it hasn't converged after
+  ``label_rounds`` rounds the graph is deep, so restart on the two-phase
+  algorithm.  The wasted work is bounded: ``label_rounds`` cheap
+  long-only rounds.
 
-Rounds needed = graph diameter.  Near-dup clusters are dense and shallow
-(duplicates of a document are also near-duplicates of each other), so
-convergence is 2-3 rounds in practice.  For adversarial long-chain
-graphs at 100 TB the known fix is alternating large-star/small-star
-(O(log n) rounds); the round structure below is the same join+agg shape,
-so that variant drops in without changing callers.  Each round ends in
-``localCheckpoint`` — iterative lineage MUST be cut (a) so round N+1's
-plan doesn't re-execute rounds 1..N, and (b) so the convergence-check
-action doesn't recompute the round.
+Each round ends in ``localCheckpoint`` — iterative lineage MUST be cut
+(a) so round N+1's plan doesn't re-execute rounds 1..N, and (b) so the
+convergence-check action doesn't recompute the round.
 
-Deterministic: the fixpoint is unique, so the result is
-oracle-checkable (DuckDB recursive CTE over the same pair stream).
+Deterministic: the fixpoint is unique (every node labeled with the
+smallest id in its component), so the result is oracle-checkable (DuckDB
+recursive CTE over the same pair stream) and both algorithms agree
+exactly.
 """
 
 from __future__ import annotations
@@ -35,27 +44,16 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
 
+# Rounds used by the most recent connected_components call (label rounds
+# + star rounds); read by tests asserting the O(log n) bound.
+last_rounds: int = 0
 
-def connected_components(
-    pairs: DataFrame,
-    *,
-    src: str = "doc_a",
-    dst: str = "doc_b",
-    max_iter: int = 25,
-) -> DataFrame:
-    """Resolve an undirected pair stream into ``(id, cluster_id)`` rows,
-    ``cluster_id`` = the smallest node id in the component.  Nodes are
-    exactly the ids appearing in ``pairs`` (callers left-join the full
-    corpus back if singletons need rows).  Raises if ``max_iter`` rounds
-    don't converge — a diameter that large means the input is not a
-    near-dup graph and the large-star/small-star variant is needed."""
-    sym = pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
-    labels = sym.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("cluster_id")
-    ).localCheckpoint()
 
+def _label_propagation(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame | None:
+    """Min-label propagation to fixpoint; None if max_iter hit first."""
+    global last_rounds
     for _ in range(max_iter):
+        last_rounds += 1
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), "cluster_id"
         )
@@ -72,4 +70,108 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    return None
+
+
+def _two_phase_cc(sym: DataFrame, max_iter: int) -> DataFrame | None:
+    """Alternating large-star/small-star to a stable edge set.
+
+    ``sym`` holds both orientations of every input edge.  Each iteration
+    runs one large-star then one small-star; the edge set monotonically
+    reshapes into per-component stars rooted at the component minimum.
+    Per phase: one min-aggregate + one join, edges only (pairs of longs).
+    """
+    global last_rounds
+    edges = sym.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"]).localCheckpoint()
+
+    for _ in range(max_iter):
+        last_rounds += 1
+        # Large-star: for each node u with neighborhood N(u) (both
+        # orientations present in `edges`), hang every v ∈ N(u), v > u
+        # off m = min(N(u) ∪ {u}).
+        nbrs = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            nbrs.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+
+        # Small-star: orient every edge big→small, then hang each node's
+        # smaller neighbors (and itself) off the neighborhood minimum.
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        withm = oriented.join(mins, "a")
+        small = (
+            withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(withm.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint()
+        )
+
+        # Converged when the (deduped, big→small) edge set is unchanged.
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(small).limit(1).count()
+        )
+        edges = small
+        if changed == 0:
+            # Stars: every remaining edge is (node, component-min).
+            return (
+                edges.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+                .union(edges.select(F.col("b").alias("id"), F.col("b").alias("cluster_id")))
+                .groupBy("id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+    return None
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    algorithm: str = "auto",
+    label_rounds: int = 6,
+) -> DataFrame:
+    """Resolve an undirected pair stream into ``(id, cluster_id)`` rows,
+    ``cluster_id`` = the smallest node id in the component.  Nodes are
+    exactly the ids appearing in ``pairs`` (callers left-join the full
+    corpus back if singletons need rows).
+
+    ``algorithm``: ``"label"`` (min-label propagation, rounds = diameter),
+    ``"star"`` (large-star/small-star, O(log n) rounds), or ``"auto"``
+    (label for ``label_rounds`` rounds, then restart as star — shallow
+    near-dup graphs stay on the cheap path, chain-shaped graphs can't
+    blow the round budget).  Raises only if the selected algorithm hits
+    ``max_iter`` without converging.
+    """
+    global last_rounds
+    last_rounds = 0
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    sym = pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+
+    if algorithm in ("auto", "label"):
+        labels = sym.select(F.col("a").alias("id")).distinct().select(
+            "id", F.col("id").alias("cluster_id")
+        ).localCheckpoint()
+        budget = label_rounds if algorithm == "auto" else max_iter
+        out = _label_propagation(sym, labels, budget)
+        if out is not None:
+            return out
+        if algorithm == "label":
+            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    out = _two_phase_cc(sym, max_iter)
+    if out is None:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    return out

@@ -131,6 +131,13 @@ def main() -> int:
         print(f"{name:32s} {status:10s} rows={rec['spark_rows']} ({rec['sec']}s)", flush=True)
 
     out = f"CORRECTNESS_LOCAL_r{args.round:02d}.json"
+    if args.only and os.path.exists(out):
+        # partial re-check: merge into the existing full matrix instead of
+        # clobbering it
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(
