@@ -61,12 +61,28 @@ def blocked_candidates(
     e_texts: DataFrame,
     *,
     broadcast_employees: bool = False,
+    hot_key_cap: int | None = 1000,
 ) -> DataFrame:
     """Candidate text pairs from prepared distinct-text sides (see
     ``operators/matching.py``) via one blocking-key equi-join instead of a
     cross product.  Expects ``u_norm`` distinct on the username side and
     ``(e_name, e_first, e_last)`` distinct on the employee side; returns
-    one row per candidate (u_norm × employee-text) pair."""
+    one row per candidate (u_norm × employee-text) pair.
+
+    ``hot_key_cap``: drop blocking keys whose document frequency exceeds
+    the cap on EITHER side (``None`` disables).  A key covering f_u
+    usernames and f_e roster names contributes f_u × f_e candidate pairs —
+    one surname held by 30% of each side at 100 TB is a quadratic pair
+    bomb that no amount of AQE skew-splitting fixes (AQE spreads the
+    pairs over tasks; it cannot make there be fewer pairs).  Capping both
+    sides bounds every key's contribution to ≤ cap² pairs.  Recall note:
+    a true match is lost only when *every* key the pair shares is hot —
+    for name-shaped data a pair sharing only an ultra-common surname
+    token scores mostly on the uncommon parts anyway, and the reference-
+    fixture recall test (``tests/test_matching.py``) pins that nothing
+    real is lost at the default cap.  The hot-key set itself is tiny
+    (≤ N/cap keys), so the subtraction is a broadcast anti-join, and the
+    df aggregates shuffle only (key, count) longs."""
     u_tokens = F.split(F.col("u_norm"), r"[^a-z]+")
     u_stripped = F.regexp_replace(F.col("u_norm"), r"[^a-z]", "")
     u_keys = u_texts.withColumn(
@@ -88,8 +104,7 @@ def blocked_candidates(
         ),
     )
 
-    e_b = F.broadcast(e_texts) if broadcast_employees else e_texts
-    e_keys = e_b.withColumn(
+    e_keys = e_texts.withColumn(
         "_bkey",
         F.explode(
             F.array_distinct(
@@ -97,6 +112,26 @@ def blocked_candidates(
             )
         ),
     )
+
+    if hot_key_cap is not None:
+        # Keys over the cap on either side, deduped — a small set by
+        # construction, so Catalyst broadcasts it into both anti-joins.
+        # The df aggregates re-derive the exploded keys from the (staged
+        # upstream) text sides: one narrow recompute, no driver action.
+        def _hot(keys: DataFrame) -> DataFrame:
+            return (
+                keys.groupBy("_bkey")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > hot_key_cap)
+                .select("_bkey")
+            )
+
+        hot = F.broadcast(_hot(u_keys).union(_hot(e_keys)).distinct())
+        u_keys = u_keys.join(hot, "_bkey", "left_anti")
+        e_keys = e_keys.join(hot, "_bkey", "left_anti")
+
+    if broadcast_employees:
+        e_keys = F.broadcast(e_keys)
 
     return (
         u_keys.join(e_keys, "_bkey")

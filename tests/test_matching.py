@@ -241,3 +241,65 @@ def test_blocking_auto_select(spark, ref_dfs):
     assert "_bkey" in big_plan
     assert "BroadcastNestedLoopJoin" not in big_plan
     assert "CartesianProduct" not in big_plan
+
+
+def test_hot_key_cap_bounds_skewed_blocking(spark):
+    """One surname covering 30% of both sides is a quadratic pair bomb
+    (f_u x f_e candidates through one blocking key); the df cap must drop
+    the hot keys so no key contributes more than cap^2 pairs, while pairs
+    that share any non-hot key (the real matches) survive
+    (VERDICT r2 next-round #5)."""
+    from name_match_ml_spark.operators.matching import (
+        _E_TEXT_FULL,
+        _U_TEXT,
+        prepare_employees,
+        prepare_usernames,
+    )
+    from name_match_ml_spark.plans.blocking import blocked_candidates
+
+    # pure-letter names (digits are token separators in the username
+    # normalizer) over soundex-diverse consonants so only the shared
+    # surname is hot
+    def _fn(i: int) -> str:
+        letters = "bcdlmr"
+        return "".join(letters[(i // 6**k) % 6] for k in range(4))
+
+    n, hot = 1296, 400  # ~30% share surname "patel"
+    emp_rows = [
+        (str(i), _fn(i), "Patel" if i < hot else f"x{_fn(i)}") for i in range(n)
+    ]
+    usr_rows = [
+        (f"{_fn(i)}.patel" if i < hot else f"{_fn(i)}.x{_fn(i)}",) for i in range(n)
+    ]
+    employees = spark.createDataFrame(
+        emp_rows, ["emp_id", "first_name", "last_name"]
+    ).selectExpr("*", "concat(first_name, ' ', last_name) as employee_name")
+    usernames = spark.createDataFrame(usr_rows, ["username"])
+
+    u_texts = prepare_usernames(usernames).select(*_U_TEXT).dropDuplicates(["u_norm"])
+    e_texts = (
+        prepare_employees(employees).select(*_E_TEXT_FULL).dropDuplicates(
+            ["e_name", "e_first", "e_last"]
+        )
+    )
+
+    uncapped = blocked_candidates(u_texts, e_texts, hot_key_cap=None).count()
+    assert uncapped >= hot * hot  # the bomb is real: >=360k pairs via tok:patel
+
+    capped_df = blocked_candidates(u_texts, e_texts, hot_key_cap=300)
+    capped = capped_df.count()
+    # the hot surname's f_u*f_e block is gone (every key that survives
+    # has df <= cap on both sides, so per-key work is <= cap^2 by
+    # construction); a few hot pairs legitimately survive through a
+    # shared non-hot key, hence the 0.9 factor.  What remains comes from
+    # per-name keys, linear in n.
+    assert uncapped - capped >= 0.9 * hot * hot
+    assert capped <= 60 * n
+    # recall through non-hot keys: a true pair still blocks via its
+    # unique first-name token even with every surname key dropped
+    fn7 = _fn(7)
+    survivors = {
+        (r.u_norm, r.e_name)
+        for r in capped_df.filter(f"u_norm = '{fn7}.patel'").collect()
+    }
+    assert (f"{fn7}.patel", f"{fn7} patel") in survivors
