@@ -474,32 +474,51 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     materialize: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation: split the 64-bit fingerprint into
-    ``max_hamming + 1`` 16-bit bands — any pair within Hamming r must agree
-    exactly on ≥ 1 band (pigeonhole), so a per-band equi-join finds all of
-    them; verification is native ``bit_count(a XOR b)``.
+    Candidate generation: split the fingerprint into ``max_hamming + 1``
+    equal bands — any pair within Hamming r must agree exactly on ≥ 1 band
+    (pigeonhole), so a per-band equi-join finds all of them; verification
+    is native ``bit_count(a XOR b)``.
+
+    ``hash_fn``: word-hash function feeding the bit-majority vote.
+    ``"xxhash64"`` (default) is the scale choice — one codegen'd
+    non-cryptographic hash, 64 fingerprint bits.  ``"md5_60"`` takes the
+    top 15 hex chars of ``md5(word)`` as a 60-bit hash — slower per word,
+    but DuckDB computes the identical value, which makes the whole
+    operator (majority bits → banding → pigeonhole join → Hamming verify)
+    hash-checkable against a SQL oracle with no staged intermediate.
+    Same algebra either way; only the word hash differs.
     """
+    if hash_fn == "xxhash64":
+        total_bits = 64
+        word_hash = F.xxhash64("_t")
+    elif hash_fn == "md5_60":
+        total_bits = 60
+        # 15 hex chars = 60 bits < 63, so the ANSI cast can't overflow
+        word_hash = F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     n_bands = max_hamming + 1
-    band_bits = 64 // n_bands
-    # Fingerprint via explode + one hash aggregate (64 conditional bit
-    # sums per doc) instead of 64 interpreted HOF array passes
-    # (:func:`simhash_fingerprint`, kept as the per-row expression form):
-    # the sums run inside whole-stage codegen, and map-side partial
-    # aggregation collapses each doc to one 64-sum row before the
+    band_bits = total_bits // n_bands
+    # Fingerprint via explode + one hash aggregate (one conditional bit
+    # sum per fingerprint bit per doc) instead of interpreted HOF array
+    # passes (:func:`simhash_fingerprint`, kept as the per-row expression
+    # form): the sums run inside whole-stage codegen, and map-side partial
+    # aggregation collapses each doc to one row of bit sums before the
     # shuffle, so the exchange carries ~one narrow row per doc.
     wh = docs.select(F.col(id_col).alias("doc_id"), F.explode(_word_set(text_col)).alias("_t")).select(
-        "doc_id", F.xxhash64("_t").alias("h")
+        "doc_id", word_hash.alias("h")
     )
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(64)
+        for b in range(total_bits)
     ]
     agg = wh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nw"), *bit_sums)
     fp = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(total_bits):
         # bit 63 is the long's sign bit
         bit_val = (1 << b) if b < 63 else -(1 << 63)
         fp = fp.bitwiseOR(

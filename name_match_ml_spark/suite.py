@@ -766,12 +766,18 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint pairs within Hamming ≤ 3 (rows-only: DuckDB
-    has no xxhash64/bit_count)."""
+    """SimHash fingerprint pairs within Hamming ≤ 3.
+
+    Declared with ``hash_fn="md5_60"`` (60-bit word hash from md5's top
+    15 hex chars) so DuckDB can compute bit-identical word hashes and the
+    FULL algebra — majority bits, banding, pigeonhole join, Hamming
+    verify — is hash-checked by the oracle.  The operator's scale default
+    stays xxhash64 (pytest pins md5_60 ≡ xxhash64 up to the hash choice
+    via the exact-Hamming differential)."""
     from .operators.dedup import simhash_pairs
 
     d = table(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=3)
+    return simhash_pairs(d, max_hamming=3, hash_fn="md5_60")
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1723,6 +1729,52 @@ ORACLE_SQL: dict[str, str] = {
               FROM documents)
     """,
 }
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, total_bits: int = 60) -> str:
+    """DuckDB mirror of ``simhash_pairs(hash_fn="md5_60")`` — identical
+    word hash (top 15 hex chars of md5 → 60-bit int), majority-bit
+    fingerprint, ``max_hamming + 1``-band pigeonhole candidates, and
+    ``bit_count(xor)`` verification.  Generated because the majority vote
+    is one conditional sum per fingerprint bit."""
+    n_bands = max_hamming + 1
+    band_bits = total_bits // n_bands
+    bit_sums = ",\n                 ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(total_bits)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{b} * 2 > nw THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(total_bits)
+    )
+    bands = ", ".join(
+        f"((fp >> {band * band_bits}) & {(1 << band_bits) - 1})" for band in range(n_bands)
+    )
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\\s+'), w -> w <> ''))) AS w
+          FROM documents),
+        wh AS (
+          SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+        agg AS (
+          SELECT doc_id, count(*) AS nw,
+                 {bit_sums}
+          FROM wh GROUP BY doc_id),
+        fp AS (SELECT doc_id, {fp_terms} AS fp FROM agg),
+        banded AS (
+          SELECT doc_id, fp, unnest([{bands}]) AS band_val,
+                 unnest(range({n_bands})) AS band
+          FROM fp)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+ORACLE_SQL["simhash_dedup"] = _simhash_oracle_sql()
 
 
 # --------------------------------------------------------------------------

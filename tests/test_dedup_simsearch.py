@@ -254,3 +254,40 @@ def test_ngram_corpus_bitmap_equals_countjoin(spark):
         for r in ngram_jaccard_pairs(d, threshold=0.5, strategy="countjoin").collect()
     }
     assert b == cj and cj
+
+
+def test_simhash_md5_matches_python_oracle(docs):
+    """The md5_60 variant (the oracle-checkable declared query) must give
+    exactly the Hamming distances a pure-Python simhash computes — full
+    differential over fingerprinting, banding and verification."""
+    import hashlib
+    import re
+
+    def fingerprint(text: str) -> int:
+        words = []
+        for w in re.split(r"\s+", text.lower()):
+            if w and w not in words:
+                words.append(w)
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in words]
+        fp = 0
+        for b in range(60):
+            if sum((h >> b) & 1 for h in hs) * 2 > len(hs):
+                fp |= 1 << b
+        return fp
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    fps = {i: fingerprint(t) for i, t in rows.items()}
+    # max_hamming=16 -> every pair within 16 agrees on one of 17 bands
+    # of floor(60/17)=3 bits ... pigeonhole still holds; use 3 so band
+    # geometry matches the declared query
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in rows
+        for b in rows
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3, hash_fn="md5_60").collect()
+    }
+    assert got == want
