@@ -1,0 +1,178 @@
+"""Corpus-cleaning operators for LLM training-data pipelines [EXT]
+(SURVEY.md §2.10): benchmark decontamination, intra-document repetition
+statistics, and deterministic mixture sampling.
+
+These are the standard pre-training hygiene passes (C4/GPT-style):
+remove documents that leak evaluation data, drop pathologically
+repetitive documents, and rebalance the language/source mixture — each
+expressed as native Catalyst plans.
+
+Scale notes (100 TB):
+
+* Decontamination joins the corpus's n-grams against the benchmark's.
+  The benchmark side is an eval set — thousands of documents, not
+  billions — so its distinct-gram table broadcasts; the corpus side
+  streams map-side through the broadcast hash join with no shuffle of
+  corpus grams.  Grams are joined as 60/64-bit hashes, never strings.
+* Repetition stats are per-row expressions only (no shuffle, no UDF):
+  whole-stage codegen over the words array.
+* Mixture sampling is a per-row deterministic hash threshold — no
+  shuffle, no RNG state, reproducible across retries/executors by
+  construction (same reason :mod:`..plans.skew` salts with hashes, not
+  ``rand()``).
+
+Hash choice mirrors :func:`..operators.dedup.simhash_pairs`:
+``xxhash64`` is the codegen'd scale default; ``md5_60`` (top 15 hex
+chars of md5 → 60-bit int) is bit-reproducible in DuckDB, which lets the
+declared queries hash-check the FULL pipeline against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["decontaminate_ngrams", "repetition_stats", "mixture_sample"]
+
+
+def _words(text_col: str) -> Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+
+
+def _gram_hash(gram: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(gram)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _ngram_hashes(text_col: str, n: int, hash_fn: str) -> Column:
+    """Distinct hashed word n-grams of ``text_col`` (empty array for docs
+    shorter than ``n`` words)."""
+    w = _words(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.transform(grams, lambda g: _gram_hash(g, hash_fn)))
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``n``-grams with an evaluation set.
+
+    Returns one row per corpus document: ``(doc_id, n_hits,
+    contaminated)`` where ``n_hits`` counts DISTINCT shared n-grams and
+    ``contaminated = n_hits >= min_hits`` — callers anti-filter on the
+    flag.  This is the GPT-3/C4-style leak filter (they used 13-gram
+    overlap; ``n`` is a knob because synthetic corpora have denser
+    vocabularies).
+
+    Plan: both sides explode to distinct hashed grams; the benchmark side
+    (an eval set — small by nature) aggregates to a distinct-gram table
+    and broadcasts; one broadcast hash join + one count-distinct per doc;
+    clean docs re-enter with ``n_hits = 0`` via a left join.
+    """
+    c_grams = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(_ngram_hashes(text_col, n, hash_fn)).alias("g")
+    )
+    b_grams = F.broadcast(
+        benchmark.select(F.explode(_ngram_hashes(text_col, n, hash_fn)).alias("g")).distinct()
+    )
+    hits = (
+        c_grams.join(b_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """Intra-document repetition: fraction of duplicated word ``n``-grams.
+
+    ``rep_ratio = 1 - distinct_grams / total_grams`` (0.0 for docs
+    shorter than ``n`` words); ``keep = rep_ratio <= max_ratio`` is the
+    C4-style repetitive-document filter.  Pure per-row expressions —
+    no shuffle, no Python; whole-stage codegen end to end.
+    """
+    w = _words(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(total > 0, 1.0 - distinct.cast("double") / total).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("long").alias("total_ngrams"),
+        distinct.cast("long").alias("distinct_ngrams"),
+        F.round(ratio, 6).alias("rep_ratio"),
+        (F.round(ratio, 6) <= max_ratio).alias("keep"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: Mapping[str, float],
+    *,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified sampling to a target mixture.
+
+    Keeps each document iff ``hash(seed, doc_id) / 2^60 < rate`` for its
+    stratum — the standard way to down-weight an over-represented
+    language/source in a pre-training mix.  The decision is a pure
+    function of ``(seed, doc_id)``: re-running the pipeline, retrying a
+    task, or adding columns never changes the sample (no ``rand()``), and
+    changing ``seed`` draws an independent sample.  Uses the md5-based
+    60-bit hash so the oracle reproduces decisions bit-exactly.
+    """
+    # thresholds as exact integer literals (computed driver-side, not via
+    # a float cast in the plan) so Spark's truncating and DuckDB's
+    # rounding double->long casts can't disagree at the boundary
+    threshold = F.lit(int(float(default_rate) * (1 << 60)))
+    for k, v in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == k, F.lit(int(float(v) * (1 << 60)))
+        ).otherwise(threshold)
+    u = _gram_hash(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
+    )
+    return docs.filter(u < threshold)

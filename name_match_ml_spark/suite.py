@@ -849,6 +849,45 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    synthetic eval slice (doc_id % 97 == 0) are flagged.  Declared with
+    the md5_60 gram hash so the whole broadcast-join + count-distinct
+    pipeline is hash-checked (operators/cleaning.py).  n=4 flags ~1.6%
+    of this corpus — the dense synthetic vocabulary needs a shorter gram
+    than GPT-3's 13 to see any overlap at all."""
+    from .operators.cleaning import decontaminate_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_ngrams(corpus, bench, n=4, min_hits=1, hash_fn="md5_60")
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats + C4-style keep flag — pure
+    codegen expressions, no shuffle (operators/cleaning.py).  Bigrams at
+    a 5% duplicate ratio split this corpus ~85/15 (3-grams are almost
+    never repeated in the synthetic text)."""
+    from .operators.cleaning import repetition_stats
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_stats(d, n=2, max_ratio=0.05)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: down-weight the
+    over-represented languages (en to 35%, zh to 90%) via a seeded
+    per-doc hash threshold — reproducible sampling with no RNG state
+    (operators/cleaning.py)."""
+    from .operators.cleaning import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    return mixture_sample(d, {"en": 0.35, "zh": 0.9}, seed="mix").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (functions/text.py [EXT]; fully
     oracle-checkable — rank is computed on the rounded score so double
@@ -1067,6 +1106,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
+    "decontaminate": q_decontaminate,
+    "repetition_filter": q_repetition_filter,
+    "mixture_sample": q_mixture_sample,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1775,6 +1817,67 @@ def _simhash_oracle_sql(max_hamming: int = 3, total_bits: int = 60) -> str:
 
 
 ORACLE_SQL["simhash_dedup"] = _simhash_oracle_sql()
+
+# Cleaning-operator oracles: grams joined as raw strings (the Spark side
+# joins md5_60 hashes — a 60-bit collision among ~1e5 grams has
+# probability ~1e-9, so the results are identical).
+ORACLE_SQL["decontaminate"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 4
+               THEN list_transform(range(1, len(ws) - 2),
+                                   i -> array_to_string(list_slice(ws, i, i + 3), ' '))
+               ELSE []::VARCHAR[] END) AS grams
+      FROM w),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT doc_id, count(DISTINCT gram) AS n_hits
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLE_SQL["repetition_filter"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+               ELSE []::VARCHAR[] END AS grams
+      FROM w)
+    SELECT doc_id,
+           len(grams)::BIGINT AS total_ngrams,
+           len(list_distinct(grams))::BIGINT AS distinct_ngrams,
+           round(CASE WHEN len(grams) > 0
+                 THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                 ELSE 0.0 END, 6) AS rep_ratio,
+           round(CASE WHEN len(grams) > 0
+                 THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                 ELSE 0.0 END, 6) <= 0.05 AS keep
+    FROM g
+"""
+
+ORACLE_SQL["mixture_sample"] = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          < (CASE WHEN lang = 'en' THEN {int(0.35 * (1 << 60))}
+                  WHEN lang = 'zh' THEN {int(0.9 * (1 << 60))}
+                  ELSE {1 << 60} END)
+"""
 
 
 # --------------------------------------------------------------------------

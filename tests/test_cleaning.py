@@ -1,0 +1,95 @@
+"""Corpus-cleaning operator tests (operators/cleaning.py [EXT]):
+decontamination, repetition stats, mixture sampling — small synthetic
+corpora with driver-side oracles; DuckDB hash-parity is covered by the
+declared-query harness (tools/verify_queries.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from name_match_ml_spark.operators.cleaning import (
+    decontaminate_ngrams,
+    mixture_sample,
+    repetition_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "completely unrelated text about spark shuffles and joins here"),
+        (2, "a quick brown fox jumps over nothing else at all today"),
+        (3, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        ["doc_id", "text"],
+    )
+
+
+def test_decontaminate_flags_overlap(corpus, bench_docs):
+    out = {r.doc_id: r for r in decontaminate_ngrams(corpus, bench_docs, n=5).collect()}
+    assert len(out) == 4  # one row per corpus doc, clean ones included
+    # doc 0 and 2 share the 5-gram "quick brown fox jumps over"
+    assert out[0].contaminated and out[0].n_hits >= 1
+    assert out[2].contaminated
+    assert not out[1].contaminated and out[1].n_hits == 0
+    assert not out[3].contaminated  # shorter than n words -> no grams
+
+
+def test_decontaminate_hash_fns_agree(corpus, bench_docs):
+    a = sorted(map(tuple, decontaminate_ngrams(corpus, bench_docs, n=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate_ngrams(corpus, bench_docs, n=5, hash_fn="md5_60").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_repetition_stats_exact(spark):
+    rows = [
+        (0, "a b a b a b"),  # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (1, "all words unique in this one"),
+        (2, "x"),  # shorter than n -> 0 grams, ratio 0, kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(docs, n=2, max_ratio=0.5).collect()}
+    assert (out[0].total_ngrams, out[0].distinct_ngrams) == (5, 2)
+    assert out[0].rep_ratio == pytest.approx(0.6)
+    assert not out[0].keep
+    assert out[1].rep_ratio == 0.0 and out[1].keep
+    assert out[2].total_ngrams == 0 and out[2].rep_ratio == 0.0 and out[2].keep
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    none_en = mixture_sample(docs, {"en": 0.0}, seed="s1").collect()
+    assert all(r.lang == "fr" for r in none_en) and len(none_en) == 1000
+
+    half = mixture_sample(docs, {"en": 0.5, "fr": 0.5}, seed="s1")
+    got1 = sorted(r.doc_id for r in half.collect())
+    got2 = sorted(r.doc_id for r in half.collect())
+    assert got1 == got2  # deterministic: no RNG state, pure hash of (seed, id)
+    assert 800 < len(got1) < 1200  # ~50% of 2000
+
+    # decisions match the documented pure function exactly
+    def kept(doc_id: int) -> bool:
+        h = int(hashlib.md5(f"s1:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h < int(0.5 * (1 << 60))
+
+    assert set(got1) == {i for i in range(2000) if kept(i)}
+
+    other_seed = sorted(r.doc_id for r in mixture_sample(docs, {"en": 0.5, "fr": 0.5}, seed="s2").collect())
+    assert other_seed != got1  # independent draw per seed
