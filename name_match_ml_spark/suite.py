@@ -888,6 +888,17 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing over hash buckets — the
+    pre-training batch-packing step (operators/packing.py).  The pack
+    assignment is a pure function of the corpus, so the DuckDB oracle
+    replays the greedy fill exactly with a recursive CTE."""
+    from .operators.packing import pack_documents
+
+    d = table(spark, sf_dir, "documents")
+    return pack_documents(d, budget=256, n_buckets=32)
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (functions/text.py [EXT]; fully
     oracle-checkable — rank is computed on the rounded score so double
@@ -1109,6 +1120,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
     "mixture_sample": q_mixture_sample,
+    "pack_documents": q_pack_documents,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1869,6 +1881,29 @@ ORACLE_SQL["repetition_filter"] = """
                  THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
                  ELSE 0.0 END, 6) <= 0.05 AS keep
     FROM g
+"""
+
+ORACLE_SQL["pack_documents"] = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32)::INT AS bucket,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             w -> w <> ''))::BIGINT AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+    steps AS (
+      SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_seq, n_tokens AS cum
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN s.cum > 0 AND s.cum + o.n_tokens > 256
+                  THEN s.pack_seq + 1 ELSE s.pack_seq END,
+             CASE WHEN s.cum > 0 AND s.cum + o.n_tokens > 256
+                  THEN o.n_tokens ELSE s.cum + o.n_tokens END
+      FROM steps s JOIN ordered o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+    SELECT doc_id, bucket, n_tokens, pack_seq FROM steps
 """
 
 ORACLE_SQL["mixture_sample"] = f"""

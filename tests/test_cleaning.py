@@ -93,3 +93,35 @@ def test_mixture_sample_rates_and_determinism(spark):
 
     other_seed = sorted(r.doc_id for r in mixture_sample(docs, {"en": 0.5, "fr": 0.5}, seed="s2").collect())
     assert other_seed != got1  # independent draw per seed
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    from name_match_ml_spark.operators.packing import pack_documents
+
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + (i * 7) % 50))) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_documents(docs, budget=64, n_buckets=8)
+    rows1 = sorted(map(tuple, out.collect()))
+    rows2 = sorted(map(tuple, pack_documents(docs, budget=64, n_buckets=8).collect()))
+    assert rows1 == rows2  # pure function of the corpus
+
+    import collections
+
+    by_pack = collections.defaultdict(list)
+    for doc_id, bucket, n_tokens, pack_seq in rows1:
+        by_pack[(bucket, pack_seq)].append((doc_id, n_tokens))
+    assert len(rows1) == 200
+    for (bucket, seq), members in by_pack.items():
+        total = sum(n for _, n in members)
+        # a pack only exceeds the budget when it is a single oversized doc
+        assert total <= 64 or len(members) == 1
+    # greedy tightness: consecutive packs in a bucket couldn't be merged
+    buckets = collections.defaultdict(dict)
+    for (bucket, seq), members in by_pack.items():
+        buckets[bucket][seq] = sum(n for _, n in members)
+    for bucket, packs in buckets.items():
+        for seq in range(len(packs) - 1):
+            # the doc that OPENED pack seq+1 (min doc_id: fill order) must
+            # not have fit into pack seq, else greedy wouldn't have closed it
+            first_of_next = min(by_pack[(bucket, seq + 1)])[1]
+            assert packs[seq] + first_of_next > 64, (bucket, seq)
