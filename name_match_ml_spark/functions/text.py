@@ -24,6 +24,7 @@ __all__ = [
     "token_counts",
     "doc_fingerprint",
     "tfidf_top_terms",
+    "unigram_logprob_scores",
     "chunk_documents",
     "ws_normalize",
 ]
@@ -184,6 +185,50 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Statistical quality score: mean unigram log-probability of each
+    document under the corpus's own unigram LM — the cheap stand-in for
+    the KenLM-perplexity filter of CCNet-style pipelines (documents full
+    of corpus-atypical tokens score low).
+
+    ``(doc_id, n_tokens, avg_logprob)`` with ``avg_logprob =
+    round(mean(ln(count(w) / total_words)), 6)`` over the document's
+    token sequence (duplicates weighted by term frequency).
+
+    Shuffle budget at scale: one (doc, term) aggregate with map-side
+    combine; the term-frequency table is vocabulary-sized and broadcast
+    back; the corpus total is a 1-row broadcast (same shape as
+    :func:`tfidf_top_terms`).  The mean is computed from per-(doc,term)
+    partial sums — ``sum(tf * ln p) / sum(tf)`` — so accumulation
+    happens over at most vocabulary-sized terms per doc, and the value
+    is rounded to 6 dp for cross-engine reproducibility.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.select(F.sum("cf").alias("total"))
+    return (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total"))) / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
     )
 
 

@@ -34,7 +34,12 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["decontaminate_ngrams", "repetition_stats", "mixture_sample"]
+__all__ = [
+    "decontaminate_ngrams",
+    "repetition_stats",
+    "mixture_sample",
+    "leak_safe_split",
+]
 
 
 def _words(text_col: str) -> Column:
@@ -176,3 +181,47 @@ def mixture_sample(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
     )
     return docs.filter(u < threshold)
+
+
+def leak_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    ratios: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: str = "split",
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Train/val/test split that can't leak near-duplicates across splits.
+
+    A doc-level random split puts one copy of a duplicated document in
+    train and another in test — silent eval contamination.  This assigns
+    whole near-dup CLUSTERS: resolve ``pairs`` with
+    :func:`..operators.graph.connected_components`, group each document
+    under its cluster root (itself if unpaired), and place the *group*
+    by the seeded hash threshold.  Every member of a cluster lands in
+    the same split by construction.
+
+    Returns ``(doc_id, group_id, split)``.  Ratios are an ordered tuple
+    so cumulative thresholds are deterministic; thresholds are integer
+    literals for oracle-exact double-free comparison (see
+    :func:`mixture_sample`).
+    """
+    from .graph import connected_components
+
+    cc = connected_components(pairs, src=src, dst=dst).withColumnRenamed("id", id_col)
+    base = docs.select(F.col(id_col).alias("doc_id")).join(
+        cc.select(F.col(id_col).alias("doc_id"), "cluster_id"), "doc_id", "left"
+    )
+    group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    u = _gram_hash(F.concat(F.lit(seed), F.lit(":"), group.cast("string")), "md5_60")
+
+    cum = 0.0
+    split: Column | None = None
+    for name, r in ratios[:-1]:
+        cum += float(r)
+        cond = u < int(cum * (1 << 60))
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    split = (F.lit(ratios[-1][0]) if split is None else split.otherwise(ratios[-1][0]))
+    return base.select("doc_id", group.alias("group_id"), split.alias("split"))

@@ -888,6 +888,30 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality score: mean unigram log-prob of
+    each doc under the corpus's own unigram LM
+    (functions/text.py::unigram_logprob_scores; fully oracle-checkable —
+    rounded to 6 dp)."""
+    from .functions.text import unigram_logprob_scores
+
+    d = table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d)
+
+
+def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: near-dup clusters (exact
+    Jaccard >= 0.5 pairs -> connected components) are placed whole, so
+    duplicated documents can never straddle train and eval
+    (operators/cleaning.py::leak_safe_split)."""
+    from .operators.cleaning import leak_safe_split
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    return leak_safe_split(d, pairs)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy fixed-budget sequence packing over hash buckets — the
     pre-training batch-packing step (operators/packing.py).  The pack
@@ -1121,6 +1145,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_filter": q_repetition_filter,
     "mixture_sample": q_mixture_sample,
     "pack_documents": q_pack_documents,
+    "leak_safe_split": q_leak_safe_split,
+    "unigram_logprob": q_unigram_logprob,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1881,6 +1907,67 @@ ORACLE_SQL["repetition_filter"] = """
                  THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
                  ELSE 0.0 END, 6) <= 0.05 AS keep
     FROM g
+"""
+
+ORACLE_SQL["unigram_logprob"] = """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT sum(cf) AS total FROM cf)
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           round(sum(tf * ln(cf / total)) / sum(tf), 6) AS avg_logprob
+    FROM tf JOIN cf USING (term), tot
+    GROUP BY doc_id
+"""
+
+ORACLE_SQL["leak_safe_split"] = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    prs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT s, d FROM prs UNION SELECT d, s FROM prs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    grouped AS (
+      SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS group_id
+      FROM (SELECT doc_id FROM documents) dd
+      LEFT JOIN comp c USING (doc_id)),
+    hashed AS (
+      SELECT doc_id, group_id,
+             ('0x' || substr(md5('split:' || group_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM grouped)
+    SELECT doc_id, group_id,
+           CASE WHEN h < {int(0.9 * (1 << 60))} THEN 'train'
+                WHEN h < {int(0.95 * (1 << 60))} THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
 """
 
 ORACLE_SQL["pack_documents"] = """

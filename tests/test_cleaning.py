@@ -125,3 +125,25 @@ def test_pack_documents_budget_and_determinism(spark):
             # not have fit into pack seq, else greedy wouldn't have closed it
             first_of_next = min(by_pack[(bucket, seq + 1)])[1]
             assert packs[seq] + first_of_next > 64, (bucket, seq)
+
+
+def test_leak_safe_split_keeps_clusters_together(spark):
+    from name_match_ml_spark.operators.cleaning import leak_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    # docs i and i+100 are near-dups for i < 100; 200..299 are singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(100)], ["doc_a", "doc_b"]
+    )
+    out = {r.doc_id: r for r in leak_safe_split(docs, pairs).collect()}
+    assert len(out) == 300
+    for i in range(100):
+        # the whole cluster shares one group and therefore one split
+        assert out[i].group_id == out[i + 100].group_id == i
+        assert out[i].split == out[i + 100].split
+    counts = {}
+    for r in out.values():
+        counts[r.split] = counts.get(r.split, 0) + 1
+    # 200 groups at 90/5/5: train dominates, every split name is valid
+    assert counts.get("train", 0) > 150
+    assert set(counts) <= {"train", "val", "test"}

@@ -20,6 +20,8 @@ ALLOWED = {
     # 1-row corpus-count broadcast (F.broadcast(n_docs) crossJoin): a
     # nested-loop join against a single row is free at any scale.
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+    # same shape: 1-row corpus-total broadcast for the unigram LM
+    "unigram_logprob": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
