@@ -1,0 +1,79 @@
+"""End-to-end training-data pipeline composition (SURVEY.md §2.10):
+the cleaning operators are designed to CHAIN — this test runs the whole
+pre-training hygiene flow on the sf0.01 corpus and asserts the global
+invariants that make the pipeline safe, not just each stage in
+isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.operators.cleaning import (
+    decontaminate_ngrams,
+    leak_safe_split,
+    mixture_sample,
+    repetition_stats,
+)
+from name_match_ml_spark.operators.dedup import ngram_jaccard_pairs
+from name_match_ml_spark.operators.packing import pack_documents
+from name_match_ml_spark.sources.parquet import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_training_data_pipeline_end_to_end(spark):
+    docs = table(spark, SF, "documents")
+    n_docs = docs.count()
+
+    # 1. drop pathologically repetitive documents
+    rep = repetition_stats(docs, n=2, max_ratio=0.1)
+    kept_ids = rep.filter("keep").select("doc_id")
+    stage1 = docs.join(kept_ids, "doc_id")
+
+    # 2. remove benchmark leakage (synthetic eval slice: doc_id % 97 == 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = stage1.filter(F.col("doc_id") % 97 != 0)
+    flags = decontaminate_ngrams(corpus, bench, n=4)
+    stage2 = corpus.join(flags.filter("NOT contaminated").select("doc_id"), "doc_id")
+
+    # 3. cluster near-dups and split leak-safely
+    pairs = ngram_jaccard_pairs(stage2, threshold=0.5, shingle_n=2)
+    split = leak_safe_split(stage2, pairs)
+    train_ids = split.filter("split = 'train'").select("doc_id")
+    stage3 = stage2.join(train_ids, "doc_id")
+
+    # 4. rebalance the language mixture, then pack into training sequences
+    stage4 = mixture_sample(stage3, {"en": 0.5}, seed="e2e")
+    packed = pack_documents(stage4, budget=256, n_buckets=16)
+
+    # ---- invariants ----
+    n1, n2, n3, n4 = stage1.count(), stage2.count(), stage3.count(), stage4.count()
+    assert n_docs >= n1 >= n2 >= n3 >= n4 > 0  # monotone filtering, nothing invented
+
+    # no contaminated document survives stage 2
+    leaked = stage2.join(
+        flags.filter("contaminated").select("doc_id"), "doc_id"
+    ).count()
+    assert leaked == 0
+
+    # no near-dup pair straddles two splits (the whole point of the split)
+    s = split.select(F.col("doc_id").alias("k"), "split")
+    straddle = (
+        pairs.join(s.withColumnRenamed("k", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(s.withColumnRenamed("k", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .filter("sa <> sb")
+        .count()
+    )
+    assert straddle == 0
+
+    # packing covers exactly the sampled training docs, within budget
+    packed_rows = packed.collect()
+    assert {r.doc_id for r in packed_rows} == {r.doc_id for r in stage4.select("doc_id").collect()}
+    fills: dict[tuple, int] = {}
+    singletons: dict[tuple, int] = {}
+    for r in packed_rows:
+        key = (r.bucket, r.pack_seq)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        singletons[key] = singletons.get(key, 0) + 1
+    for key, total in fills.items():
+        assert total <= 256 or singletons[key] == 1
