@@ -20,6 +20,17 @@ import time
 # list stable across rounds so per-query and total deltas stay
 # apples-to-apples.  New suite queries are deliberately NOT auto-added;
 # extend only with a conscious baseline reset.
+# New queries after the r1 baseline: timed and reported separately so the
+# pinned set stays apples-to-apples across rounds.
+EXTENDED = [
+    "decontaminate",
+    "repetition_filter",
+    "mixture_sample",
+    "pack_documents",
+    "leak_safe_split",
+    "unigram_logprob",
+]
+
 HEADLINE = [
     "pricing_summary",
     "join_orders_customer",
@@ -126,6 +137,17 @@ def main() -> None:
         query_load[name] = round(best_load, 2)
         query_spread[name] = round(max(runs) / min(runs), 2)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in queries:
+            continue
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extended[name] = round(best, 3)
+
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -144,6 +166,8 @@ def main() -> None:
                 # even after retries.
                 "query_load_1m": query_load,
                 "query_spread": query_spread,
+                # post-r1 queries, outside the pinned comparability set
+                "extended_queries": extended,
                 # Machine-load context: r1 showed readings inflate 2-3x
                 # under concurrent load; compare rounds with similar load.
                 "load_1m_start": round(load_start[0], 2),
