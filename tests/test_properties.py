@@ -114,3 +114,72 @@ def test_long_chain_converges_in_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
     # 6 label rounds (auto's budget) + ~log2(2000) star rounds; 30 ≪ 2000
     assert graph.last_rounds <= 30, graph.last_rounds
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=20),
+        min_size=1,
+        max_size=15,
+    ),
+    budget=st.integers(2, 30),
+)
+def test_packing_invariants(spark, texts, budget):
+    """Every doc assigned exactly once; packs never exceed the budget
+    except as singletons; greedy can't be improved by merging adjacent
+    packs."""
+    from name_match_ml_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = pack_documents(docs, budget=budget, n_buckets=3).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(texts)))
+    packs: dict[tuple, list] = {}
+    for r in rows:
+        packs.setdefault((r.bucket, r.pack_seq), []).append(r)
+    for members in packs.values():
+        total = sum(r.n_tokens for r in members)
+        assert total <= budget or len(members) == 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rate=st.floats(0.0, 1.0), seed=st.sampled_from(["a", "b", "c"]))
+def test_mixture_sample_monotone_in_rate(spark, rate, seed):
+    """Raising the rate can only ADD documents (nested samples): the
+    decision is hash < threshold, so samples at r1 <= r2 are subsets."""
+    from name_match_ml_spark.operators.cleaning import mixture_sample
+
+    docs = spark.createDataFrame([(i, "x") for i in range(400)], ["doc_id", "lang"])
+    lo = {r.doc_id for r in mixture_sample(docs, {"x": rate / 2}, seed=seed).collect()}
+    hi = {r.doc_id for r in mixture_sample(docs, {"x": rate}, seed=seed).collect()}
+    assert lo <= hi
+    full = {r.doc_id for r in mixture_sample(docs, {"x": 1.0}, seed=seed).collect()}
+    assert full == set(range(400))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.text(alphabet="abcd", min_size=1, max_size=3), min_size=5, max_size=15),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_decontaminate_self_is_total(spark, texts):
+    """Decontaminating a corpus against ITSELF flags every doc with at
+    least one n-gram (its grams trivially overlap), and docs shorter
+    than n are never flagged."""
+    from name_match_ml_spark.operators.cleaning import decontaminate_ngrams
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in decontaminate_ngrams(docs, docs, n=n).collect()}
+    for i, t in enumerate(texts):
+        if len(t) >= n:
+            assert out[i].contaminated, (i, t)
+        else:
+            assert not out[i].contaminated
