@@ -49,9 +49,23 @@ __all__ = ["connected_components"]
 last_rounds: int = 0
 
 
+def _label_sum(labels: DataFrame):
+    # exact decimal sum: ANSI mode would error on a long overflow
+    return labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+
+
 def _label_propagation(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame | None:
-    """Min-label propagation to fixpoint; None if max_iter hit first."""
+    """Min-label propagation to fixpoint; None if max_iter hit first.
+
+    Convergence check: labels only ever DECREASE under min-propagation
+    (each round takes a min over a set containing the old label), so the
+    fixpoint is reached exactly when the label sum stops changing — one
+    single-row aggregate on the already-checkpointed round output instead
+    of a join against the previous round."""
     global last_rounds
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         last_rounds += 1
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
@@ -60,16 +74,11 @@ def _label_propagation(sym: DataFrame, labels: DataFrame, max_iter: int) -> Data
         new_labels = (
             labels.union(nbr).groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     return None
 
 
