@@ -62,13 +62,17 @@ def pack_documents(
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         seqs = []
-        seq, cum = 0, 0
+        seq, cum, first = 0, 0, True
         for n in pdf["n_tokens"]:
             n = int(n)
-            if cum > 0 and cum + n > budget:
+            # every non-first row sees a non-empty pack (`cum > 0` is NOT
+            # a valid emptiness proxy: zero-token docs keep cum at 0), so
+            # the close condition is simply "this doc would overflow"
+            if not first and cum + n > budget:
                 seq += 1
                 cum = 0
             cum += n
+            first = False
             seqs.append(seq)
         pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
         return pdf

@@ -1985,9 +1985,9 @@ ORACLE_SQL["pack_documents"] = """
       FROM ordered WHERE rn = 1
       UNION ALL
       SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
-             CASE WHEN s.cum > 0 AND s.cum + o.n_tokens > 256
+             CASE WHEN s.cum + o.n_tokens > 256
                   THEN s.pack_seq + 1 ELSE s.pack_seq END,
-             CASE WHEN s.cum > 0 AND s.cum + o.n_tokens > 256
+             CASE WHEN s.cum + o.n_tokens > 256
                   THEN o.n_tokens ELSE s.cum + o.n_tokens END
       FROM steps s JOIN ordered o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
     SELECT doc_id, bucket, n_tokens, pack_seq FROM steps
