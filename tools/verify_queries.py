@@ -123,6 +123,9 @@ def main() -> int:
             n_err += 1
         rec["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = rec
+        # write-through after every query so a timeout/kill loses nothing
+        with open(f"CORRECTNESS_LOCAL_r{args.round:02d}.partial.json", "w") as f:
+            json.dump(results, f, indent=2)
         status = (
             "HASH-PASS"
             if rec["hash_match"]
