@@ -1032,11 +1032,12 @@ def q_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PPM-decode image features (mean-RGB + luminance histogram)
-    via mapInPandas (multimodal/columns.py; rows-only — no blob decode
-    in DuckDB, SURVEY §2.10).  Arrays are flattened to scalar / pipe-
-    joined string columns at this query surface so the driver's
-    canonicalizer can sort and hash the rows; the library operator keeps
-    the array form."""
+    via mapInPandas (multimodal/columns.py) — now HASH-CHECKED: the
+    synthetic PPM raster is byte-computable from the text column, so the
+    oracle replays decode + mean + float32-normalized histogram with
+    ascii()/REAL arithmetic in DuckDB.  Arrays flatten to scalar columns
+    (h0..h15) at this query surface so the driver's canonicalizer can
+    sort and hash the rows; the library operator keeps the array form."""
     from .multimodal.columns import image_features, synthesize_media_assets
 
     d = table(spark, sf_dir, "documents")
@@ -1048,19 +1049,34 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mean_rgb")[0], 6).alias("mean_r"),
         F.round(F.col("mean_rgb")[1], 6).alias("mean_g"),
         F.round(F.col("mean_rgb")[2], 6).alias("mean_b"),
-        F.concat_ws(
-            "|", F.transform("histogram", lambda x: F.round(x.cast("double"), 6).cast("string"))
-        ).alias("histogram"),
+        *[
+            F.round(F.col("histogram")[i].cast("double"), 6).alias(f"h{i}")
+            for i in range(16)
+        ],
     )
 
 
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PCM16 audio features (numpy decode) via mapInPandas
-    (rows-only: no blob decode in DuckDB)."""
+    """REAL PCM16 audio features (numpy decode) via mapInPandas — now
+    HASH-CHECKED via the hex-of-bytes trick (byte 2k of the payload is
+    hex chars [4k, 4k+2)), with peak projected as its exact int16
+    magnitude: peak = k/32768 is dyadic, where decimal-rounding ties
+    exist and Python (half-even) and DuckDB (half-away) disagree; the
+    6-dp rounding error times 32768 is < 0.5, so the integer recovers
+    exactly.  duration_s is omitted at this surface for the same reason
+    (n/16000 lands on exact .xxxxxx5 doubles; it is a pure function of
+    n_samples anyway).  rms survives: sqrt output never sits on a
+    decimal tie."""
     from .multimodal.columns import audio_features, synthesize_media_assets
 
     d = table(spark, sf_dir, "documents")
-    return audio_features(synthesize_media_assets(d))
+    feats = audio_features(synthesize_media_assets(d))
+    return feats.select(
+        "asset_id",
+        "n_samples",
+        "rms",
+        F.round(F.col("peak") * 32768).cast("long").alias("peak_i16"),
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,6 +1923,70 @@ ORACLE_SQL["repetition_filter"] = """
                  THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
                  ELSE 0.0 END, 6) <= 0.05 AS keep
     FROM g
+"""
+
+# The synthetic PPM raster is pure string arithmetic over the text
+# column (1 printable char = 1 byte), so DuckDB replays the REAL image
+# decode: ascii() recovers pixel bytes, integer sums give exact channel
+# means, REAL (float32) division reproduces numpy's normalized
+# histogram bit-for-bit, and luminance (denominator 3) provably never
+# lands within 1/48 of a bin edge (denominator 16), so floor() is
+# immune to last-ulp differences.
+_IMG_HIST_COLS = ",\n           ".join(
+    f"round((sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END)::REAL / count(*)::REAL)::DOUBLE, 6) AS h{i}"
+    for i in range(16)
+)
+ORACLE_SQL["multimodal_image_features"] = f"""
+    WITH imgs AS (
+      SELECT doc_id AS asset_id,
+             ((doc_id % 8 + 4) * 4)::INT AS w,
+             ((doc_id % 6 + 3) * 4)::INT AS h,
+             coalesce(nullif(regexp_replace(text, '[^ -~]', '', 'g'), ''), 'spark') AS src
+      FROM documents WHERE doc_id % 3 = 0),
+    sized AS (
+      SELECT asset_id, w, h, (w*h*3)::INT AS n_pix,
+             substr(repeat(src, (w*h*3 / length(src))::INT + 1), 1, (w*h*3)::INT) AS raster
+      FROM imgs),
+    px0 AS (
+      SELECT asset_id, w, h, raster, unnest(range((n_pix / 3)::BIGINT)) AS p FROM sized),
+    px AS (
+      SELECT asset_id, w, h,
+             ascii(substr(raster, (3*p + 1)::INT, 1)) AS r,
+             ascii(substr(raster, (3*p + 2)::INT, 1)) AS g,
+             ascii(substr(raster, (3*p + 3)::INT, 1)) AS b
+      FROM px0),
+    binned AS (
+      SELECT asset_id, w, h, r, g, b,
+             least(floor(((r + g + b) / 3.0) * 16.0 / 255.0)::INT, 15) AS bin
+      FROM px)
+    SELECT asset_id, w AS width, h AS height,
+           round(sum(r)::DOUBLE / count(*), 6) AS mean_r,
+           round(sum(g)::DOUBLE / count(*), 6) AS mean_g,
+           round(sum(b)::DOUBLE / count(*), 6) AS mean_b,
+           {_IMG_HIST_COLS}
+    FROM binned GROUP BY asset_id, w, h
+"""
+
+ORACLE_SQL["multimodal_audio_features"] = """
+    WITH aud AS (
+      SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb, 16000 AS sr
+      FROM documents WHERE doc_id % 3 = 1),
+    s0 AS (SELECT asset_id, sr, hx, unnest(range((nb // 2)::BIGINT)) AS k FROM aud),
+    smp AS (
+      SELECT asset_id, sr,
+             ('0x' || substr(hx, (4*k + 1)::INT, 2))::INT
+             + 256 * ('0x' || substr(hx, (4*k + 3)::INT, 2))::INT AS u
+      FROM s0),
+    sgn AS (
+      SELECT asset_id, sr,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM smp)
+    SELECT asset_id,
+           count(*)::BIGINT AS n_samples,
+           round(sqrt(avg((s / 32768.0) * (s / 32768.0))), 6) AS rms,
+           max(abs(s))::BIGINT AS peak_i16
+    FROM sgn GROUP BY asset_id, sr
 """
 
 ORACLE_SQL["unigram_logprob"] = """
