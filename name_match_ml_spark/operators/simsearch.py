@@ -259,16 +259,38 @@ def ivf_cosine_topk(
     )
 
 
-def _lsh_signature(vec: Column, dim: int, nbits: int, table: int) -> Column:
+def lsh_plane(table: int, bit: int, d: int) -> float:
+    """Deterministic hyperplane component in [-1, 1) for the ``md5_60``
+    plane family: derived from md5 so an external engine (the DuckDB
+    oracle) regenerates bit-identical constants.  Single source of truth
+    — the Spark plan embeds these as literals and the oracle SQL embeds
+    their ``repr`` (shortest round-trip, parses back to the same
+    double)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{table}:{bit}:{d}".encode()).hexdigest()[:15], 16)
+    return h % 10000 / 5000.0 - 1.0
+
+
+def _lsh_signature(
+    vec: Column, dim: int, nbits: int, table: int, hash_fn: str = "xxhash64"
+) -> Column:
     """``nbits``-bit random-hyperplane signature.
 
     Hyperplane components are deterministic pseudo-randoms in [-1, 1):
-    ``pmod(xxhash64(table, bit, dim_index), 10000)/5000 - 1`` —
-    reproducible across executors and runs with no RNG state or
-    broadcast of planes."""
-    bits = [
-        F.when(
-            F.aggregate(
+    ``pmod(xxhash64(table, bit, dim_index), 10000)/5000 - 1`` (default),
+    or the :func:`lsh_plane` md5 family (``hash_fn="md5_60"``) whose
+    constants an external SQL engine can regenerate — that variant makes
+    the whole operator oracle-checkable, because the dot products are
+    folded in the same left-to-right order on both sides and therefore
+    produce bit-identical doubles (the ``> 0`` sign test can never
+    disagree).  Reproducible across executors and runs with no RNG state
+    or broadcast of planes either way."""
+    if hash_fn == "md5_60":
+        raise ValueError("md5_60 signatures are built by lsh_signature_sql")
+    elif hash_fn == "xxhash64":
+        def bit_expr(b: int) -> Column:
+            return F.aggregate(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 F.lit(0.0),
                 lambda acc, d_idx: acc + F.get(vec, d_idx) * (
@@ -277,15 +299,38 @@ def _lsh_signature(vec: Column, dim: int, nbits: int, table: int) -> Column:
                     - 1.0
                 ),
             )
-            > 0,
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    bits = [
+        F.when(bit_expr(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         for b in range(nbits)
     ]
     sig = bits[0]
     for x in bits[1:]:
         sig = sig.bitwiseOR(x)
     return sig
+
+
+def lsh_signature_sql(vec_col: str, dim: int, nbits: int, table: int) -> str:
+    """The ``md5_60`` signature as ONE generated SQL string (shared
+    term-for-term with the DuckDB oracle, ``suite._lsh_oracle_sql``):
+    plane constants are :func:`lsh_plane` literals, dot products expand
+    left-to-right (both engines therefore compute bit-identical doubles
+    — the sign test cannot disagree), and array access is 1-based
+    ``element_at`` to mirror the oracle's ``v[d+1]``.  Built as a string
+    because a literal-expression tree this size costs ~18k py4j round
+    trips through the Column API."""
+    def dot(b: int) -> str:
+        return " + ".join(
+            f"element_at({vec_col}, {d + 1}) * ({lsh_plane(table, b, d)!r}D)"
+            for d in range(dim)
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN ({dot(b)}) > 0.0D THEN {1 << b}L ELSE 0L END)" for b in range(nbits)
+    )
+    return f"CAST(({bits}) AS BIGINT)"
 
 
 def lsh_cosine_topk(
@@ -299,6 +344,7 @@ def lsh_cosine_topk(
     target_bucket_rows: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
@@ -325,20 +371,27 @@ def lsh_cosine_topk(
     q = _prep(queries, id_col, vec_col, "query_id", "v_q")
 
     def with_sigs(df: DataFrame, vcol: str) -> DataFrame:
+        cols = df.columns
+        if hash_fn == "md5_60":
+            # one generated-SQL projection per table keeps each codegen
+            # unit small (the monolithic literal tree blows janino's
+            # 64 KB method limit and falls back to interpreted eval)
+            for t in range(n_tables):
+                df = df.withColumn(f"_s{t}", F.expr(lsh_signature_sql(vcol, dim, nbits, t)))
+            sig_for = lambda t: F.col(f"_s{t}")  # noqa: E731
+        else:
+            sig_for = lambda t: _lsh_signature(F.col(vcol), dim, nbits, t, hash_fn)  # noqa: E731
         return df.select(
-            "*",
+            *cols,
             F.explode(
                 F.array(
                     *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _lsh_signature(F.col(vcol), dim, nbits, t).alias("sig"),
-                        )
+                        F.struct(F.lit(t).alias("tbl"), sig_for(t).alias("sig"))
                         for t in range(n_tables)
                     ]
                 )
             ).alias("ts"),
-        ).select(*df.columns, "ts.tbl", "ts.sig")
+        ).select(*cols, "ts.tbl", "ts.sig")
 
     cq = with_sigs(q, "v_q")
     cc = with_sigs(c, "v_c")

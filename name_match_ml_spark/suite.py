@@ -800,13 +800,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-5 (rows-only; recall vs exact
-    asserted in tests)."""
+    """Random-hyperplane LSH approximate top-5 — now HASH-CHECKED: the
+    declared query pins ``nbits=6`` (the operator default stays adaptive
+    in N) and uses the md5-derived plane family, whose constants the
+    DuckDB oracle regenerates from the same single source
+    (``simsearch.lsh_plane``).  Both engines fold every dot product in
+    the same left-to-right order, so the signature sign tests and the
+    cosine ranks are bit-identical — the oracle replays bucketing,
+    candidate generation, and re-ranking exactly.  Recall vs exact is
+    additionally asserted in tests."""
     from .operators.simsearch import lsh_cosine_topk
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return lsh_cosine_topk(emb, queries, k=5)
+    return lsh_cosine_topk(emb, queries, k=5, nbits=6, hash_fn="md5_60")
 
 
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1966,6 +1973,59 @@ ORACLE_SQL["multimodal_image_features"] = f"""
            {_IMG_HIST_COLS}
     FROM binned GROUP BY asset_id, w, h
 """
+
+def _lsh_oracle_sql(k: int = 5, dim: int = 64, nbits: int = 6, n_tables: int = 12) -> str:
+    """DuckDB mirror of ``q_lsh_cosine_topk``: plane constants come from
+    the same :func:`..operators.simsearch.lsh_plane` source, every dot
+    product expands in the identical left-to-right order (bit-identical
+    doubles; the > 0 sign test cannot disagree), then bucket join +
+    exact re-rank."""
+    from .operators.simsearch import lsh_plane
+
+    def dot(vec: str, t: int, b: int) -> str:
+        return " + ".join(f"{vec}[{d + 1}]*({lsh_plane(t, b, d)!r})" for d in range(dim))
+
+    def sig(vec: str, t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({dot(vec, t, b)}) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(nbits)
+        )
+
+    sig_cols = ",\n             ".join(f"({sig('v', t)})::BIGINT AS s_{t}" for t in range(n_tables))
+    tbls = ", ".join(f"s_{t}" for t in range(n_tables))
+    cos = " + ".join(f"qv[{d + 1}]*cv[{d + 1}]" for d in range(dim))
+    qn = " + ".join(f"qv[{d + 1}]*qv[{d + 1}]" for d in range(dim))
+    cn = " + ".join(f"cv[{d + 1}]*cv[{d + 1}]" for d in range(dim))
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+      SELECT vec_id, v,
+             {sig_cols}
+      FROM base),
+    flat AS (
+      SELECT vec_id, v, unnest([{tbls}]) AS sig,
+             unnest(range({n_tables})) AS tbl
+      FROM sigs),
+    q AS (SELECT vec_id AS query_id, v AS qv, sig, tbl FROM flat WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, sig, tbl FROM flat),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM q JOIN c USING (tbl, sig)
+      WHERE query_id <> neighbor_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(({cos}) / (sqrt({qn}) * sqrt({cn})), 6) AS cosine
+      FROM cand),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLE_SQL["lsh_cosine_topk"] = _lsh_oracle_sql()
 
 ORACLE_SQL["multimodal_audio_features"] = """
     WITH aud AS (
