@@ -39,6 +39,7 @@ __all__ = [
     "repetition_stats",
     "mixture_sample",
     "leak_safe_split",
+    "select_keepers",
 ]
 
 
@@ -225,3 +226,51 @@ def leak_safe_split(
         split = F.when(cond, name) if split is None else split.when(cond, name)
     split = (F.lit(ratios[-1][0]) if split is None else split.otherwise(ratios[-1][0]))
     return base.select("doc_id", group.alias("group_id"), split.alias("split"))
+
+
+def select_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware keeper selection — the step AFTER clustering: each
+    near-dup cluster keeps its best document and drops the rest.
+
+    ``dedup_clusters``'s min-id keeper is the arbitrary baseline; real
+    pipelines keep the highest-quality copy (here: max ``quality_col``,
+    ties broken by min id — "keep the longest" when the column is a
+    length).  Returns one row per document: ``(doc_id, cluster_id,
+    quality, is_keeper)`` with singletons forming their own cluster and
+    keeping themselves.
+
+    Plan: connected components over the pair stream (shuffles only
+    longs), one narrow join to attach quality, one per-cluster window.
+    At scale the window re-keys on cluster_id only; cluster sizes are
+    near-dup-group sized, so no partition skew.
+    """
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    cc = connected_components(pairs, src=src, dst=dst)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).cast("long").alias("quality")
+    ).join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+    clustered = base.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )

@@ -919,6 +919,19 @@ def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leak_safe_split(d, pairs)
 
 
+def q_select_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: each near-dup cluster keeps its
+    longest document (max n_chars, min doc_id tiebreak) — the
+    pairs -> clusters -> keepers end of the dedup pipeline
+    (operators/cleaning.py::select_keepers)."""
+    from .operators.cleaning import select_keepers
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    return select_keepers(d, pairs, quality_col="n_chars")
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy fixed-budget sequence packing over hash buckets — the
     pre-training batch-packing step (operators/packing.py).  The pack
@@ -1170,6 +1183,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
+    "select_keepers": q_select_keepers,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2108,6 +2122,46 @@ ORACLE_SQL["leak_safe_split"] = f"""
                 WHEN h < {int(0.95 * (1 << 60))} THEN 'val'
                 ELSE 'test' END AS split
     FROM hashed
+"""
+
+ORACLE_SQL["select_keepers"] = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    prs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT s, d FROM prs UNION SELECT d, s FROM prs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    withq AS (
+      SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cluster_id,
+             dd.n_chars::BIGINT AS quality
+      FROM documents dd LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, cluster_id, quality,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id ASC) = 1 AS is_keeper
+    FROM withq
 """
 
 ORACLE_SQL["pack_documents"] = """

@@ -147,3 +147,22 @@ def test_leak_safe_split_keeps_clusters_together(spark):
     # 200 groups at 90/5/5: train dominates, every split name is valid
     assert counts.get("train", 0) > 150
     assert set(counts) <= {"train", "val", "test"}
+
+
+def test_select_keepers_quality_policy(spark):
+    from name_match_ml_spark.operators.cleaning import select_keepers
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (3, 5), (9, 7)],
+        ["doc_id", "n_chars"],
+    )
+    # cluster {0,1,2,3}; 9 is a singleton
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r.doc_id: r for r in select_keepers(docs, pairs).collect()}
+    assert len(out) == 5
+    # max quality 30 is tied between 1 and 2 -> min doc_id wins
+    assert out[1].is_keeper and not out[2].is_keeper
+    assert not out[0].is_keeper and not out[3].is_keeper
+    assert all(out[i].cluster_id == 0 for i in (0, 1, 2, 3))
+    # singleton keeps itself in its own cluster
+    assert out[9].is_keeper and out[9].cluster_id == 9
