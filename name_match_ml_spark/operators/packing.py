@@ -56,7 +56,9 @@ def pack_documents(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         bucket.cast("int").alias("bucket"),
-        F.size(words).cast("long").alias("n_tokens"),
+        # null text -> null size -> NaN in the Arrow batch; a null doc
+        # packs as zero tokens
+        F.coalesce(F.size(words), F.lit(0)).cast("long").alias("n_tokens"),
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -2168,8 +2168,8 @@ ORACLE_SQL["pack_documents"] = """
     WITH RECURSIVE base AS (
       SELECT doc_id,
              (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32)::INT AS bucket,
-             len(list_filter(string_split_regex(lower(text), '\\s+'),
-                             w -> w <> ''))::BIGINT AS n_tokens
+             coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      w -> w <> '')), 0)::BIGINT AS n_tokens
       FROM documents),
     ordered AS (
       SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn

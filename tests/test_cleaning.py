@@ -166,3 +166,26 @@ def test_select_keepers_quality_policy(spark):
     assert all(out[i].cluster_id == 0 for i in (0, 1, 2, 3))
     # singleton keeps itself in its own cluster
     assert out[9].is_keeper and out[9].cluster_id == 9
+
+
+def test_cleaning_ops_total_on_null_and_empty_text(spark):
+    """Null/empty text must flow through every cleaning operator (a real
+    corpus has both); packing previously crashed on null -> NaN tokens."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from name_match_ml_spark.operators.packing import pack_documents
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame([(0, None), (1, "a b c d e f"), (2, "")], schema)
+
+    rep = {r.doc_id: r for r in repetition_stats(docs, n=2).collect()}
+    assert rep[0].total_ngrams == 0 and rep[0].keep
+    assert rep[2].total_ngrams == 0 and rep[2].keep
+
+    dec = {r.doc_id: r for r in decontaminate_ngrams(docs, docs.filter("doc_id = 1"), n=3).collect()}
+    assert not dec[0].contaminated and not dec[2].contaminated and dec[1].contaminated
+
+    packed = {r.doc_id: r for r in pack_documents(docs, budget=4, n_buckets=2).collect()}
+    assert len(packed) == 3 and packed[0].n_tokens == 0 and packed[2].n_tokens == 0
