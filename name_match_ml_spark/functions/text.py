@@ -25,6 +25,7 @@ __all__ = [
     "doc_fingerprint",
     "tfidf_top_terms",
     "unigram_logprob_scores",
+    "bigram_logprob_scores",
     "chunk_documents",
     "ws_normalize",
 ]
@@ -228,6 +229,64 @@ def unigram_logprob_scores(
                 F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total"))) / F.sum("tf"),
                 6,
             ).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM quality score with add-k smoothing — one step closer to
+    the KenLM-perplexity filter than :func:`unigram_logprob_scores`
+    (captures local word order, so shuffled-word junk that fools a
+    unigram model scores low here).
+
+    ``p(w2|w1) = (count(w1 w2) + k) / (count(w1 ·) + k·V)`` with ``V`` =
+    distinct bigram continuations; ``avg_logprob = round(mean over the
+    document's bigram sequence of ln p, 6)``; documents with fewer than
+    2 words have no bigrams and produce no row.
+
+    Shuffle budget at scale: one (doc, bigram) aggregate with map-side
+    combine; the corpus bigram table joins back broadcast; context
+    counts derive from the bigram table (no second corpus pass); V and
+    nothing else is a 1-row broadcast.  Same partial-sum form as the
+    unigram scorer: ``sum(tf·ln p) / sum(tf)`` over vocabulary-sized
+    terms per doc, rounded for cross-engine reproducibility.
+    """
+    w = _words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("bg")
+    ).select(
+        "doc_id",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.col("bg").alias("bg"),
+    )
+    tf = bi.groupBy("doc_id", "w1", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    cf2 = tf.groupBy("bg").agg(F.sum("tf").alias("cf2"))
+    ctx = cf2.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cf2").groupBy(
+        "w1"
+    ).agg(F.sum("cf2").alias("cf1"))
+    vocab = cf2.select(F.count(F.lit(1)).alias("v"))
+    p = (F.col("cf2") + add_k) / (F.col("cf1") + add_k * F.col("v"))
+    return (
+        tf.join(F.broadcast(cf2), "bg")
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6).alias("avg_logprob"),
         )
     )
 

@@ -906,6 +906,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(d)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (add-0.5 smoothing) — word-order-aware
+    perplexity stand-in (functions/text.py::bigram_logprob_scores)."""
+    from .functions.text import bigram_logprob_scores
+
+    d = table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(d)
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (exact
     Jaccard >= 0.5 pairs -> connected components) are placed whole, so
@@ -1184,6 +1193,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
+    "bigram_logprob": q_bigram_logprob,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2076,6 +2086,34 @@ ORACLE_SQL["unigram_logprob"] = """
            sum(tf)::BIGINT AS n_tokens,
            round(sum(tf * ln(cf / total)) / sum(tf), 6) AS avg_logprob
     FROM tf JOIN cf USING (term), tot
+    GROUP BY doc_id
+"""
+
+ORACLE_SQL["bigram_logprob"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])
+               ELSE []::VARCHAR[] END) AS bg
+      FROM w),
+    tf AS (
+      SELECT doc_id, split_part(bg, ' ', 1) AS w1, bg, count(*) AS tf
+      FROM g GROUP BY doc_id, bg),
+    cf2 AS (SELECT bg, sum(tf) AS cf2 FROM tf GROUP BY bg),
+    ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cf2) AS cf1
+            FROM cf2 GROUP BY 1),
+    voc AS (SELECT count(*) AS v FROM cf2)
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_bigrams,
+           round(sum(tf * ln((cf2 + 0.5) / (cf1 + 0.5 * v))) / sum(tf), 6)
+             AS avg_logprob
+    FROM tf JOIN cf2 USING (bg) JOIN ctx USING (w1), voc
     GROUP BY doc_id
 """
 

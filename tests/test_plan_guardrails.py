@@ -22,6 +22,8 @@ ALLOWED = {
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # same shape: 1-row corpus-total broadcast for the unigram LM
     "unigram_logprob": {"BroadcastNestedLoopJoin"},
+    # and the 1-row vocabulary-size broadcast for the bigram LM
+    "bigram_logprob": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
