@@ -29,6 +29,8 @@ EXTENDED = [
     "pack_documents",
     "leak_safe_split",
     "unigram_logprob",
+    "bigram_logprob",
+    "select_keepers",
 ]
 
 HEADLINE = [
