@@ -152,11 +152,14 @@ def tfidf_top_terms(
 
     Shuffle budget at scale: one aggregate on (doc, term) — partial
     map-side combine collapses duplicate terms before the exchange; the
-    document-frequency table is vocabulary-sized and broadcast back (no
-    second fact shuffle); the corpus size N is a 1-row broadcast; the
-    final per-document window re-keys on doc only.  Rank is computed on
-    the ROUNDED score so the ordering is reproducible across engines
-    (double ulp differences in ``ln`` cannot flip it).
+    document-frequency table joins back on ``term`` with NO forced
+    broadcast — a 100 TB corpus's vocabulary is not executor-memory
+    sized, and the plain shuffle hash join on the key is already
+    correct (AQE still broadcasts it when it measures small); the
+    corpus size N is a 1-row broadcast; the final per-document window
+    re-keys on doc only.  Rank is computed on the ROUNDED score so the
+    ordering is reproducible across engines (double ulp differences in
+    ``ln`` cannot flip it).
     """
     words = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -166,7 +169,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -205,9 +208,12 @@ def unigram_logprob_scores(
     token sequence (duplicates weighted by term frequency).
 
     Shuffle budget at scale: one (doc, term) aggregate with map-side
-    combine; the term-frequency table is vocabulary-sized and broadcast
-    back; the corpus total is a 1-row broadcast (same shape as
-    :func:`tfidf_top_terms`).  The mean is computed from per-(doc,term)
+    combine; the term-frequency table joins back on ``term`` unhinted —
+    vocabularies grow with the corpus, so forcing a broadcast would OOM
+    executors at 100 TB; the shuffle hash join on the key is correct
+    and AQE broadcasts when genuinely small; the corpus total is a
+    1-row broadcast (same shape as :func:`tfidf_top_terms`).  The mean
+    is computed from per-(doc,term)
     partial sums — ``sum(tf * ln p) / sum(tf)`` — so accumulation
     happens over at most vocabulary-sized terms per doc, and the value
     is rounded to 6 dp for cross-engine reproducibility.
@@ -220,7 +226,7 @@ def unigram_logprob_scores(
     cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
     total = cf.select(F.sum("cf").alias("total"))
     return (
-        tf.join(F.broadcast(cf), "term")
+        tf.join(cf, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -245,16 +251,24 @@ def bigram_logprob_scores(
     (captures local word order, so shuffled-word junk that fools a
     unigram model scores low here).
 
-    ``p(w2|w1) = (count(w1 w2) + k) / (count(w1 ·) + k·V)`` with ``V`` =
-    distinct bigram continuations; ``avg_logprob = round(mean over the
+    ``p(w2|w1) = (count(w1 w2) + k) / (count(w1 ·) + k·V)`` where ``V``
+    is the CORPUS-WIDE distinct-bigram count — a single consistent
+    smoothing constant, not the per-context continuation vocabulary (and
+    not the unigram vocabulary of textbook add-k), so ``p(·|w1)`` does
+    not normalize to 1 over continuations; it is a monotone quality
+    score, not a calibrated LM.  ``avg_logprob = round(mean over the
     document's bigram sequence of ln p, 6)``; documents with fewer than
     2 words have no bigrams and produce no row.
 
     Shuffle budget at scale: one (doc, bigram) aggregate with map-side
-    combine; the corpus bigram table joins back broadcast; context
-    counts derive from the bigram table (no second corpus pass); V and
-    nothing else is a 1-row broadcast.  Same partial-sum form as the
-    unigram scorer: ``sum(tf·ln p) / sum(tf)`` over vocabulary-sized
+    combine; the corpus bigram table (``cf2``) and the context table
+    (``ctx``) join back on their keys UNHINTED — a 100 TB corpus has
+    billions of distinct bigrams, so forcing a broadcast would OOM
+    executors; the shuffle hash join on ``bg``/``w1`` is correct and AQE
+    still broadcasts either side when it measures small.  Context counts
+    derive from the bigram table (no second corpus pass); V — a 1-row
+    aggregate — is the only forced broadcast.  Same partial-sum form as
+    the unigram scorer: ``sum(tf·ln p) / sum(tf)`` over vocabulary-sized
     terms per doc, rounded for cross-engine reproducibility.
     """
     w = _words(F.col(text_col))
@@ -280,8 +294,8 @@ def bigram_logprob_scores(
     vocab = cf2.select(F.count(F.lit(1)).alias("v"))
     p = (F.col("cf2") + add_k) / (F.col("cf1") + add_k * F.col("v"))
     return (
-        tf.join(F.broadcast(cf2), "bg")
-        .join(F.broadcast(ctx), "w1")
+        tf.join(cf2, "bg")
+        .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

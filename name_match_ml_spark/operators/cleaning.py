@@ -38,6 +38,7 @@ __all__ = [
     "decontaminate_ngrams",
     "repetition_stats",
     "mixture_sample",
+    "split_thresholds",
     "leak_safe_split",
     "select_keepers",
 ]
@@ -184,10 +185,35 @@ def mixture_sample(
     return docs.filter(u < threshold)
 
 
+def split_thresholds(
+    ratios: tuple[tuple[str, float], ...],
+) -> tuple[tuple[str, int], ...]:
+    """Cumulative integer split thresholds on the 2^60 hash scale — the
+    SINGLE source of truth shared by :func:`leak_safe_split` and the
+    declared DuckDB oracle SQL.
+
+    Accumulation is exact rational arithmetic (``Fraction(str(r))``),
+    never floating point: ``0.9 + 0.05`` in doubles is
+    ``0.9500000000000001``, and an operator and an oracle that each
+    recompute ``int(cum * 2^60)`` independently land 128 hash values
+    apart — documents in that window get different splits.  One entry
+    per non-final ratio; the final split is the CASE/otherwise arm.
+    """
+    from fractions import Fraction
+
+    cum = Fraction(0)
+    out: list[tuple[str, int]] = []
+    for name, r in ratios[:-1]:
+        cum += Fraction(str(r))
+        out.append((name, int(cum * (1 << 60))))
+    return tuple(out)
+
+
 def leak_safe_split(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     *,
+    clusters: DataFrame | None = None,
     ratios: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
     seed: str = "split",
     id_col: str = "doc_id",
@@ -204,34 +230,52 @@ def leak_safe_split(
     by the seeded hash threshold.  Every member of a cluster lands in
     the same split by construction.
 
-    Returns ``(doc_id, group_id, split)``.  Ratios are an ordered tuple
-    so cumulative thresholds are deterministic; thresholds are integer
-    literals for oracle-exact double-free comparison (see
-    :func:`mixture_sample`).
-    """
-    from .graph import connected_components
+    ``clusters`` — a pre-resolved ``(id, cluster_id)`` DataFrame —
+    short-circuits the internal connected-components run.  Composed
+    pipelines that also call :func:`select_keepers` should resolve the
+    cluster map ONCE, :func:`..plans.staging.stage` it, and pass it to
+    both consumers; otherwise each consumer re-derives pairs and
+    re-iterates CC from raw text (the pipeline's dominant cost).
 
-    cc = connected_components(pairs, src=src, dst=dst).withColumnRenamed("id", id_col)
+    Returns ``(doc_id, group_id, split)``.  Ratios are an ordered tuple
+    so cumulative thresholds are deterministic; thresholds come from
+    :func:`split_thresholds` (exact integer literals — no double
+    accumulation; the oracle SQL reads the same values).
+    """
+    cc = _resolve_clusters(pairs, clusters, src=src, dst=dst)
     base = docs.select(F.col(id_col).alias("doc_id")).join(
-        cc.select(F.col(id_col).alias("doc_id"), "cluster_id"), "doc_id", "left"
+        cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left"
     )
     group = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     u = _gram_hash(F.concat(F.lit(seed), F.lit(":"), group.cast("string")), "md5_60")
 
-    cum = 0.0
     split: Column | None = None
-    for name, r in ratios[:-1]:
-        cum += float(r)
-        cond = u < int(cum * (1 << 60))
+    for name, t in split_thresholds(ratios):
+        cond = u < t
         split = F.when(cond, name) if split is None else split.when(cond, name)
     split = (F.lit(ratios[-1][0]) if split is None else split.otherwise(ratios[-1][0]))
     return base.select("doc_id", group.alias("group_id"), split.alias("split"))
 
 
+def _resolve_clusters(
+    pairs: DataFrame | None, clusters: DataFrame | None, *, src: str, dst: str
+) -> DataFrame:
+    """``clusters`` verbatim when supplied, else connected components over
+    ``pairs`` — exactly one of the two must be given."""
+    if clusters is not None:
+        return clusters
+    if pairs is None:
+        raise ValueError("pass either pairs or a pre-resolved clusters DataFrame")
+    from .graph import connected_components
+
+    return connected_components(pairs, src=src, dst=dst)
+
+
 def select_keepers(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     *,
+    clusters: DataFrame | None = None,
     quality_col: str = "n_chars",
     id_col: str = "doc_id",
     src: str = "doc_a",
@@ -247,6 +291,11 @@ def select_keepers(
     quality, is_keeper)`` with singletons forming their own cluster and
     keeping themselves.
 
+    ``clusters`` — a pre-resolved ``(id, cluster_id)`` DataFrame —
+    short-circuits the internal connected-components run; composed
+    pipelines resolve the cluster map once, stage it, and share it with
+    :func:`leak_safe_split` (see that docstring).
+
     Plan: connected components over the pair stream (shuffles only
     longs), one narrow join to attach quality, one per-cluster window.
     At scale the window re-keys on cluster_id only; cluster sizes are
@@ -254,9 +303,7 @@ def select_keepers(
     """
     from pyspark.sql import Window
 
-    from .graph import connected_components
-
-    cc = connected_components(pairs, src=src, dst=dst)
+    cc = _resolve_clusters(pairs, clusters, src=src, dst=dst)
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(quality_col).cast("long").alias("quality")
     ).join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")

@@ -183,4 +183,11 @@ def connected_components(
     out = _two_phase_cc(sym, max_iter)
     if out is None:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    return out
+    # The star phases drop a==b edges, so a node appearing ONLY in
+    # self-loop pairs has no row in the star output — left-join the full
+    # node set back so every algorithm emits the identical node set
+    # (the docstring contract: nodes are exactly the ids in ``pairs``).
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    return nodes.join(out, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )

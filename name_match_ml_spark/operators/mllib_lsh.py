@@ -23,7 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["minhash_lsh_pairs_ml", "brp_cosine_topk_ml"]
+__all__ = ["minhash_lsh_pairs_ml", "brp_cosine_topk_ml", "brp_cosine_neighbors_ml"]
+
+
+def _unit_features(df: DataFrame, alias: str, id_col: str, vec_col: str) -> DataFrame:
+    """L2-normalize ``vec_col`` into an MLlib vector column ``features``
+    (euclidean on unit vectors is monotone in cosine: d² = 2 − 2·cos)."""
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    unit = F.transform(v, lambda x: x / norm)
+    return df.select(F.col(id_col).alias(alias), array_to_vector(unit).alias("features"))
 
 
 def minhash_lsh_pairs_ml(
@@ -102,18 +113,9 @@ def brp_cosine_topk_ml(
     operators — cosine is exact for every emitted pair.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
 
-    def prep(df: DataFrame, alias: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-        unit = F.transform(v, lambda x: x / norm)
-        return df.select(
-            F.col(id_col).alias(alias), array_to_vector(unit).alias("features")
-        )
-
-    c = prep(corpus, "neighbor_id")
-    q = prep(queries, "query_id")
+    c = _unit_features(corpus, "neighbor_id", id_col, vec_col)
+    q = _unit_features(queries, "query_id", id_col, vec_col)
     model = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -134,4 +136,51 @@ def brp_cosine_topk_ml(
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def brp_cosine_neighbors_ml(
+    corpus: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Single-query ANN probe via ``LSHModel.approxNearestNeighbors`` —
+    the framework's point-lookup API, complementing the batched
+    :func:`brp_cosine_topk_ml` join path (which serves query SETS).
+
+    The probe hashes the key on the driver and scans only the rows
+    colliding with it in at least one hash table (MLlib's single-probe
+    bucket lookup) — the interactive "more like this one" shape, where
+    building a one-row DataFrame for the join API would pay a full
+    shuffle for nothing.  Returns ``(neighbor_id, cosine, rank)``;
+    cosine is exact for every emitted row (euclidean on unit vectors,
+    converted back), so only recall is approximate.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors
+
+    c = _unit_features(corpus, "neighbor_id", id_col, vec_col)
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(c)
+    norm = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    key = Vectors.dense([float(x) / norm for x in query_vec])
+    res = model.approxNearestNeighbors(c, key, k, distCol="dist")
+    cos = 1.0 - F.col("dist") * F.col("dist") / 2.0
+    w = Window.orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        res.select("neighbor_id", F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
     )

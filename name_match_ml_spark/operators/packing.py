@@ -32,7 +32,8 @@ def pack_documents(
     docs: DataFrame,
     *,
     budget: int = 256,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
+    target_docs_per_bucket: int = 250_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -46,7 +47,33 @@ def pack_documents(
     longer than the budget gets a pack of its own.  ``pack_seq`` numbers
     packs within the bucket, so ``(bucket, pack_seq)`` is the global
     pack key.
+
+    ``n_buckets=None`` (default) derives the bucket count from the
+    corpus's Catalyst plan statistics — ``max(32, ceil(est_rows /
+    target_docs_per_bucket))`` — because one bucket is one
+    ``applyInPandas`` group that must fit in a single task: a static
+    count makes per-task memory O(corpus / n_buckets), unbounded at
+    100 TB.  The estimator (shared with the matching auto-select) uses
+    exact file-size stats and a 32-bytes/row divisor, which for wide
+    text rows OVERestimates the row count — the error direction that
+    produces more, smaller buckets, never an oversized task; an
+    unknown-stats corpus falls back to 4096 buckets rather than risking
+    corpus/32 per task.  Each packed group is 3 narrow columns
+    (~24 B/row), so ``target_docs_per_bucket=250k`` keeps a group under
+    ~10 MB of Arrow batch.  Pass an explicit ``n_buckets`` for a
+    reproducible, parameter-pinned assignment (the declared oracle
+    query does).
     """
+    if n_buckets is None:
+        import math
+
+        from .matching import _estimated_rows
+
+        est = _estimated_rows(docs)
+        n_buckets = (
+            4096 if not math.isfinite(est)
+            else max(32, math.ceil(est / target_docs_per_bucket))
+        )
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)

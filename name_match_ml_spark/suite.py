@@ -857,7 +857,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    """Benchmark decontamination: corpus docs sharing any 4-gram with the
     synthetic eval slice (doc_id % 97 == 0) are flagged.  Declared with
     the md5_60 gram hash so the whole broadcast-join + count-distinct
     pipeline is hash-checked (operators/cleaning.py).  n=4 flags ~1.6%
@@ -1123,12 +1123,38 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib RandomForest train/eval on corpus-derived labeled pairs
-    (SURVEY §2.8 M1-M6; rows-only — model training has no SQL oracle)."""
+    (SURVEY §2.8 M1-M6; rows-only — model training has no SQL oracle).
+
+    Self-checking: every row carries ``accuracy``/``auc`` plus a
+    ``passed`` flag (accuracy >= 0.85 AND AUC >= 0.85 — the reference's
+    pickled model advertises ~90%, ``TRAINED_MODELS/
+    model_40000(Accu~90).pkl``), and a degraded model yields ZERO rows —
+    so the driver's rows-only check asserts model quality, not just
+    that a report came back."""
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
     from .ml.pipeline import evaluation_report, labeled_pairs_from_corpus, train_match_classifier
 
     pairs = labeled_pairs_from_corpus(spark, sf_dir)
     _, predictions = train_match_classifier(pairs, num_trees=20)
-    return evaluation_report(predictions)
+    predictions = predictions.localCheckpoint()  # scored once, read by 3 evaluators
+    acc = MulticlassClassificationEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(predictions)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(predictions)
+    passed = acc >= 0.85 and auc >= 0.85
+    report = evaluation_report(predictions).select(
+        "*",
+        F.round(F.lit(acc), 6).alias("accuracy"),
+        F.round(F.lit(auc), 6).alias("auc"),
+        F.lit(passed).alias("passed"),
+    )
+    return report.filter(F.lit(passed))
 
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2117,6 +2143,14 @@ ORACLE_SQL["bigram_logprob"] = """
     GROUP BY doc_id
 """
 
+# Split thresholds come from the SAME exact-fraction accumulation the
+# operator uses (operators/cleaning.py::split_thresholds) — recomputing
+# them here from doubles would put operator and oracle 128 hash values
+# apart at the val boundary (0.9 + 0.05 != 0.95 in floating point).
+from .operators.cleaning import split_thresholds as _split_thresholds
+
+_SPLIT_T = _split_thresholds((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+
 ORACLE_SQL["leak_safe_split"] = f"""
     WITH RECURSIVE base AS (
       SELECT doc_id,
@@ -2156,8 +2190,8 @@ ORACLE_SQL["leak_safe_split"] = f"""
              ('0x' || substr(md5('split:' || group_id::VARCHAR), 1, 15))::BIGINT AS h
       FROM grouped)
     SELECT doc_id, group_id,
-           CASE WHEN h < {int(0.9 * (1 << 60))} THEN 'train'
-                WHEN h < {int(0.95 * (1 << 60))} THEN 'val'
+           CASE WHEN h < {_SPLIT_T[0][1]} THEN 'train'
+                WHEN h < {_SPLIT_T[1][1]} THEN 'val'
                 ELSE 'test' END AS split
     FROM hashed
 """

@@ -189,3 +189,74 @@ def test_cleaning_ops_total_on_null_and_empty_text(spark):
 
     packed = {r.doc_id: r for r in pack_documents(docs, budget=4, n_buckets=2).collect()}
     assert len(packed) == 3 and packed[0].n_tokens == 0 and packed[2].n_tokens == 0
+
+
+def test_split_thresholds_exact_fractions():
+    """Operator and oracle must read the SAME cumulative thresholds —
+    exact-fraction accumulation, never doubles (0.9 + 0.05 in floats is
+    0.9500000000000001 -> a 128-hash-value window of disagreement)."""
+    from fractions import Fraction
+
+    from name_match_ml_spark.operators.cleaning import split_thresholds
+    from name_match_ml_spark.suite import ORACLE_SQL
+
+    t = split_thresholds((("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    assert t == (
+        ("train", int(Fraction(9, 10) * (1 << 60))),
+        ("val", int(Fraction(19, 20) * (1 << 60))),
+    )
+    # the float-accumulated value the r3 operator used is NOT what we emit
+    assert t[1][1] != int((0.9 + 0.05) * (1 << 60))
+    # and the declared DuckDB oracle embeds these exact integers
+    assert str(t[0][1]) in ORACLE_SQL["leak_safe_split"]
+    assert str(t[1][1]) in ORACLE_SQL["leak_safe_split"]
+
+
+def test_cleaning_accepts_staged_clusters(spark):
+    """leak_safe_split/select_keepers with a pre-resolved cluster map
+    must agree exactly with the compute-it-yourself path."""
+    from name_match_ml_spark.operators.cleaning import leak_safe_split, select_keepers
+    from name_match_ml_spark.operators.graph import connected_components
+
+    docs = spark.createDataFrame([(i, 10 + i % 3) for i in range(50)], ["doc_id", "n_chars"])
+    pairs = spark.createDataFrame([(i, i + 25) for i in range(20)], ["doc_a", "doc_b"])
+    clusters = connected_components(pairs)
+
+    via_pairs = sorted(map(tuple, leak_safe_split(docs, pairs).collect()))
+    via_map = sorted(map(tuple, leak_safe_split(docs, clusters=clusters).collect()))
+    assert via_pairs == via_map
+
+    kp = sorted(map(tuple, select_keepers(docs, pairs, quality_col="n_chars").collect()))
+    km = sorted(map(tuple, select_keepers(docs, clusters=clusters, quality_col="n_chars").collect()))
+    assert kp == km
+
+    with pytest.raises(ValueError):
+        leak_safe_split(docs)
+    with pytest.raises(ValueError):
+        select_keepers(docs)
+
+
+def test_pack_documents_derives_bucket_count(spark):
+    """n_buckets=None sizes buckets from the corpus row estimate so one
+    applyInPandas group can never be O(corpus) at scale."""
+    import collections
+
+    from name_match_ml_spark.operators.packing import pack_documents
+
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + (i * 7) % 50))) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 200 rows / 5 per bucket -> ceil = 40 buckets (> the 32 floor)
+    out = pack_documents(docs, budget=64, target_docs_per_bucket=5)
+    got = sorted(map(tuple, out.collect()))
+    assert len(got) == 200
+    assert {b for _, b, _, _ in got} <= set(range(40))
+    assert max(b for _, b, _, _ in got) >= 32  # floor exceeded: derivation ran
+    # derived run is still a pure function of the corpus
+    again = sorted(map(tuple, pack_documents(docs, budget=64, target_docs_per_bucket=5).collect()))
+    assert got == again
+    # budget invariant unchanged under derived bucketing
+    fills = collections.defaultdict(list)
+    for doc_id, bucket, n_tokens, pack_seq in got:
+        fills[(bucket, pack_seq)].append(n_tokens)
+    for members in fills.values():
+        assert sum(members) <= 64 or len(members) == 1

@@ -291,3 +291,20 @@ def test_simhash_md5_matches_python_oracle(docs):
         for r in simhash_pairs(docs, max_hamming=3, hash_fn="md5_60").collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("algorithm", ["label", "star", "auto"])
+def test_connected_components_self_loop_nodes(spark, algorithm):
+    """A node appearing ONLY in self-loop pairs must get an (id, id) row
+    under every algorithm — the star phases drop a==b edges, so the node
+    set must be joined back (ADVICE r3)."""
+    from name_match_ml_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (7, 7), (2, 2)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, algorithm=algorithm).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5, 7: 7}

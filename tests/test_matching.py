@@ -303,3 +303,20 @@ def test_hot_key_cap_bounds_skewed_blocking(spark):
         for r in capped_df.filter(f"u_norm = '{fn7}.patel'").collect()
     }
     assert (f"{fn7}.patel", f"{fn7} patel") in survivors
+
+
+def test_parse_byte_size_spark_conf_values():
+    """Spark reports size confs with suffixes even for defaults
+    ('10485760b'); a bare int() would reject every one of them and pin
+    the auto-select to the hard-coded fallback (ADVICE r3)."""
+    from name_match_ml_spark.operators.matching import _parse_byte_size
+
+    assert _parse_byte_size("10485760") == 10485760
+    assert _parse_byte_size("10485760b") == 10485760
+    assert _parse_byte_size("100MB") == 100 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size(" 512 kb ") == 512 << 10
+    assert _parse_byte_size("-1") == -1  # broadcast disabled
+    assert _parse_byte_size(None) is None
+    assert _parse_byte_size("not-a-size") is None
+    assert _parse_byte_size("10x") is None

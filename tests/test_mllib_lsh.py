@@ -8,7 +8,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from name_match_ml_spark.operators.mllib_lsh import brp_cosine_topk_ml, minhash_lsh_pairs_ml
+from name_match_ml_spark.operators.mllib_lsh import (
+    brp_cosine_neighbors_ml,
+    brp_cosine_topk_ml,
+    minhash_lsh_pairs_ml,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -77,3 +81,35 @@ def test_brp_ml_matches_exact_topk(spark, emb):
             )
             assert cos == pytest.approx(true, abs=1e-4)
     assert total and hits / total >= 0.85, (hits, total)
+
+
+def test_brp_approx_neighbors_probe(spark, emb):
+    """approxNearestNeighbors single-probe path: exact cosines, ranked,
+    and high recall vs the brute-force top-k for several probe keys."""
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    k = 5
+    hits = total = 0
+    for qid in sorted(vecs)[:5]:
+        q = vecs[qid]
+        rows = brp_cosine_neighbors_ml(emb, list(q), k=k + 1).collect()
+        # output contract: ranks are 1..n by descending cosine
+        ranks = [r.rank for r in sorted(rows, key=lambda r: (-r.cosine, r.neighbor_id))]
+        assert ranks == list(range(1, len(rows) + 1))
+        got = {r.neighbor_id for r in rows if r.neighbor_id != qid}
+        for r in rows:
+            true = float(q @ vecs[r.neighbor_id] / (np.linalg.norm(q) * np.linalg.norm(vecs[r.neighbor_id])))
+            assert r.cosine == pytest.approx(true, abs=1e-4)
+        want = {
+            nid
+            for _, nid in sorted(
+                (
+                    (float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), nid)
+                    for nid, v in vecs.items()
+                    if nid != qid
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        }
+        hits += len(want & got)
+        total += len(want)
+    assert total and hits / total >= 0.8, (hits, total)

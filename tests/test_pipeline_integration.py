@@ -8,22 +8,37 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from name_match_ml_spark.operators import graph
 from name_match_ml_spark.operators.cleaning import (
     decontaminate_ngrams,
     leak_safe_split,
     mixture_sample,
     repetition_stats,
+    select_keepers,
 )
 from name_match_ml_spark.operators.dedup import ngram_jaccard_pairs
 from name_match_ml_spark.operators.packing import pack_documents
+from name_match_ml_spark.plans.staging import stage
 from name_match_ml_spark.sources.parquet import table
 
 SF = "/root/testdata/sf0.01"
 
 
-def test_training_data_pipeline_end_to_end(spark):
+def test_training_data_pipeline_end_to_end(spark, monkeypatch):
     docs = table(spark, SF, "documents")
     n_docs = docs.count()
+
+    # the cluster map must be resolved ONCE for the whole pipeline —
+    # count every connected-components run to prove no consumer
+    # re-derives it (the r3-verdict duplicated-CC cost)
+    cc_calls = []
+    real_cc = graph.connected_components
+
+    def counted_cc(*args, **kwargs):
+        cc_calls.append(1)
+        return real_cc(*args, **kwargs)
+
+    monkeypatch.setattr(graph, "connected_components", counted_cc)
 
     # 1. drop pathologically repetitive documents
     rep = repetition_stats(docs, n=2, max_ratio=0.1)
@@ -36,9 +51,12 @@ def test_training_data_pipeline_end_to_end(spark):
     flags = decontaminate_ngrams(corpus, bench, n=4)
     stage2 = corpus.join(flags.filter("NOT contaminated").select("doc_id"), "doc_id")
 
-    # 3. cluster near-dups and split leak-safely
+    # 3. resolve near-dup clusters once, stage the map, share it between
+    #    keeper selection and the leak-safe split
     pairs = ngram_jaccard_pairs(stage2, threshold=0.5, shingle_n=2)
-    split = leak_safe_split(stage2, pairs)
+    clusters = stage(graph.connected_components(pairs), "id")
+    keepers = select_keepers(stage2, clusters=clusters, quality_col="n_chars")
+    split = leak_safe_split(stage2, clusters=clusters)
     train_ids = split.filter("split = 'train'").select("doc_id")
     stage3 = stage2.join(train_ids, "doc_id")
 
@@ -55,6 +73,21 @@ def test_training_data_pipeline_end_to_end(spark):
         flags.filter("contaminated").select("doc_id"), "doc_id"
     ).count()
     assert leaked == 0
+
+    # the staged cluster map was resolved exactly once for both consumers
+    assert cc_calls == [1]
+
+    # keeper selection agrees with the shared cluster map: one keeper
+    # per cluster, and it is the max-quality (min-id tiebreak) member
+    krows = keepers.collect()
+    by_cluster: dict[int, list] = {}
+    for r in krows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        ks = [r for r in members if r.is_keeper]
+        assert len(ks) == 1
+        best = min(members, key=lambda r: (-r.quality, r.doc_id))
+        assert ks[0].doc_id == best.doc_id
 
     # no near-dup pair straddles two splits (the whole point of the split)
     s = split.select(F.col("doc_id").alias("k"), "split")
