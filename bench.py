@@ -31,6 +31,19 @@ EXTENDED = [
     "unigram_logprob",
     "bigram_logprob",
     "select_keepers",
+    # Multimodal codecs: a regression off the Arrow path (e.g. falling back
+    # to row-at-a-time) would otherwise be invisible to the bench gate.
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    # round 4: span-level dedup, substring dedup, rule gate, upsampling,
+    # int8 quantized ANN
+    "span_dedup",
+    "shared_substring",
+    "gopher_quality",
+    "epoch_upsample",
+    "embedding_quantize",
+    "quantized_cosine_topk",
 ]
 
 HEADLINE = [

@@ -23,6 +23,7 @@ __all__ = [
     "quality_score",
     "token_counts",
     "doc_fingerprint",
+    "gopher_quality",
     "tfidf_top_terms",
     "unigram_logprob_scores",
     "bigram_logprob_scores",
@@ -138,6 +139,78 @@ def doc_fingerprint(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(F.substring(norm, i, k))
     )
     return F.concat_ws("|", F.slice(F.array_sort(hashes), 1, sketch_size))
+
+
+def gopher_quality(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based document quality filter (the published
+    repetition-free subset of the Rae et al. 2021 rules) — the standard
+    cheap gate run over the full corpus BEFORE any model-based scoring:
+
+    * word count within ``[min_words, max_words]``
+    * mean word length within ``[min_mean_word_len, max_mean_word_len]``
+    * symbol-to-word ratio (``#`` and ``...``) at most ``max_symbol_ratio``
+    * at least ``min_alpha_word_ratio`` of words contain a letter
+    * at least ``min_stopword_hits`` distinct common stopwords
+
+    Returns per-document metrics plus per-rule booleans and the combined
+    ``passes`` flag, ratios rounded to 6 dp for cross-engine hashing.
+    Pure per-row codegen — no shuffle, no UDF: at 100 TB this runs
+    entirely map-side at scan speed, which is the point of rule-based
+    gates (intra-doc repetition has its own operator,
+    :func:`..operators.cleaning.repetition_stats`).
+    """
+    w = _words(F.col(text_col))
+    staged = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"), w.alias("_w"))
+    n_words = F.size(F.col("_w"))
+    denom = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(F.col("_w"), F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / denom,
+        6,
+    )
+    n_hash = F.length(F.col("_t")) - F.length(F.regexp_replace(F.col("_t"), "#", ""))
+    n_ellipsis = (
+        F.length(F.col("_t")) - F.length(F.regexp_replace(F.col("_t"), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / denom, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(F.col("_w"), lambda x: x.rlike("[a-zA-Z]"))).cast("double") / denom, 6
+    )
+    all_stop = sorted({s for sw in STOPWORDS.values() for s in sw})
+    stop_arr = F.array(*[F.lit(s) for s in all_stop])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(F.col("_w")), stop_arr))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = symbol_ratio <= max_symbol_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    return staged.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )
 
 
 def tfidf_top_terms(

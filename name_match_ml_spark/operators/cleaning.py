@@ -41,6 +41,8 @@ __all__ = [
     "split_thresholds",
     "leak_safe_split",
     "select_keepers",
+    "span_dedup",
+    "epoch_upsample",
 ]
 
 
@@ -183,6 +185,153 @@ def mixture_sample(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
     )
     return docs.filter(u < threshold)
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """C4-style global span deduplication: the corpus keeps exactly ONE
+    occurrence of every distinct ``span_words``-word span, and documents
+    are rebuilt from their surviving spans.
+
+    C4 dedups at the "three-sentence span" level; here the unit is a
+    fixed word window (the synthetic corpus has no sentence boundaries),
+    which is the same operator shape.  The keeper of a duplicated span is
+    its FIRST occurrence — minimum ``(doc_id, span_idx)`` — so output is
+    deterministic and idempotent.  Returns one row per input document:
+    ``(doc_id, n_spans, n_kept, text)`` where ``text`` is the surviving
+    spans re-joined in order ('' when every span was a duplicate).
+
+    Plan / 100 TB notes: spans explode to ``(doc_id, span_idx, hash)``
+    and the keeper per hash is a ``min(struct(doc_id, span_idx))``
+    aggregate — partial map-side combine collapses each task's
+    duplicates BEFORE the exchange, so a boilerplate span repeated a
+    billion times shuffles one row per task, not a billion (this is why
+    it is an aggregate and not a ``row_number`` window, which would
+    shuffle every occurrence to one partition).  The winners table (one
+    row per distinct span) joins back on the hash: hot hashes have a
+    1-row build side, so the join fans out nothing.  Reassembly is one
+    ``collect_list`` aggregate keyed by doc — group size ≤ spans/doc.
+    Spans join as 64-bit hashes, never strings (``md5_60`` makes the
+    whole operator oracle-replayable, as in :func:`mixture_sample`).
+    """
+    w = _words(text_col)
+    n_spans = F.ceil(F.size(w) / F.lit(float(span_words))).cast("int")
+    spans = (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"), n_spans.alias("_n"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                # sequence(1, 0) yields DESCENDING [1, 0], not [] — guard
+                # zero-word docs explicitly (they re-enter via the final
+                # left join with text = '').
+                F.when(
+                    F.col("_n") >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n")),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_w"), (i - 1) * span_words + 1, span_words)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("span_idx", "span"),
+        )
+        .select("doc_id", "span_idx", "span", _gram_hash(F.col("span"), hash_fn).alias("h"))
+    )
+    winners = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first")
+    ).select("h", F.col("first.doc_id").alias("w_doc"), F.col("first.span_idx").alias("w_idx"))
+    kept = (
+        spans.join(winners, "h")
+        .filter((F.col("doc_id") == F.col("w_doc")) & (F.col("span_idx") == F.col("w_idx")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: Mapping[str, float],
+    *,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "epoch",
+    default_epochs: float = 1.0,
+    max_epochs: int = 64,
+) -> DataFrame:
+    """Deterministic mixture UPsampling: repeat each document
+    ``epochs[stratum]`` times — the Llama-style recipe where
+    high-quality sources (books, wiki) see >1 epoch in the training mix
+    while bulk web text sees ≤1.
+
+    Fractional epochs are exact in expectation and deterministic per
+    document: ``copies = floor(e) + (hash(seed, doc_id)/2^60 <
+    frac(e))``, the same seeded md5_60 threshold device as
+    :func:`mixture_sample` (a rate of 0 drops the stratum; rates < 1
+    behave exactly like downsampling).  Returns one row per COPY:
+    ``(doc_id, stratum, copy)`` with ``copy`` in ``1..copies`` —
+    downstream shuffles (e.g. :func:`..operators.packing.pack_documents`
+    keyed on (doc_id, copy)) spread copies across tasks, so upsampling
+    never concentrates a hot document.
+
+    Per-row codegen only — the copy count is a pure function of
+    ``(seed, doc_id, stratum)`` and the fan-out is one ``explode`` of a
+    ``sequence`` bounded by ``max_epochs`` (guards a typo'd rate from
+    exploding the corpus 10^6×); no shuffle, no RNG state.
+    """
+    int_part = F.lit(int(default_epochs))
+    frac_threshold = F.lit(int((float(default_epochs) % 1.0) * (1 << 60)))
+    for k, v in sorted(epochs.items()):
+        e = float(v)
+        if not 0 <= e <= max_epochs:
+            raise ValueError(f"epochs for {k!r} must be in [0, {max_epochs}]: {e}")
+        int_part = F.when(F.col(stratum_col) == k, F.lit(int(e))).otherwise(int_part)
+        frac_threshold = F.when(
+            F.col(stratum_col) == k, F.lit(int((e % 1.0) * (1 << 60)))
+        ).otherwise(frac_threshold)
+    u = _gram_hash(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
+    )
+    copies = int_part + F.when(u < frac_threshold, 1).otherwise(0)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            copies.alias("_copies"),
+        )
+        .filter(F.col("_copies") > 0)
+        .select(
+            "doc_id",
+            "stratum",
+            F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy"),
+        )
+    )
 
 
 def split_thresholds(

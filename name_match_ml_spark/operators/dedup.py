@@ -38,6 +38,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "shared_substring_pairs",
     "embedding_near_dup",
 ]
 
@@ -558,6 +559,93 @@ def simhash_pairs(
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def shared_substring_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed_n: int = 5,
+    min_words: int = 10,
+    max_seed_df: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplicate detection: all document pairs sharing a
+    verbatim run of at least ``min_words`` words, with the length of
+    their longest shared run — the distributed stand-in for the
+    suffix-array substring dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), which removes verbatim
+    cross-document copies that set-similarity (Jaccard) misses when the
+    copied span is small relative to the documents.
+
+    Seed-and-chain instead of a global suffix array: every position
+    contributes a ``seed_n``-word seed gram; positions in two documents
+    matching on a seed lie on a diagonal ``d = pos_a - pos_b``, and a
+    verbatim run of L words (L ≥ seed_n) appears as exactly
+    ``L - seed_n + 1`` CONSECUTIVE seed matches on one diagonal — so the
+    longest shared run is recovered exactly (for runs ≥ seed_n) by a
+    gaps-and-islands pass per ``(pair, diagonal)``.  Returns
+    ``(doc_a, doc_b, max_shared_words)`` with ``doc_a < doc_b``.
+
+    100 TB shape: the corpus explodes to ``(doc_id, pos, seed_hash)`` —
+    three longs; the self-join matches on the 64-bit hash only.  Seeds
+    with document frequency > ``max_seed_df`` (boilerplate: headers,
+    license blocks) are dropped by an in-plan aggregate BEFORE the join,
+    bounding every key's fan-out to ≤ df² pairs — same df-cap rationale
+    as ``plans/blocking.py`` (AQE can spread a quadratic key, not shrink
+    it); a run seeded only by capped grams is missed, which is the
+    documented approximation (boilerplate is exactly what substring
+    dedup wants to ignore).  Islands use one window per
+    ``(doc_a, doc_b, diagonal)`` — group sizes are run-length-bounded,
+    so no skew; the final per-pair max is a partial-agg ``groupBy``.
+    ``md5_60`` hashing (as in :func:`simhash_pairs`) makes the operator
+    oracle-replayable end to end."""
+    from ..operators.cleaning import _gram_hash
+
+    if min_words < seed_n:
+        raise ValueError("min_words must be >= seed_n (shorter runs have no seed)")
+    w = _words(text_col)
+    seeds = (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+        .filter(F.size("_w") >= seed_n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - seed_n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)),
+                )
+            ).alias("pos", "seed"),
+        )
+        .select("doc_id", "pos", _gram_hash(F.col("seed"), hash_fn).alias("h"))
+    )
+    # boilerplate cap: one partial-agg pass over (h) — broadcast the HOT
+    # set (small by construction) and anti-join it away pre-join
+    hot = seeds.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > max_seed_df
+    )
+    pruned = seeds.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    a = pruned.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = pruned.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    matches = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    )
+    isl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn("grp", F.col("pos_a") - F.row_number().over(isl))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + seed_n - 1).alias("run_words"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_words").cast("long").alias("max_shared_words"))
+        .filter(F.col("max_shared_words") >= min_words)
     )
 
 

@@ -28,7 +28,13 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from .dedup import dot_expr, norm_expr
 
-__all__ = ["cosine_topk_exact", "lsh_cosine_topk", "ivf_cosine_topk"]
+__all__ = [
+    "cosine_topk_exact",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
+]
 
 _TOPK_CAND_SCHEMA = StructType(
     [
@@ -256,6 +262,118 @@ def ivf_cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def quantize_expr(vec: Column) -> tuple[Column, Column]:
+    """``(scale, q)`` for symmetric int8 scalar quantization of a double
+    array: ``scale = max(|x_i|)`` (floored at 1e-30 so zero vectors stay
+    defined) and ``q_i = floor(x_i / scale * 127 + 0.5)`` in
+    ``[-127, 127]``.
+
+    ``floor(x + 0.5)`` — round-half-toward-+inf — instead of ``round()``
+    on purpose: engines disagree on round()'s tie rule (half-even vs
+    half-away), while floor over IEEE doubles is bit-identical
+    everywhere, so the DuckDB oracle reproduces every code exactly."""
+    scale = F.greatest(F.array_max(F.transform(vec, F.abs)), F.lit(1e-30))
+    q = F.transform(vec, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int"))
+    return scale, q
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column —
+    ``(vec_id, scale, q)`` with ``q_i = floor(x_i/scale*127 + 0.5)``.
+
+    The storage/shuffle face of quantized similarity search: int8 codes
+    are 4× smaller than float32 (8× vs float64), so at 100 TB the
+    embedding shuffle, the ANN candidate stream, and the in-memory
+    scoring blocks all shrink 4× while cosine ordering is preserved to
+    ~1e-2 (recall asserted against the exact operator in tests).  Pure
+    per-row codegen — no shuffle, no UDF; partitioning inherits the
+    scan."""
+    v = F.col(vec_col).cast("array<double>")
+    scale, q = quantize_expr(v)
+    return df.select(F.col(id_col).alias("vec_id"), scale.alias("scale"), q.alias("q"))
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_slack: int = 32,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (self-matches excluded):
+    the memory-bandwidth-efficient variant of :func:`cosine_topk_exact`
+    for 100 TB corpora — the corpus streams as int8 codes (4× less I/O
+    and cache traffic than float32) and every dot product is EXACT
+    integer arithmetic, so unlike the float GEMM the result is
+    bit-reproducible regardless of summation order (|q_i| ≤ 127 ⇒ a
+    64-dim dot is ≤ ~10^6, exact in int32 and in any engine's double).
+
+    ``qcos = dot(qa, qb) / (‖qa‖·‖qb‖)`` — per-vector scales cancel in
+    the cosine, so no dequantization happens at score time.  Same
+    scale shape as the exact operator: queries collect + broadcast (a
+    top-k query set is small by contract), corpus streams through one
+    Arrow ``mapInPandas`` GEMM per batch emitting per-batch
+    top-``(k+batch_slack)``, tiny global window finishes.  Fully
+    oracle-checkable (integer dots + one double division)."""
+    spark = corpus.sparkSession
+    qrows = quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "q"
+    ).collect()
+    if not qrows:
+        empty = spark.createDataFrame([], _TOPK_CAND_SCHEMA)
+        return empty.withColumn("rank", F.lit(1)).limit(0)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.int32) for r in qrows])
+    Qn = np.sqrt((Q.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((qids, Q, Qn))
+    take = k + batch_slack
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_Q, b_Qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(cids, kind="stable")
+            cids = cids[order]
+            C = np.stack(pdf["q"].to_numpy()[order]).astype(np.int32)
+            Cn = np.sqrt((C.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
+            D = (C @ b_Q.T).astype(np.float64)  # exact integer dots
+            S = D / np.maximum(np.outer(Cn, b_Qn), 1e-30)
+            R = np.round(S, 6)
+            R[np.equal.outer(cids, b_qids)] = -np.inf
+            top = np.argsort(-R, axis=0, kind="stable")[: min(take, len(cids))]
+            n_top, m = top.shape
+            rows = top.ravel(order="F")
+            cols = np.repeat(np.arange(m), n_top)
+            keep = np.isfinite(R[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[cols[keep]],
+                    "neighbor_id": cids[rows[keep]],
+                    "cosine": S[rows[keep], cols[keep]],
+                }
+            )
+
+    cand = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), "q"
+    ).mapInPandas(score, _TOPK_CAND_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cosine", F.round("cosine", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("qcos"), "rank")
     )
 
 

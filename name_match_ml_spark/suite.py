@@ -915,6 +915,87 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(d)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup: the corpus keeps one occurrence of
+    every distinct 10-word span and documents are rebuilt from surviving
+    spans (operators/cleaning.py::span_dedup).  Declared with the md5_60
+    span hash so the explode -> min-struct winner aggregate -> hash join
+    -> ordered reassembly pipeline is hash-checked end to end, including
+    the rebuilt text."""
+    from .operators.cleaning import span_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return span_dedup(d, span_words=10, hash_fn="md5_60")
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (functions/text.py): word
+    count, mean word length, symbol ratio, alpha-word ratio, stopword
+    hits -> per-rule booleans + combined pass.  min_words=40 splits this
+    corpus (10-99 words/doc) non-trivially; pure codegen, no shuffle."""
+    from .functions.text import gopher_quality
+
+    d = table(spark, sf_dir, "documents")
+    return gopher_quality(d, min_words=40, min_stopword_hits=2)
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-based mixture upsampling
+    (operators/cleaning.py::epoch_upsample): src0 sees 2.5 epochs (2
+    copies + seeded-hash 50% third), src1 is downsampled to 0.25, src2
+    dropped, src3 1.5, everything else 1 epoch — the Llama-style data
+    recipe, exercising the integer, fractional, zero and default paths."""
+    from .operators.cleaning import epoch_upsample
+
+    d = table(spark, sf_dir, "documents")
+    return epoch_upsample(
+        d, {"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.5}, stratum_col="source"
+    ).withColumn("copy", F.col("copy").cast("long"))
+
+
+def q_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (operators/dedup.py::
+    shared_substring_pairs): document pairs sharing a verbatim run of
+    >= 10 words, via 5-word seed grams chained along match diagonals —
+    the Lee-et-al-style substring dedup that catches verbatim copies
+    Jaccard misses.  md5_60 seeds make the whole seed->join->islands
+    algebra hash-checked."""
+    from .operators.dedup import shared_substring_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return shared_substring_pairs(d, seed_n=5, min_words=10, hash_fn="md5_60")
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column
+    (operators/simsearch.py::quantize_embeddings): per-vector max-abs
+    scale + round-half-up codes — 4x smaller vectors for shuffle/storage
+    at 100 TB.  Codes serialized to CSV so the driver hash checks every
+    component exactly."""
+    from .operators.simsearch import quantize_embeddings
+
+    e = table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.concat_ws(",", F.col("q")).alias("q_csv"),
+    )
+
+
+def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized cosine
+    (operators/simsearch.py::quantized_cosine_topk): integer dot
+    products are bit-reproducible in any engine, so unlike the float
+    GEMM this ANN scoring path is hash-checked exactly; same query set
+    as cosine_topk (vec_id % 10 == 0)."""
+    from .operators.simsearch import quantized_cosine_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 10 == 0)
+    return quantized_cosine_topk(e, queries, k=5)
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (exact
     Jaccard >= 0.5 pairs -> connected components) are placed whole, so
@@ -1220,6 +1301,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
     "bigram_logprob": q_bigram_logprob,
+    "span_dedup": q_span_dedup,
+    "gopher_quality": q_gopher_quality,
+    "epoch_upsample": q_epoch_upsample,
+    "shared_substring": q_shared_substring,
+    "embedding_quantize": q_embedding_quantize,
+    "quantized_cosine_topk": q_quantized_cosine_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2265,6 +2352,184 @@ ORACLE_SQL["mixture_sample"] = f"""
           < (CASE WHEN lang = 'en' THEN {int(0.35 * (1 << 60))}
                   WHEN lang = 'zh' THEN {int(0.9 * (1 << 60))}
                   ELSE {1 << 60} END)
+"""
+
+# C4-style global span dedup: the oracle may use a plain window for the
+# first-occurrence winner (the Spark side's min-struct aggregate is a
+# scale device, not a semantic one).
+ORACLE_SQL["span_dedup"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    sp0 AS (
+      SELECT doc_id, ws, unnest(range(1, ceil(len(ws) / 10.0)::INT + 1)) AS i
+      FROM w),
+    sp AS (
+      SELECT doc_id, (i - 1)::INT AS span_idx,
+             array_to_string(list_slice(ws, ((i-1)*10 + 1)::INT, ((i-1)*10 + 10)::INT),
+                             ' ') AS span
+      FROM sp0),
+    win AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(span), 1, 15))::BIGINT
+               ORDER BY doc_id, span_idx) AS rn
+      FROM sp),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY span_idx) AS text
+      FROM win WHERE rn = 1 GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(k.text, '') AS text
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+"""
+
+def _gopher_stopword_literals() -> str:
+    from .functions.text import STOPWORDS
+
+    return ", ".join(
+        f"'{s}'" for s in sorted({w for sw in STOPWORDS.values() for w in sw})
+    )
+
+
+_GOPHER_STOPWORDS = _gopher_stopword_literals()
+ORACLE_SQL["gopher_quality"] = f"""
+    WITH w AS (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             greatest(len(ws), 1) AS denom,
+             round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+                   / greatest(len(ws), 1), 6) AS mean_word_len,
+             round(((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3)
+                   ::DOUBLE / greatest(len(ws), 1), 6) AS symbol_ratio,
+             round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / greatest(len(ws), 1), 6) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(ws), [{_GOPHER_STOPWORDS}])) AS stopword_hits
+      FROM w)
+    SELECT doc_id,
+           n_words::BIGINT AS n_words,
+           mean_word_len, symbol_ratio, alpha_word_ratio,
+           stopword_hits::BIGINT AS stopword_hits,
+           (n_words >= 40 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (alpha_word_ratio >= 0.8) AS ok_alpha,
+           (stopword_hits >= 2) AS ok_stopwords,
+           ((n_words >= 40 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (alpha_word_ratio >= 0.8)
+            AND (stopword_hits >= 2)) AS passes
+    FROM m
+"""
+
+# thresholds single-sourced: the operator computes int((e % 1.0) * 2^60)
+# driver-side and embeds literals; the oracle embeds the SAME Python
+# expression's value (2.5/0.25/1.5 are exact binary fractions anyway).
+ORACLE_SQL["epoch_upsample"] = f"""
+    WITH d AS (
+      SELECT doc_id, source AS stratum,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                         WHEN 'src2' THEN 0 WHEN 'src3' THEN 1 ELSE 1 END AS ip,
+             CASE source WHEN 'src0' THEN {int((2.5 % 1.0) * (1 << 60))}
+                         WHEN 'src1' THEN {int((0.25 % 1.0) * (1 << 60))}
+                         WHEN 'src2' THEN 0
+                         WHEN 'src3' THEN {int((1.5 % 1.0) * (1 << 60))}
+                         ELSE 0 END AS ft
+      FROM documents),
+    c AS (
+      SELECT doc_id, stratum,
+             ip + CASE WHEN ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 15))::BIGINT < ft
+                       THEN 1 ELSE 0 END AS copies
+      FROM d)
+    SELECT doc_id, stratum, unnest(range(1, copies + 1))::BIGINT AS copy
+    FROM c WHERE copies > 0
+"""
+
+ORACLE_SQL["shared_substring"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    s0 AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws) - 4)) AS pos
+      FROM w WHERE len(ws) >= 5),
+    g AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(ws, (pos + 1)::INT, (pos + 5)::INT), ' ')), 1, 15))::BIGINT AS h
+      FROM s0),
+    hot AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1000),
+    p AS (SELECT doc_id, pos, h FROM g ANTI JOIN hot USING (h)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM p a JOIN p b USING (h)
+      WHERE a.doc_id < b.doc_id),
+    r AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_a, doc_b, count(*) + 4 AS run_words
+      FROM r GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, max(run_words)::BIGINT AS max_shared_words
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING max(run_words) >= 10
+"""
+
+ORACLE_SQL["embedding_quantize"] = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc
+      FROM base)
+    SELECT vec_id, round(sc, 6) AS scale_r,
+           array_to_string(list_transform(v,
+               x -> floor(x / sc * 127.0 + 0.5)::INT::VARCHAR), ',') AS q_csv
+    FROM s
+"""
+
+ORACLE_SQL["quantized_cosine_topk"] = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc
+      FROM base),
+    qz AS (
+      SELECT vec_id, list_transform(v, x -> floor(x / sc * 127.0 + 0.5)) AS q
+      FROM s),
+    n AS (
+      SELECT vec_id, q,
+             sqrt(list_sum(list_transform(q, x -> x * x))) AS nq
+      FROM qz),
+    p AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_inner_product(qs.q, c.q)
+                   / greatest(c.nq * qs.nq, 1e-30), 6) AS qcos
+      FROM n qs JOIN n c ON qs.vec_id <> c.vec_id
+      WHERE qs.vec_id % 10 = 0),
+    r AS (
+      SELECT query_id, neighbor_id, qcos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcos DESC, neighbor_id) AS rank
+      FROM p)
+    SELECT query_id, neighbor_id, qcos, rank FROM r WHERE rank <= 5
 """
 
 

@@ -1,0 +1,220 @@
+"""Round-4 operator tests: C4-style span dedup, epoch upsampling,
+Gopher quality rules, exact-substring pairs, and int8 embedding
+quantization.  Small synthetic corpora with driver-side oracles; DuckDB
+hash-parity for each is covered by the declared-query harness
+(tools/verify_queries.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.operators.cleaning import epoch_upsample, span_dedup
+from name_match_ml_spark.operators.dedup import shared_substring_pairs
+from name_match_ml_spark.operators.simsearch import (
+    cosine_topk_exact,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
+from name_match_ml_spark.functions.text import gopher_quality
+
+
+# ---------------------------------------------------------------- span dedup
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = " ".join(f"w{i}" for i in range(10))  # one exact 10-word span
+    rows = [
+        (0, shared + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, shared + " one two three four five six seven eight nine ten"),
+        (2, "totally different words in this document here right now ok fine"),
+        (3, ""),  # zero words
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_span_dedup_first_occurrence_wins(span_docs):
+    out = {r.doc_id: r for r in span_dedup(span_docs, span_words=10).collect()}
+    assert len(out) == 4
+    # doc 0 keeps both spans (it is the first occurrence of the shared one)
+    assert out[0].n_spans == 2 and out[0].n_kept == 2
+    # doc 1 loses the shared span, keeps its tail
+    assert out[1].n_spans == 2 and out[1].n_kept == 1
+    assert out[1].text == "one two three four five six seven eight nine ten"
+    assert out[2].n_kept == out[2].n_spans == 2  # 12 words -> 2 spans (10+2)
+    assert out[3].n_spans == 0 and out[3].n_kept == 0 and out[3].text == ""
+
+
+def test_span_dedup_idempotent(span_docs):
+    once = span_dedup(span_docs, span_words=10)
+    twice = span_dedup(once.select("doc_id", "text"), span_words=10)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b  # no span survives in two places, so a second pass is a no-op
+
+
+def test_span_dedup_hash_fns_agree(span_docs):
+    a = sorted(map(tuple, span_dedup(span_docs, hash_fn="xxhash64").collect()))
+    b = sorted(map(tuple, span_dedup(span_docs, hash_fn="md5_60").collect()))
+    assert a == b
+
+
+# ------------------------------------------------------------ epoch upsample
+
+
+def test_epoch_upsample_integer_and_zero_paths(spark):
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(30)], ["doc_id", "source"]
+    )
+    out = epoch_upsample(docs, {"s0": 3.0, "s1": 0.0}, stratum_col="source").collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    for i in range(30):
+        if i % 3 == 0:
+            assert sorted(by_doc[i]) == [1, 2, 3]
+        elif i % 3 == 1:
+            assert i not in by_doc  # dropped stratum
+        else:
+            assert by_doc[i] == [1]  # default 1 epoch
+
+
+def test_epoch_upsample_fractional_deterministic(spark):
+    docs = spark.createDataFrame([(i, "a") for i in range(400)], ["doc_id", "source"])
+    out1 = epoch_upsample(docs, {"a": 1.5}, stratum_col="source")
+    n1 = out1.count()
+    n2 = epoch_upsample(docs, {"a": 1.5}, stratum_col="source").count()
+    assert n1 == n2  # seeded hash, no RNG state
+    assert 400 * 1.3 < n1 < 400 * 1.7  # ~600 expected
+    # changing the seed draws an independent (generally different) sample
+    n3 = epoch_upsample(docs, {"a": 1.5}, stratum_col="source", seed="other").count()
+    assert 400 * 1.3 < n3 < 400 * 1.7
+
+
+def test_epoch_upsample_rejects_absurd_rates(spark):
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        epoch_upsample(docs, {"a": 1e6}, stratum_col="source")
+
+
+# ------------------------------------------------------------ gopher quality
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = "the cat and dog ran to the old barn and sat for a while today " * 5
+    rows = [
+        (0, good),  # passes everything (70 words, stopwords, alpha)
+        (1, "word " * 10),  # too few words
+        (2, "#### " * 60),  # symbols + no alpha + no stopwords
+        (3, ("the supercalifragilistic extraordinarily " * 30)),  # long words
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality(docs, min_words=50).collect()}
+    assert out[0].passes
+    assert not out[1].ok_word_count and not out[1].passes
+    assert not out[2].ok_symbols and not out[2].ok_alpha and not out[2].passes
+    assert not out[3].ok_word_len and not out[3].passes
+
+
+def test_gopher_metrics_exact(spark):
+    docs = spark.createDataFrame([(0, "the cat ... ran #fast")], ["doc_id", "text"])
+    r = gopher_quality(docs, min_words=1).collect()[0]
+    assert r.n_words == 5
+    # words: the(3) cat(3) ...(3) ran(3) #fast(5) -> mean 17/5
+    assert r.mean_word_len == round(17 / 5, 6)
+    # one '#' + one '...' over 5 words
+    assert r.symbol_ratio == round(2 / 5, 6)
+    assert r.alpha_word_ratio == round(4 / 5, 6)
+    assert r.stopword_hits == 1  # 'the'
+
+
+# --------------------------------------------------------- shared substrings
+
+
+def test_shared_substring_exact_run_length(spark):
+    run = " ".join(f"r{i}" for i in range(12))  # 12-word verbatim run
+    rows = [
+        (0, "aa bb cc " + run + " dd ee ff"),
+        (1, "xx yy " + run + " zz"),
+        (2, "nothing in common with anything else at all here today friend"),
+        # short overlap (6 words) stays below min_words=10
+        (3, "aa bb cc " + " ".join(f"r{i}" for i in range(6)) + " qq ww"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_a, r.doc_b): r.max_shared_words for r in
+           shared_substring_pairs(docs, seed_n=5, min_words=10).collect()}
+    assert out == {(0, 1): 12}
+
+
+def test_shared_substring_hot_seed_cap(spark):
+    # the same 5-word phrase in every doc: with a tiny df cap the seed is
+    # dropped as boilerplate and no pair is emitted
+    boiler = "all rights reserved by corp"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique words here {boiler}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = shared_substring_pairs(docs, seed_n=5, min_words=5, max_seed_df=10).collect()
+    assert out == []
+
+
+def test_shared_substring_hash_fns_agree(spark):
+    run = " ".join(f"t{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(0, "lead in " + run), (1, run + " trail out"), (2, "different")],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, shared_substring_pairs(docs, hash_fn="xxhash64").collect()))
+    b = sorted(map(tuple, shared_substring_pairs(docs, hash_fn="md5_60").collect()))
+    assert a == b == [(0, 1, 15)]
+
+
+# --------------------------------------------------------------- quantization
+
+
+@pytest.fixture(scope="module")
+def qemb(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=16).astype(np.float32).tolist()) for i in range(120)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_quantize_codes_bounded_and_exact(qemb):
+    out = quantize_embeddings(qemb).collect()
+    assert len(out) == 120
+    for r in out:
+        assert r.scale > 0
+        assert max(abs(c) for c in r.q) == 127  # max-abs component maps to ±127
+        assert all(-127 <= c <= 127 for c in r.q)
+
+
+def test_quantize_matches_numpy(qemb):
+    rows = qemb.collect()
+    got = {r.vec_id: (r.scale, r.q) for r in quantize_embeddings(qemb).collect()}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        scale = max(np.abs(v).max(), 1e-30)
+        q = np.floor(v / scale * 127.0 + 0.5).astype(int)
+        assert got[r.vec_id][0] == pytest.approx(scale)
+        assert list(got[r.vec_id][1]) == q.tolist()
+
+
+def test_quantized_topk_recall_vs_exact(qemb):
+    queries = qemb.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk_exact(qemb, queries, k=5)
+    quant = quantized_cosine_topk(qemb, queries, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    q = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    assert len(q) == len(e)
+    # int8 keeps cosine ordering to ~1e-2: demand 80%+ top-5 agreement
+    assert len(e & q) / len(e) >= 0.8
+
+
+def test_quantized_topk_no_self_matches(qemb):
+    queries = qemb.filter(F.col("vec_id") % 10 == 0)
+    out = quantized_cosine_topk(qemb, queries, k=3)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
