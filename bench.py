@@ -44,6 +44,7 @@ EXTENDED = [
     "epoch_upsample",
     "embedding_quantize",
     "quantized_cosine_topk",
+    "curriculum_order",
 ]
 
 HEADLINE = [

@@ -996,6 +996,25 @@ def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(e, queries, k=5)
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document's 0-based global rank by
+    quality score (best first, doc_id tiebreak) via the two-phase total
+    sort of operators/ordering.py::ordered_index — ONE range shuffle,
+    no single-partition window over the data (the naive
+    row_number-over-empty-window spelling serializes the corpus through
+    one task).  The emitted index is the true global rank, so the oracle
+    replays it with a plain window."""
+    from .functions.text import _words, quality_score
+    from .operators.ordering import ordered_index
+
+    d = table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text", _words(F.col("text")).alias("_w"))
+    scored = staged.select(
+        "doc_id", quality_score(F.col("text"), words=F.col("_w")).alias("quality")
+    )
+    return ordered_index(scored, [F.col("quality").desc()], tiebreak="doc_id")
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (exact
     Jaccard >= 0.5 pairs -> connected components) are placed whole, so
@@ -1307,6 +1326,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shared_substring": q_shared_substring,
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
+    "curriculum_order": q_curriculum_order,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2491,6 +2511,36 @@ ORACLE_SQL["shared_substring"] = """
     SELECT doc_a, doc_b, max(run_words)::BIGINT AS max_shared_words
     FROM runs GROUP BY doc_a, doc_b
     HAVING max(run_words) >= 10
+"""
+
+# Curriculum ordering: the operator's two-phase total sort emits the
+# true global rank, so a plain window replays it (the difference is
+# plan shape, not semantics).  Quality expression mirrors the
+# text_quality oracle term for term.
+ORACLE_SQL["curriculum_order"] = """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             ROUND(
+               0.3 * (CASE WHEN n >= 200 THEN least(1.0, 8000.0 / n)
+                           ELSE n / 200.0 END)
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        / CAST(greatest(n, 1) AS DOUBLE))
+               + 0.2 * least(1.0, len(list_filter(words, w -> list_contains(
+                   ['and','das','de','den','der','des','die','ein','eine','el','en',
+                    'es','est','et','for','in','is','ist','it','la','le','les','los',
+                    'of','que','that','the','to','un','una','und','une','von','was',
+                    'y','zu'], w))) * 4.0 / greatest(len(words), 1))
+               + 0.2 * (CASE WHEN COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+                                  / CAST(greatest(len(words), 1) AS DOUBLE) BETWEEN 2 AND 12
+                             THEN 1.0 ELSE 0.3 END), 6) AS quality
+      FROM base)
+    SELECT doc_id, quality,
+           (row_number() OVER (ORDER BY quality DESC, doc_id) - 1)::BIGINT AS global_index
+    FROM scored
 """
 
 ORACLE_SQL["embedding_quantize"] = """

@@ -212,6 +212,86 @@ def test_quantized_topk_recall_vs_exact(qemb):
     assert len(e & q) / len(e) >= 0.8
 
 
+# ------------------------------------------------------------- ordered_index
+
+
+def test_ordered_index_is_exact_global_rank(spark):
+    from name_match_ml_spark.operators.ordering import ordered_index
+
+    rows = [(i, (i * 37) % 11 / 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "score"])
+    out = ordered_index(
+        df, [F.col("score").desc()], tiebreak="id", num_partitions=8
+    ).collect()
+    expected = sorted(rows, key=lambda r: (-r[1], r[0]))
+    got = {r.id: r.global_index for r in out}
+    for rank, (i, _) in enumerate(expected):
+        assert got[i] == rank
+    assert sorted(got.values()) == list(range(500))  # a permutation: total order
+
+
+def test_ordered_index_survives_constant_key(spark):
+    # heavy ties: every row has the same score — the unique tiebreak must
+    # still split them across range partitions and yield 0..n-1
+    from name_match_ml_spark.operators.ordering import ordered_index
+
+    df = spark.range(1000).select(F.col("id"), F.lit(1.0).alias("score"))
+    out = ordered_index(df, ["score"], tiebreak="id", num_partitions=8)
+    got = [r.global_index for r in out.orderBy("id").collect()]
+    assert got == list(range(1000))  # ties resolve by id
+
+
+def test_ordered_index_plan_single_range_shuffle(spark):
+    from name_match_ml_spark.operators.ordering import ordered_index
+
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    plan = ordered_index(df, ["score"], tiebreak="id")._jdf.queryExecution().toString()
+    assert plan.count("rangepartitioning") >= 1
+    # offsets come back via broadcast, never a second shuffle of the data
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only empty-partition window runs over the n_partitions-row
+    # offsets aggregate, not the data: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------- sorted layout sink
+
+
+def test_save_sorted_layout_prunes_and_sorts(spark, tmp_path):
+    import os
+
+    from name_match_ml_spark.sources.sinks import save_sorted_layout
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", (i * 53) % 997) for i in range(3000)],
+        ["doc_id", "lang", "quality"],
+    )
+    out = str(tmp_path / "layout")
+    save_sorted_layout(
+        df, out, partition_by=("lang",), sort_by=("quality",), max_records_per_file=800
+    )
+    # hive-style partition directories exist -> readers prune on lang
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        "lang=en",
+        "lang=fr",
+    ]
+    # file sizes bounded
+    back = spark.read.parquet(out)
+    assert back.count() == 3000
+    for sub in ("lang=en", "lang=fr"):
+        files = [f for f in os.listdir(os.path.join(out, sub)) if f.endswith(".parquet")]
+        for f in files:
+            pf = spark.read.parquet(os.path.join(out, sub, f))
+            vals = [r.quality for r in pf.collect()]
+            assert len(vals) <= 800
+            assert vals == sorted(vals)  # zone-map-friendly: sorted within file
+    # partition filter reaches the scan as partition pruning
+    plan = back.filter(F.col("lang") == "fr")._jdf.queryExecution().executedPlan().toString()
+    assert "lang=fr" in plan or "isnotnull(lang" in plan
+
+
 def test_quantized_topk_no_self_matches(qemb):
     queries = qemb.filter(F.col("vec_id") % 10 == 0)
     out = quantized_cosine_topk(qemb, queries, k=3)
