@@ -932,11 +932,14 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate (functions/text.py): word
     count, mean word length, symbol ratio, alpha-word ratio, stopword
     hits -> per-rule booleans + combined pass.  min_words=40 splits this
-    corpus (10-99 words/doc) non-trivially; pure codegen, no shuffle."""
+    corpus (10-99 words/doc) non-trivially, and min_stopword_hits=1
+    because the synthetic vocabulary contains exactly one stopword
+    ('the' — 382/500 docs); the default of 2 would zero out `passes`.
+    Pure codegen, no shuffle."""
     from .functions.text import gopher_quality
 
     d = table(spark, sf_dir, "documents")
-    return gopher_quality(d, min_words=40, min_stopword_hits=2)
+    return gopher_quality(d, min_words=40, min_stopword_hits=1)
 
 
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2447,12 +2450,12 @@ ORACLE_SQL["gopher_quality"] = f"""
            (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
            (symbol_ratio <= 0.1) AS ok_symbols,
            (alpha_word_ratio >= 0.8) AS ok_alpha,
-           (stopword_hits >= 2) AS ok_stopwords,
+           (stopword_hits >= 1) AS ok_stopwords,
            ((n_words >= 40 AND n_words <= 100000)
             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
             AND (symbol_ratio <= 0.1)
             AND (alpha_word_ratio >= 0.8)
-            AND (stopword_hits >= 2)) AS passes
+            AND (stopword_hits >= 1)) AS passes
     FROM m
 """
 

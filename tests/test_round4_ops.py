@@ -298,3 +298,58 @@ def test_quantized_topk_no_self_matches(qemb):
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in per_q)
+
+
+# ------------------------------------------------- round-4 pipeline chaining
+
+
+def test_round4_ops_chain_on_corpus(spark):
+    """The round-4 operators compose with the existing hygiene flow on
+    the sf0.01 corpus: rule gate -> span dedup -> upsample -> curriculum
+    order, with the cross-stage invariants that make each safe."""
+    from name_match_ml_spark.functions.text import gopher_quality
+    from name_match_ml_spark.operators.ordering import ordered_index
+    from name_match_ml_spark.sources.parquet import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    n_docs = docs.count()
+
+    # 1. rule gate (cheap, map-side) runs FIRST so later stages see less
+    # (min_stopword_hits=1: the synthetic vocabulary has one stopword)
+    gate = gopher_quality(docs, min_words=20, min_stopword_hits=1)
+    stage1 = docs.join(gate.filter("passes").select("doc_id"), "doc_id")
+    n1 = stage1.count()
+    assert 0 < n1 <= n_docs
+
+    # 2. global span dedup: total kept spans across the corpus must equal
+    #    the number of DISTINCT spans the corpus contains (the operator's
+    #    core contract), and no document gains spans
+    sd = span_dedup(stage1, span_words=10)
+    rows = stage1.select("doc_id", "text").collect()
+    all_spans = []
+    for r in rows:
+        ws = [w for w in r.text.lower().split() if w]
+        all_spans += [" ".join(ws[i : i + 10]) for i in range(0, len(ws), 10)]
+    sd_rows = sd.collect()
+    assert sum(r.n_kept for r in sd_rows) == len(set(all_spans))
+    assert all(r.n_kept <= r.n_spans for r in sd_rows)
+
+    # 3. epoch upsampling over the deduped corpus: every src0 doc appears
+    #    2 or 3 times (2.5 epochs), everything else exactly once
+    survivors = stage1.join(
+        sd.filter("n_kept > 0").select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "n_chars")
+    up = epoch_upsample(survivors, {"src0": 2.5}, stratum_col="source")
+    per_doc = {r.doc_id: r.cnt for r in up.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    src = {r.doc_id: r.source for r in survivors.collect()}
+    for doc_id, cnt in per_doc.items():
+        assert cnt in (2, 3) if src[doc_id] == "src0" else cnt == 1
+
+    # 4. curriculum ordering by length: exact global permutation
+    ordered = ordered_index(
+        survivors, [F.col("n_chars").desc()], tiebreak="doc_id", num_partitions=4
+    ).collect()
+    expected = sorted(((r.n_chars, r.doc_id) for r in survivors.collect()),
+                      key=lambda t: (-t[0], t[1]))
+    got = {r.doc_id: r.global_index for r in ordered}
+    assert [got[doc_id] for _, doc_id in expected] == list(range(len(expected)))

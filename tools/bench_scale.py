@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Scale-trend benchmark: run a query set at sf0.1 and at the replicated
+10x corpus (tools/make_scale_data.py -> .scale_data/sf1.0) and report
+per-query time ratios.  A correct scale design keeps every ratio at or
+below ~linear (10x data -> <= ~10x time, usually much less while local
+overheads dominate); a super-linear ratio is a quadratic-blowup smell.
+
+Usage: python tools/bench_scale.py [--out BENCH_SCALE_r04.json]
+       [--runs 2] [--queries q1 q2 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    # pinned headline set (same as bench.py)
+    "pricing_summary", "join_orders_customer", "outer_join_agg",
+    "window_rank", "window_running_sum", "rollup_agg", "count_distinct",
+    "time_tumbling", "time_sliding", "session_windows", "json_events",
+    "dedup_exact", "ngram_jaccard_dedup", "minhash_lsh_dedup",
+    "simhash_dedup", "cosine_topk", "text_quality", "doc_fingerprint",
+    "text_stats", "topk_orders", "flagship_namematch",
+    # round-3/4 extended ops with non-trivial scale shapes
+    "leak_safe_split", "select_keepers", "bigram_logprob",
+    "span_dedup", "shared_substring", "gopher_quality", "epoch_upsample",
+    "embedding_quantize", "quantized_cosine_topk", "curriculum_order",
+]
+
+NOTES = {
+    "flagship_namematch": (
+        "flat by corpus construction: the roster derives from bounded "
+        "distinct name vocabularies, so distinct-pair scoring work does "
+        "not grow 10x"
+    ),
+    "cosine_topk": "BLAS-bound GEMM; batch count grows, per-batch cost dominates",
+    "quantized_cosine_topk": "same GEMM shape as cosine_topk (int8 codes)",
+    "embedding_quantize": "pure map-side projection; scan-bound",
+    "gopher_quality": "pure map-side codegen; scan-bound",
+    "epoch_upsample": "map-side explode; scan-bound",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_SCALE_r04.json")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=".scale_data/sf1.0")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("bench-scale")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    names = [n for n in (args.queries or DEFAULT_QUERIES) if n in queries]
+
+    # warm-up: JVM codegen + Python worker pool + Arrow path
+    spark.range(1000).selectExpr("sum(id)").collect()
+    queries["distinct_pairs"](spark, args.small).write.format("noop").mode("overwrite").save()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s * 1.0, "double")
+    (
+        spark.range(32_000).repartition(32).select(_warm(col("id")))
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    def run(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    per_query: dict[str, dict] = {}
+    tot_small = tot_big = 0.0
+    for name in names:
+        s = run(name, args.small)
+        b = run(name, args.big)
+        tot_small += s
+        tot_big += b
+        per_query[name] = {"sf0.1": s, "sf1.0": b, "ratio": round(b / s, 2)}
+        if name in NOTES:
+            per_query[name]["note"] = NOTES[name]
+        print(f"{name:28s} {s:8.3f} -> {b:8.3f}  x{b / s:.2f}", flush=True)
+
+    out = {
+        "purpose": (
+            "scale trend of the pinned headline set + round-3/4 extended ops: "
+            "sf0.1 (driver corpus) vs sf1.0 (10x replication via "
+            "tools/make_scale_data.py, key-shifted replicas, word-tagged "
+            "documents, rolled embeddings)"
+        ),
+        "data_ratio": 10.0,
+        "total_sec": {"sf0.1": round(tot_small, 3), "sf1.0": round(tot_big, 3)},
+        "total_ratio": round(tot_big / tot_small, 2),
+        "queries": per_query,
+        "runs_per_point": args.runs,
+        "load_1m_end": round(os.getloadavg()[0], 2),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\ntotal {tot_small:.1f}s -> {tot_big:.1f}s (x{tot_big / tot_small:.2f}) -> {args.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
