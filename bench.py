@@ -45,6 +45,7 @@ EXTENDED = [
     "embedding_quantize",
     "quantized_cosine_topk",
     "curriculum_order",
+    "weighted_sample",
 ]
 
 HEADLINE = [

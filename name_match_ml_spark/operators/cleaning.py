@@ -43,6 +43,7 @@ __all__ = [
     "select_keepers",
     "span_dedup",
     "epoch_upsample",
+    "weighted_sample",
 ]
 
 
@@ -331,6 +332,48 @@ def epoch_upsample(
             "stratum",
             F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy"),
         )
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    ``k`` documents with the highest Efraimidis–Spirakis priorities
+    ``ln(u) / w`` (``u`` a seeded per-doc uniform, ``w`` the weight) —
+    the exact distributed analog of "sample k docs proportional to
+    quality", used to carve a high-quality subset out of a bulk corpus.
+
+    A-ES reduces weighted sampling to a TOP-K: every row gets an
+    independent priority and the sample is the k largest — no sequential
+    reservoir state, so it parallelizes perfectly.  ``u`` comes from the
+    seeded md5_60 hash ((h+1) / (2^60+1) ∈ (0,1]), making the draw a
+    pure function of ``(seed, doc_id)``: re-runs, task retries, and
+    column changes never change the sample, and the DuckDB oracle
+    replays it exactly.  Priorities are rounded to 6 dp BEFORE ranking
+    (ties then break on id) so a last-ulp ``ln`` difference between
+    engines can never flip the selection.
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps a k-row heap and only
+    those heaps move — NOT a global sort shuffle; the 100 TB cost is one
+    scan plus k rows per task over the wire.  Zero/negative weights sort
+    to the very end (``ln(u)/0 → -inf``) and are sampled only if fewer
+    than ``k`` positive-weight rows exist."""
+    h = _gram_hash(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    pr = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        docs.withColumn("priority", pr)
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -999,6 +999,21 @@ def q_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(e, queries, k=5)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/cleaning.py::weighted_sample): the 100 documents with the
+    highest Efraimidis-Spirakis priorities ln(u)/n_chars — "sample
+    proportional to length" as a distributed top-k
+    (TakeOrderedAndProject, no global sort).  Priorities round to 6 dp
+    before ranking so the DuckDB oracle replays the selection exactly."""
+    from .operators.cleaning import weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample(d, 100, weight_col="n_chars", seed="wsample").select(
+        "doc_id", "n_chars", "priority"
+    )
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: every document's 0-based global rank by
     quality score (best first, doc_id tiebreak) via the two-phase total
@@ -1330,6 +1345,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "curriculum_order": q_curriculum_order,
+    "weighted_sample": q_weighted_sample,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2514,6 +2530,17 @@ ORACLE_SQL["shared_substring"] = """
     SELECT doc_a, doc_b, max(run_words)::BIGINT AS max_shared_words
     FROM runs GROUP BY doc_a, doc_b
     HAVING max(run_words) >= 10
+"""
+
+ORACLE_SQL["weighted_sample"] = """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             round(ln(((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE + 1.0)
+                      / 1152921504606846977.0)
+                   / n_chars::DOUBLE, 6) AS priority
+      FROM documents)
+    SELECT doc_id, n_chars, priority
+    FROM p ORDER BY priority DESC, doc_id LIMIT 100
 """
 
 # Curriculum ordering: the operator's two-phase total sort emits the

@@ -300,6 +300,57 @@ def test_quantized_topk_no_self_matches(qemb):
     assert all(r["count"] == 3 for r in per_q)
 
 
+# ------------------------------------------------------------ weighted sample
+
+
+def test_weighted_sample_matches_bruteforce(spark):
+    import math
+
+    from name_match_ml_spark.operators.cleaning import weighted_sample
+
+    rows = [(i, (i % 13) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample(df, 40, weight_col="w", seed="t").collect()
+    assert len(out) == 40
+
+    def md5_60(s: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def pr(i: int, w: int) -> float:
+        u = (md5_60(f"t:{i}") + 1.0) / float((1 << 60) + 1)
+        return round(math.log(u) / w, 6)
+
+    expect = sorted(rows, key=lambda r: (-pr(*r), r[0]))[:40]
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in expect)
+    # deterministic: same seed -> same sample; new seed -> (almost surely) different
+    again = weighted_sample(df, 40, weight_col="w", seed="t").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    from name_match_ml_spark.operators.cleaning import weighted_sample
+
+    # half the docs weigh 100x more: they should dominate the sample
+    df = spark.createDataFrame(
+        [(i, 100 if i < 100 else 1) for i in range(200)], ["doc_id", "w"]
+    )
+    out = weighted_sample(df, 50, weight_col="w", seed="h").collect()
+    heavy = sum(1 for r in out if r.doc_id < 100)
+    assert heavy >= 45  # P(light doc beats heavy) ~ (u)^(1/100) tail
+
+
+def test_weighted_sample_plan_is_topk_not_global_sort(spark):
+    from name_match_ml_spark.operators.cleaning import weighted_sample
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = weighted_sample(df, 10, weight_col="w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-task heap, not a sort shuffle
+
+
 # ------------------------------------------------- round-4 pipeline chaining
 
 
