@@ -46,6 +46,8 @@ EXTENDED = [
     "quantized_cosine_topk",
     "curriculum_order",
     "weighted_sample",
+    "novelty_score",
+    "corpus_diff",
 ]
 
 HEADLINE = [

@@ -44,6 +44,8 @@ __all__ = [
     "span_dedup",
     "epoch_upsample",
     "weighted_sample",
+    "novelty_stats",
+    "corpus_diff",
 ]
 
 
@@ -332,6 +334,95 @@ def epoch_upsample(
             "stratum",
             F.explode(F.sequence(F.lit(1), F.col("_copies"))).alias("copy"),
         )
+    )
+
+
+def novelty_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word ``n``-grams that appear NOWHERE else in the corpus —
+    the duplication-fraction quality signal (RefinedWeb-style): low
+    novelty means the document is mostly boilerplate shared with other
+    documents, even when no single pair crosses a dedup threshold.
+
+    Returns ``(doc_id, n_grams, n_novel, novelty)`` with ``novelty =
+    round(n_novel / n_grams, 6)`` (null for docs shorter than ``n``
+    words).
+
+    Scale shape: one explode to distinct hashed grams, one gram
+    document-frequency aggregate (map-side combine), one UNHINTED join
+    back on the 64-bit hash — gram vocabularies grow with the corpus,
+    so no forced broadcast (the r3-verdict rule) — then a per-doc
+    aggregate.  Every shuffled row is longs."""
+    g = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_ngram_hashes(text_col, n, hash_fn)).alias("g")
+    )
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        g.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus diff: classify every document id as ``added``
+    (new only), ``removed`` (old only), ``changed`` (both, different
+    content hash), or ``unchanged`` — the primitive an incremental
+    pipeline runs FIRST so downstream stages (dedup, scoring, packing)
+    touch only the delta instead of recomputing 100 TB.
+
+    Returns ``(doc_id, status, old_hash, new_hash)``; content equality
+    is md5 of the text (hashes compare, text never shuffles twice).
+
+    Scale shape: one full-outer shuffle join on the id.  For recurring
+    diffs, write both snapshots with
+    :func:`..sources.sinks.save_bucketed` on ``doc_id`` — bucketed
+    tables full-outer-join with ZERO exchanges, making the diff a
+    local merge per bucket."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    nw = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    return o.join(nw, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_hash",
+        "new_hash",
     )
 
 

@@ -1014,6 +1014,39 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/cleaning.py::
+    novelty_stats): fraction of a doc's distinct grams appearing nowhere
+    else — the RefinedWeb-style duplication-fraction signal.  md5_60
+    gram hashes make the explode -> df agg -> unhinted join -> per-doc
+    ratio pipeline hash-checked end to end."""
+    from .operators.cleaning import novelty_stats
+
+    d = table(spark, sf_dir, "documents")
+    return novelty_stats(d, n=3, hash_fn="md5_60")
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus diff (operators/cleaning.py::corpus_diff):
+    added/removed/changed/unchanged per doc id between two synthesized
+    snapshots of the corpus (old drops doc_id%7==0 and appends ' v1' to
+    doc_id%5==0 texts; new drops doc_id%3==0) — the delta-first
+    primitive of incremental pipelines.  One full-outer hash join;
+    content compares as md5, so the oracle replays it exactly."""
+    from .operators.cleaning import corpus_diff
+
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" v1")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    return corpus_diff(old, new)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: every document's 0-based global rank by
     quality score (best first, doc_id tiebreak) via the two-phase total
@@ -1346,6 +1379,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "curriculum_order": q_curriculum_order,
     "weighted_sample": q_weighted_sample,
+    "novelty_score": q_novelty_score,
+    "corpus_diff": q_corpus_diff,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2530,6 +2565,50 @@ ORACLE_SQL["shared_substring"] = """
     SELECT doc_a, doc_b, max(run_words)::BIGINT AS max_shared_words
     FROM runs GROUP BY doc_a, doc_b
     HAVING max(run_words) >= 10
+"""
+
+ORACLE_SQL["novelty_score"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+               ELSE []::VARCHAR[] END) AS grams
+      FROM w),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+    dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    pd AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM g JOIN dfq USING (gram) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+           coalesce(pd.n_novel, 0)::BIGINT AS n_novel,
+           CASE WHEN pd.n_grams IS NOT NULL
+                THEN round(pd.n_novel::DOUBLE / pd.n_grams, 6) END AS novelty
+    FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+ORACLE_SQL["corpus_diff"] = """
+    WITH old AS (
+      SELECT doc_id,
+             md5(text || CASE WHEN doc_id % 5 = 0 THEN ' v1' ELSE '' END) AS old_hash
+      FROM documents WHERE doc_id % 7 <> 0),
+    nw AS (
+      SELECT doc_id, md5(text) AS new_hash
+      FROM documents WHERE doc_id % 3 <> 0)
+    SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash = new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_hash, new_hash
+    FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
 """
 
 ORACLE_SQL["weighted_sample"] = """

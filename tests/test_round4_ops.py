@@ -351,6 +351,52 @@ def test_weighted_sample_plan_is_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan  # per-task heap, not a sort shuffle
 
 
+# ----------------------------------------------------- novelty / corpus diff
+
+
+def test_novelty_stats_exact(spark):
+    from name_match_ml_spark.operators.cleaning import novelty_stats
+
+    rows = [
+        (0, "a b c d e"),            # grams: abc bcd cde
+        (1, "a b c x y"),            # grams: abc bcx cxy -> shares abc with 0
+        (2, "totally fresh words"),  # one gram, unique
+        (3, "xy"),                   # < 3 words -> no grams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in novelty_stats(docs, n=3).collect()}
+    assert (out[0].n_grams, out[0].n_novel) == (3, 2)  # 'a b c' shared
+    assert out[0].novelty == round(2 / 3, 6)
+    assert (out[1].n_grams, out[1].n_novel) == (3, 2)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty) == (1, 1, 1.0)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty) == (0, 0, None)
+
+
+def test_novelty_hash_fns_agree(spark):
+    from name_match_ml_spark.operators.cleaning import novelty_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix words here tail{i} more{i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, novelty_stats(docs, hash_fn="xxhash64").collect()))
+    b = sorted(map(tuple, novelty_stats(docs, hash_fn="md5_60").collect()))
+    assert a == b
+
+
+def test_corpus_diff_statuses(spark):
+    from name_match_ml_spark.operators.cleaning import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
 # ------------------------------------------------- round-4 pipeline chaining
 
 
