@@ -31,6 +31,7 @@ DEFAULT_QUERIES = [
     "leak_safe_split", "select_keepers", "bigram_logprob",
     "span_dedup", "shared_substring", "gopher_quality", "epoch_upsample",
     "embedding_quantize", "quantized_cosine_topk", "curriculum_order",
+    "weighted_sample", "novelty_score", "corpus_diff",
 ]
 
 NOTES = {
