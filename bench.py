@@ -48,6 +48,7 @@ EXTENDED = [
     "weighted_sample",
     "novelty_score",
     "corpus_diff",
+    "shared_substring_winnow",
 ]
 
 HEADLINE = [

@@ -571,6 +571,7 @@ def shared_substring_pairs(
     min_words: int = 10,
     max_seed_df: int = 1000,
     hash_fn: str = "xxhash64",
+    winnow_window: int | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate detection: all document pairs sharing a
     verbatim run of at least ``min_words`` words, with the length of
@@ -601,26 +602,56 @@ def shared_substring_pairs(
     ``(doc_a, doc_b, diagonal)`` — group sizes are run-length-bounded,
     so no skew; the final per-pair max is a partial-agg ``groupBy``.
     ``md5_60`` hashing (as in :func:`simhash_pairs`) makes the operator
-    oracle-replayable end to end."""
+    oracle-replayable end to end.
+
+    ``winnow_window=w`` switches seed SELECTION to MOSS-style winnowing
+    — the 100 TB knob: instead of one seed per position, each length-w
+    window of seed hashes contributes only its (leftmost) minimum, so
+    the exploded seed stream and the self-join input shrink ~w× while
+    staying CONTENT-DEFINED: two documents sharing a run pick the same
+    relative positions inside it (a fixed-stride sample could not — the
+    two docs' grids misalign).  Guarantees: every shared run of at
+    least ``seed_n + w - 1`` words yields ≥ 1 diagonal match, interior
+    selections sit ≤ w apart (so gap-≤-w chaining reconstructs the
+    run), and the reported length ``max(pos)-min(pos)+seed_n`` is a
+    LOWER BOUND within ``2(w-1)`` of the true run.  Selection is a pure
+    function of content — equally oracle-replayable."""
     from ..operators.cleaning import _gram_hash
 
     if min_words < seed_n:
         raise ValueError("min_words must be >= seed_n (shorter runs have no seed)")
     w = _words(text_col)
-    seeds = (
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - seed_n),
+        lambda i: _gram_hash(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)), hash_fn),
+    )
+    hashed = (
         docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
         .filter(F.size("_w") >= seed_n)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_w") - seed_n),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)),
-                )
-            ).alias("pos", "seed"),
-        )
-        .select("doc_id", "pos", _gram_hash(F.col("seed"), hash_fn).alias("h"))
+        .select("doc_id", gram_hashes.alias("_h"))
     )
+    if winnow_window is None:
+        seeds = hashed.select(
+            "doc_id", F.posexplode(F.col("_h")).alias("pos", "h")
+        )
+    else:
+        ww = int(winnow_window)
+        if ww < 1:
+            raise ValueError("winnow_window must be >= 1")
+
+        def argmin_abs(j: Column) -> Column:
+            win = F.slice(F.col("_h"), j + 1, ww)
+            return (j + F.array_position(win, F.array_min(win)) - 1).cast("int")
+
+        sel = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_h") - ww, F.lit(0))),
+                argmin_abs,
+            )
+        )
+        seeds = hashed.select("doc_id", "_h", F.explode(sel).alias("pos")).select(
+            "doc_id", "pos", F.get(F.col("_h"), F.col("pos")).alias("h")
+        )
     # boilerplate cap: one partial-agg pass over (h) — broadcast the HOT
     # set (small by construction) and anti-join it away pre-join
     hot = seeds.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -637,11 +668,29 @@ def shared_substring_pairs(
         "doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
     )
     isl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    runs = (
-        matches.withColumn("grp", F.col("pos_a") - F.row_number().over(isl))
-        .groupBy("doc_a", "doc_b", "diag", "grp")
-        .agg((F.count(F.lit(1)) + seed_n - 1).alias("run_words"))
-    )
+    if winnow_window is None:
+        runs = (
+            matches.withColumn("grp", F.col("pos_a") - F.row_number().over(isl))
+            .groupBy("doc_a", "doc_b", "diag", "grp")
+            .agg((F.count(F.lit(1)) + seed_n - 1).alias("run_words"))
+        )
+    else:
+        # winnowed selections inside a run sit <= w apart: chain matches
+        # whose diagonal gap is <= w, report max-min+seed_n (lower bound);
+        # lag and its running sum live in separate projections (window
+        # functions cannot nest)
+        gap = F.col("pos_a") - F.lag("pos_a").over(isl)
+        flagged = matches.withColumn(
+            "_new_run", F.when(gap.isNull() | (gap > ww), 1).otherwise(0)
+        )
+        runs = (
+            flagged.withColumn(
+                "grp",
+                F.sum("_new_run").over(isl.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .groupBy("doc_a", "doc_b", "diag", "grp")
+            .agg((F.max("pos_a") - F.min("pos_a") + seed_n).alias("run_words"))
+        )
     return (
         runs.groupBy("doc_a", "doc_b")
         .agg(F.max("run_words").cast("long").alias("max_shared_words"))

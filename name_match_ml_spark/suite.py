@@ -969,6 +969,23 @@ def q_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_substring_pairs(d, seed_n=5, min_words=10, hash_fn="md5_60")
 
 
+def q_shared_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed exact-substring pairs (operators/dedup.py::
+    shared_substring_pairs with winnow_window=4): MOSS-style
+    content-defined seed selection shrinks the seed stream ~4x before
+    the self-join — the 100 TB configuration of the substring dedup —
+    while every >= 8-word run still yields a diagonal match and the
+    reported length is a lower bound within 6 words of the truth.
+    Selection is a pure function of content, so the whole
+    winnow -> join -> gap-chain algebra is hash-checked."""
+    from .operators.dedup import shared_substring_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return shared_substring_pairs(
+        d, seed_n=5, min_words=10, hash_fn="md5_60", winnow_window=4
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column
     (operators/simsearch.py::quantize_embeddings): per-vector max-abs
@@ -1375,6 +1392,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "epoch_upsample": q_epoch_upsample,
     "shared_substring": q_shared_substring,
+    "shared_substring_winnow": q_shared_substring_winnow,
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "curriculum_order": q_curriculum_order,
@@ -2650,6 +2668,52 @@ ORACLE_SQL["curriculum_order"] = """
     SELECT doc_id, quality,
            (row_number() OVER (ORDER BY quality DESC, doc_id) - 1)::BIGINT AS global_index
     FROM scored
+"""
+
+ORACLE_SQL["shared_substring_winnow"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(range(0, len(ws) - 4), p ->
+               ('0x' || substr(md5(array_to_string(
+                   list_slice(ws, (p + 1)::INT, (p + 5)::INT), ' ')), 1, 15))::BIGINT) AS h
+      FROM w WHERE len(ws) >= 5),
+    sel0 AS (
+      SELECT doc_id, h,
+             list_distinct(list_transform(range(0, greatest(len(h) - 4, 0) + 1), j ->
+               (j + list_position(list_slice(h, (j + 1)::INT, (j + 4)::INT),
+                                  list_min(list_slice(h, (j + 1)::INT, (j + 4)::INT))) - 1)::INT
+             )) AS sel
+      FROM hs),
+    g0 AS (SELECT doc_id, h, unnest(sel) AS pos FROM sel0),
+    g AS (SELECT doc_id, pos, h[pos + 1] AS hh FROM g0),
+    hot AS (SELECT hh FROM g GROUP BY hh HAVING count(*) > 1000),
+    p AS (SELECT doc_id, pos, hh FROM g ANTI JOIN hot USING (hh)),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM p a JOIN p b USING (hh)
+      WHERE a.doc_id < b.doc_id),
+    f AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             CASE WHEN lag(pos_a) OVER win IS NULL
+                       OR pos_a - lag(pos_a) OVER win > 4 THEN 1 ELSE 0 END AS nr
+      FROM m WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)),
+    f2 AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             sum(nr) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                           ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f),
+    runs AS (
+      SELECT doc_a, doc_b, max(pos_a) - min(pos_a) + 5 AS run_words
+      FROM f2 GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, max(run_words)::BIGINT AS max_shared_words
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING max(run_words) >= 10
 """
 
 ORACLE_SQL["embedding_quantize"] = """

@@ -160,6 +160,71 @@ def test_shared_substring_hot_seed_cap(spark):
     assert out == []
 
 
+def test_shared_substring_winnow_bounds(spark):
+    """Winnowed estimates are lower bounds within 2*(w-1) of the exact
+    run length, and long runs are always detected."""
+    runs = {0: 30, 1: 18, 2: 12}
+    rows = []
+    for doc, n in runs.items():
+        body = " ".join(f"s{doc}w{i}" for i in range(6))
+        shared = " ".join(f"r{i}" for i in range(n))
+        rows += [(doc * 2, body + " " + shared), (doc * 2 + 1, shared + " " + body)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    W = 4
+    exact = {(r.doc_a, r.doc_b): r.max_shared_words for r in
+             shared_substring_pairs(docs, seed_n=5, min_words=8).collect()}
+    win = {(r.doc_a, r.doc_b): r.max_shared_words for r in
+           shared_substring_pairs(docs, seed_n=5, min_words=8, winnow_window=W).collect()}
+    for pair, true_len in exact.items():
+        assert pair in win  # all runs >= seed_n + W - 1 detected
+        assert true_len - 2 * (W - 1) <= win[pair] <= true_len
+
+
+def test_shared_substring_winnow_shrinks_seed_stream(spark):
+    """The point of winnowing: far fewer exploded seeds join."""
+    from name_match_ml_spark.operators.cleaning import _gram_hash
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(80))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+
+    def seed_count(**kw):
+        # count rows flowing into the self-join by reproducing the seeds
+        # stage (the operator's first exchange input)
+        from name_match_ml_spark.operators import dedup as D
+
+        w = D._words("text")
+        hashed = (
+            docs.select(F.col("doc_id"), w.alias("_w"))
+            .filter(F.size("_w") >= 5)
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 5),
+                    lambda i: _gram_hash(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, 5)), "xxhash64"),
+                ).alias("_h"),
+            )
+        )
+        ww = kw.get("winnow_window")
+        if ww is None:
+            return hashed.select(F.posexplode("_h")).count()
+        sel = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("_h") - ww, F.lit(0))),
+                lambda j: (j + F.array_position(
+                    F.slice(F.col("_h"), j + 1, ww),
+                    F.array_min(F.slice(F.col("_h"), j + 1, ww)),
+                ) - 1).cast("int"),
+            )
+        )
+        return hashed.select(F.explode(sel)).count()
+
+    full = seed_count()
+    winnowed = seed_count(winnow_window=4)
+    assert winnowed < full / 2  # ~w/2x fewer in expectation (2/(w+1) density)
+
+
 def test_shared_substring_hash_fns_agree(spark):
     run = " ".join(f"t{i}" for i in range(15))
     docs = spark.createDataFrame(
@@ -395,6 +460,40 @@ def test_corpus_diff_statuses(spark):
     )
     out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+# ------------------------------------------------------------------ totality
+
+
+def test_round4_ops_total_on_null_and_empty_text(spark):
+    """Null/empty text must flow through every round-4 text operator (a
+    real corpus has both)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from name_match_ml_spark.operators.cleaning import novelty_stats
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [(0, None), (1, "a b c d e f g h i j k l"), (2, "")], schema
+    )
+
+    sd = {r.doc_id: r for r in span_dedup(docs, span_words=10).collect()}
+    assert sd[0].n_spans == 0 and sd[0].text == ""
+    assert sd[2].n_spans == 0 and sd[2].text == ""
+    assert sd[1].n_spans == 2 and sd[1].n_kept == 2
+
+    nv = {r.doc_id: r for r in novelty_stats(docs, n=3).collect()}
+    assert (nv[0].n_grams, nv[0].novelty) == (0, None)
+    assert (nv[2].n_grams, nv[2].novelty) == (0, None)
+    assert nv[1].novelty == 1.0
+
+    gq = {r.doc_id: r for r in gopher_quality(docs, min_words=1).collect()}
+    assert len(gq) == 3 and not gq[0].passes and not gq[2].passes
+
+    ss = shared_substring_pairs(docs, seed_n=5, min_words=5).collect()
+    assert ss == []  # no shared runs; nulls don't crash the seed explode
 
 
 # ------------------------------------------------- round-4 pipeline chaining
