@@ -621,10 +621,20 @@ def shared_substring_pairs(
     if min_words < seed_n:
         raise ValueError("min_words must be >= seed_n (shorter runs have no seed)")
     w = _words(text_col)
-    gram_hashes = F.transform(
-        F.sequence(F.lit(0), F.size("_w") - seed_n),
-        lambda i: _gram_hash(F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)), hash_fn),
-    )
+    # TOTAL expression (when-guard, not just the row filter below):
+    # Catalyst may reorder/duplicate the projection across the two
+    # consumers of `seeds`, evaluating it on rows the filter drops —
+    # and sequence(0, negative) descends into slice(start=0), a runtime
+    # error.  Same idiom as _ngram_hashes/_shingles.
+    gram_hashes = F.when(
+        F.size("_w") >= seed_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - seed_n),
+            lambda i: _gram_hash(
+                F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)), hash_fn
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     hashed = (
         docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
         .filter(F.size("_w") >= seed_n)
@@ -644,20 +654,29 @@ def shared_substring_pairs(
             return (j + F.array_position(win, F.array_min(win)) - 1).cast("int")
 
         sel = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("_h") - ww, F.lit(0))),
-                argmin_abs,
-            )
+            F.when(
+                F.size("_h") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("_h") - ww, F.lit(0))),
+                    argmin_abs,
+                ),
+            ).otherwise(F.array().cast("array<int>"))
         )
         seeds = hashed.select("doc_id", "_h", F.explode(sel).alias("pos")).select(
             "doc_id", "pos", F.get(F.col("_h"), F.col("pos")).alias("h")
         )
-    # boilerplate cap: one partial-agg pass over (h) — broadcast the HOT
-    # set (small by construction) and anti-join it away pre-join
+    # boilerplate cap: one partial-agg pass over (h), anti-joined away
+    # pre-join.  The hot set is UNHINTED: it is bounded only by
+    # seeds/cap — a boilerplate-heavy 100 TB corpus can exceed executor
+    # memory — so the shuffle anti-join on the 64-bit hash is the safe
+    # plan and AQE still broadcasts it when it measures small (the same
+    # rule as the vocabulary joins in functions/text.py; contrast
+    # plans/blocking.py, whose hot set is bounded by the name-token
+    # universe and may keep its hint).
     hot = seeds.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") > max_seed_df
     )
-    pruned = seeds.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    pruned = seeds.join(hot.select("h"), "h", "left_anti")
     a = pruned.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
     )
