@@ -621,30 +621,45 @@ def shared_substring_pairs(
     if min_words < seed_n:
         raise ValueError("min_words must be >= seed_n (shorter runs have no seed)")
     w = _words(text_col)
-    # TOTAL expression (when-guard, not just the row filter below):
-    # Catalyst may reorder/duplicate the projection across the two
-    # consumers of `seeds`, evaluating it on rows the filter drops —
-    # and sequence(0, negative) descends into slice(start=0), a runtime
-    # error.  Same idiom as _ngram_hashes/_shingles.
-    gram_hashes = F.when(
-        F.size("_w") >= seed_n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_w") - seed_n),
-            lambda i: _gram_hash(
-                F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)), hash_fn
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    hashed = (
-        docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
-        .filter(F.size("_w") >= seed_n)
-        .select("doc_id", gram_hashes.alias("_h"))
-    )
     if winnow_window is None:
-        seeds = hashed.select(
-            "doc_id", F.posexplode(F.col("_h")).alias("pos", "h")
+        # Exact mode hashes AFTER the positional explode — one md5 per
+        # output row.  Hashing inside a transform() array that a
+        # Generate then consumes re-evaluates the whole array per
+        # generated row (measured 6× on the sf0.1 corpus), so the
+        # array-of-hashes shape is reserved for winnow mode, which
+        # explodes the (much smaller) selected-position array instead.
+        # The transform carries a when-guard (total expression, not
+        # just the row filter): sequence(0, negative) descends into
+        # slice(start=0), a runtime error — same idiom as
+        # _ngram_hashes/_shingles.
+        grams = F.when(
+            F.size("_w") >= seed_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - seed_n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        seeds = (
+            docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+            .filter(F.size("_w") >= seed_n)
+            .select("doc_id", F.posexplode(grams).alias("pos", "seed"))
+            .select("doc_id", "pos", _gram_hash(F.col("seed"), hash_fn).alias("h"))
         )
     else:
+        gram_hashes = F.when(
+            F.size("_w") >= seed_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - seed_n),
+                lambda i: _gram_hash(
+                    F.concat_ws(" ", F.slice(F.col("_w"), i + 1, seed_n)), hash_fn
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        hashed = (
+            docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"))
+            .filter(F.size("_w") >= seed_n)
+            .select("doc_id", gram_hashes.alias("_h"))
+        )
         ww = int(winnow_window)
         if ww < 1:
             raise ValueError("winnow_window must be >= 1")
