@@ -183,3 +183,103 @@ def test_decontaminate_self_is_total(spark, texts):
             assert out[i].contaminated, (i, t)
         else:
             assert not out[i].contaminated
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    span_words=st.integers(2, 8),
+)
+def test_span_dedup_invariants(spark, texts, span_words):
+    """Global span dedup: kept spans across the corpus are exactly the
+    DISTINCT spans (one winner each), totals match per-doc span counts,
+    and rebuilt text is a subsequence concatenation of kept spans."""
+    from name_match_ml_spark.operators.cleaning import span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_words=span_words).collect()}
+    spans_by_doc = {}
+    for i, t in enumerate(texts):
+        spans_by_doc[i] = [
+            " ".join(t[j : j + span_words]) for j in range(0, len(t), span_words)
+        ]
+    all_spans = [s for ss in spans_by_doc.values() for s in ss]
+    assert sum(r.n_kept for r in out.values()) == len(set(all_spans))
+    for i in range(len(texts)):
+        assert out[i].n_spans == len(spans_by_doc[i])
+        kept_text = out[i].text.split(" ") if out[i].text else []
+        # rebuilt text is the in-order concat of a subset of the doc's spans
+        doc_span_words = [s.split(" ") for s in spans_by_doc[i]]
+        k = 0
+        for sw in doc_span_words:
+            if kept_text[k : k + len(sw)] == sw:
+                k += len(sw)
+        assert k == len(kept_text), (i, out[i].text)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    run_len=st.integers(5, 40),
+    w=st.integers(2, 6),
+    pad_a=st.integers(0, 6),
+    pad_b=st.integers(0, 6),
+)
+def test_winnow_substring_detection_and_bound(spark, run_len, w, pad_a, pad_b):
+    """Winnowed substring detection: any shared run of >= seed_n + w - 1
+    words is detected, and the reported length is a lower bound within
+    2(w-1) of the truth."""
+    from name_match_ml_spark.operators.dedup import shared_substring_pairs
+
+    seed_n = 5
+    run = " ".join(f"r{i}" for i in range(run_len))
+    a = " ".join(f"a{i}" for i in range(pad_a)) + (" " if pad_a else "") + run
+    b = run + ("" if not pad_b else " " + " ".join(f"b{i}" for i in range(pad_b)))
+    docs = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.max_shared_words
+        for r in shared_substring_pairs(
+            docs, seed_n=seed_n, min_words=seed_n, winnow_window=w
+        ).collect()
+    }
+    if run_len >= seed_n + w - 1:
+        assert (0, 1) in got
+        assert run_len - 2 * (w - 1) <= got[(0, 1)] <= run_len
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32), min_size=2, max_size=32
+    )
+)
+def test_quantize_roundtrip_error_bound(spark, vec):
+    """int8 quantization reconstructs within scale/254 per component
+    (half a code step), and codes stay in [-127, 127]."""
+    from name_match_ml_spark.operators.simsearch import quantize_embeddings
+
+    df = spark.createDataFrame([(0, vec)], ["vec_id", "embedding"])
+    r = quantize_embeddings(df).collect()[0]
+    assert all(-127 <= q <= 127 for q in r.q)
+    for x, q in zip(vec, r.q):
+        assert abs(x - q * r.scale / 127.0) <= r.scale / 254.0 + 1e-9
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(k=st.integers(1, 50), seed=st.sampled_from(["s1", "s2"]))
+def test_weighted_sample_nested_in_k(spark, k, seed):
+    """Top-k samples nest: the k-sample is a prefix of the (k+m)-sample
+    under the same seed (priorities are fixed per doc)."""
+    from name_match_ml_spark.operators.cleaning import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, (i % 9) + 1) for i in range(120)], ["doc_id", "w"]
+    )
+    small = {r.doc_id for r in weighted_sample(docs, k, weight_col="w", seed=seed).collect()}
+    big = {r.doc_id for r in weighted_sample(docs, k + 20, weight_col="w", seed=seed).collect()}
+    assert len(small) == k and small <= big
