@@ -131,42 +131,49 @@ def main() -> None:
     # absolute bound can't tell self-load from contention, but two clean
     # runs of the same plan agree within ~1.5x while a contended window
     # shows 2-3x.  Up to 2 extra runs per noisy query.
+    #
+    # Runs are INTERLEAVED as full passes over the query list (pass 1 of
+    # every query, then pass 2, ...): back-to-back repeats of one query
+    # always see the same load window, so the bench's own ramping
+    # load_1m (≈ 0 at start, 12-15 by the tail) systematically inflated
+    # late queries in every round — min over two well-separated passes
+    # decorrelates a query's readings from any single contention window.
     spread_bound = float(os.environ.get("SPARK_GRAFT_SPREAD_BOUND", "2.0"))
+    run_log: dict[str, list[float]] = {n: [] for n in headline if n in queries}
+    load_log: dict[str, list[float]] = {n: [] for n in run_log}
+
+    def _run_once(name: str) -> None:
+        l0 = os.getloadavg()[0]
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        run_log[name].append(dt)
+        load_log[name].append(max(l0, os.getloadavg()[0]))
+
+    for _pass in range(runs_per_query):
+        for name in run_log:
+            _run_once(name)
+    # up to 2 extra runs for queries whose passes still disagree > bound
+    for name, runs in run_log.items():
+        while max(runs) / min(runs) > spread_bound and len(runs) < runs_per_query + 2:
+            _run_once(name)
+
     timings: dict[str, float] = {}
     query_load: dict[str, float] = {}
     query_spread: dict[str, float] = {}
-    for name in headline:
-        if name not in queries:
-            continue
-        runs: list[float] = []
-        best_load = float("inf")
-
-        def _noisy() -> bool:
-            return max(runs) / min(runs) > spread_bound
-
-        while len(runs) < runs_per_query or (_noisy() and len(runs) < runs_per_query + 2):
-            l0 = os.getloadavg()[0]
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            run_load = max(l0, os.getloadavg()[0])
-            if not runs or dt < min(runs):
-                best_load = run_load
-            runs.append(dt)
-        timings[name] = round(min(runs), 3)
-        query_load[name] = round(best_load, 2)
+    for name, runs in run_log.items():
+        best = min(range(len(runs)), key=lambda i: runs[i])
+        timings[name] = round(runs[best], 3)
+        query_load[name] = round(load_log[name][best], 2)
         query_spread[name] = round(max(runs) / min(runs), 2)
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        if name not in queries:
-            continue
-        best = float("inf")
-        for _ in range(runs_per_query):
+    ext_log: dict[str, list[float]] = {n: [] for n in EXTENDED if n in queries}
+    for _pass in range(runs_per_query):
+        for name in ext_log:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        extended[name] = round(best, 3)
+            ext_log[name].append(time.perf_counter() - t0)
+    extended = {n: round(min(r), 3) for n, r in ext_log.items()}
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
