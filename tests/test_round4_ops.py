@@ -55,6 +55,34 @@ def test_span_dedup_idempotent(span_docs):
     assert a == b  # no span survives in two places, so a second pass is a no-op
 
 
+def test_span_dedup_plan_has_mapside_winner_combine(span_docs):
+    """The winner-per-span aggregate must show a partial_min: a
+    boilerplate span repeated a billion times then shuffles one row per
+    task, not a billion (the reason it is an aggregate, not a window)."""
+    plan = span_dedup(span_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "row_number" not in plan.lower()  # winner is an aggregate, not a window
+
+
+def test_span_dedup_survives_hot_span(spark):
+    """Skew: one span duplicated across 20k docs — the partial aggregate
+    collapses it map-side and exactly one copy survives."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " "), F.lit("tail doc "), F.col("id").cast("string")).alias("text"),
+    )
+    out = span_dedup(docs, span_words=10)
+    # only doc 0 keeps the boilerplate span; every doc keeps its unique tail
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_spans").alias("total")
+    ).collect()[0]
+    assert agg.total == 40000  # 2 spans per doc
+    assert agg.kept == 20001  # 20000 unique tails + 1 boilerplate winner
+    winner = out.filter(F.col("text").startswith(boiler)).collect()
+    assert len(winner) == 1 and winner[0].doc_id == 0
+
+
 def test_span_dedup_hash_fns_agree(span_docs):
     a = sorted(map(tuple, span_dedup(span_docs, hash_fn="xxhash64").collect()))
     b = sorted(map(tuple, span_dedup(span_docs, hash_fn="md5_60").collect()))
