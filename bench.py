@@ -49,6 +49,7 @@ EXTENDED = [
     "novelty_score",
     "corpus_diff",
     "shared_substring_winnow",
+    "doc_pagerank",
 ]
 
 HEADLINE = [

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 # Rounds used by the most recent connected_components call (label rounds
 # + star rounds); read by tests asserting the O(log n) bound.
@@ -191,3 +191,90 @@ def connected_components(
     return nodes.join(out, "id", "left").select(
         "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list — the
+    link-authority quality signal of web-corpus curation (CommonCrawl
+    pipelines weight documents by link-graph authority before
+    filtering), and the second iterative-dataflow operator beside
+    :func:`connected_components`.
+
+    ALL arithmetic is 64-bit integer on a ``scale`` fixed-point grid:
+    ``rank0 = scale div n``, each round
+    ``rank'(v) = teleport + Σ_{u→v} (rank(u)·damping_num) div
+    (damping_den·outdeg(u))`` with ``teleport = (scale·(den-num)) div
+    (den·n)``.  Integer sums are order-independent, so the result is
+    bit-identical in any engine — the declared oracle replays the same
+    ``iterations`` rounds as unrolled CTEs with DuckDB ``//`` division.
+    (A float PageRank would hash-diverge: per-node contribution sums
+    depend on reduction order.)  Truncating division leaks ≤ 1 grid
+    unit per edge per round and dangling nodes leak their damped mass
+    — the standard simple variant; ranks are a quality ORDERING, not a
+    calibrated distribution.
+
+    Returns ``(id, rank)`` with ``rank ≈ pagerank · scale`` as a long.
+
+    100 TB shape: per round, one equi-join of the rank table against
+    the edge list on ``src`` (both shuffled by the key — or co-located
+    when the edge list is bucketed by src) and one partial-combining
+    sum by ``dst``; everything shuffled is a pair of longs.  Each
+    round ends in ``localCheckpoint`` — iterative lineage must be cut
+    (see module docstring).  Eager work at plan construction: one
+    distinct-node count (``n``), build-side-sized like the CC
+    convergence probes."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .dropDuplicates(["s", "d"])
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
+
+    r = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            r.join(e, r["id"] == e["s"])
+            .join(outdeg, "s")
+            .select(
+                F.col("d"),
+                F.expr(f"CAST((rank * {damping_num}) div ({damping_den} * od) AS BIGINT)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes["id"] == contrib["d"], "left")
+            .select(
+                "id",
+                (F.lit(teleport).cast("long") + F.coalesce(F.col("c"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return r

@@ -1064,6 +1064,27 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new)
 
 
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators/graph.py::pagerank) over
+    a deterministic synthetic citation graph on the documents table
+    (doc -> (doc*7+1) mod N scatter edges + doc -> doc div 10 hub edges,
+    self-loops dropped) — the link-authority quality signal of
+    web-corpus curation, and the second iterative operator beside
+    connected components.  All-integer arithmetic makes the 5 rounds
+    bit-identical in DuckDB's unrolled-CTE replay (a float PageRank
+    would hash-diverge on reduction order)."""
+    from .operators.graph import pagerank
+
+    d = table(spark, sf_dir, "documents")
+    n = d.count()
+    e1 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")
+    )
+    e2 = d.select(F.col("doc_id").alias("src"), F.expr("doc_id div 10").alias("dst"))
+    edges = e1.union(e2).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iterations=5)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: every document's 0-based global rank by
     quality score (best first, doc_id tiebreak) via the two-phase total
@@ -1399,6 +1420,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "novelty_score": q_novelty_score,
     "corpus_diff": q_corpus_diff,
+    "doc_pagerank": q_doc_pagerank,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2639,6 +2661,41 @@ ORACLE_SQL["weighted_sample"] = """
     SELECT doc_id, n_chars, priority
     FROM p ORDER BY priority DESC, doc_id LIMIT 100
 """
+
+def _pagerank_oracle_sql(
+    iterations: int = 5, scale: int = 1_000_000_000, num: int = 85, den: int = 100
+) -> str:
+    """Unrolled-CTE DuckDB mirror of ``q_doc_pagerank``: same synthetic
+    edges, same all-integer round formula (``//`` on positive longs ==
+    Spark's ``div``), one CTE pair per round — no recursion needed for a
+    FIXED iteration count, and no float ever touches a rank."""
+    parts = [f"""
+    WITH e0 AS (
+      SELECT doc_id AS s,
+             (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS d
+      FROM documents
+      UNION
+      SELECT doc_id, doc_id // 10 FROM documents),
+    e AS (SELECT DISTINCT s, d FROM e0 WHERE s <> d),
+    nodes AS (SELECT DISTINCT id FROM (SELECT s AS id FROM e UNION SELECT d FROM e)),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+    r0 AS (SELECT id, ({scale}::BIGINT // n)::BIGINT AS rank FROM nodes, nn)"""]
+    for k in range(iterations):
+        parts.append(f""",
+    c{k} AS (
+      SELECT e.d AS id, sum((r.rank * {num}) // ({den} * o.od))::BIGINT AS c
+      FROM r{k} r JOIN e ON r.id = e.s JOIN outdeg o ON o.s = e.s
+      GROUP BY e.d),
+    r{k + 1} AS (
+      SELECT b.id,
+             (({scale}::BIGINT * {den - num}) // ({den} * b.n) + coalesce(c.c, 0))::BIGINT AS rank
+      FROM (SELECT id, n FROM nodes, nn) b LEFT JOIN c{k} c ON c.id = b.id)""")
+    parts.append(f"\n    SELECT id, rank FROM r{iterations}")
+    return "".join(parts)
+
+
+ORACLE_SQL["doc_pagerank"] = _pagerank_oracle_sql()
 
 # Curriculum ordering: the operator's two-phase total sort emits the
 # true global rank, so a plain window replays it (the difference is

@@ -490,6 +490,51 @@ def test_corpus_diff_statuses(spark):
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
 
 
+# ------------------------------------------------------------------ pagerank
+
+
+def test_pagerank_matches_float_power_iteration(spark):
+    """Fixed-point ranks track a float power iteration to ~1e-6 of
+    total mass, and ordering agrees."""
+    from name_match_ml_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 3 + 1) % 20) for i in range(20)] + [(i, 0) for i in range(1, 20, 2)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = dict(
+        (r.id, r.rank) for r in pagerank(e, iterations=8, scale=10**12).collect()
+    )
+
+    import numpy as np
+
+    nodes = sorted({x for p in edges for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    dedup = sorted(set(edges))
+    out = {a: sum(1 for x, _ in dedup if x == a) for a, _ in dedup}
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in dedup:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / out[a]
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] / 10**12 - r[idx[v]]) < 1e-5
+    order_fx = sorted(nodes, key=lambda v: (-got[v], v))
+    order_fl = sorted(nodes, key=lambda v: (-r[idx[v]], v))
+    assert order_fx == order_fl
+
+
+def test_pagerank_deterministic_and_long_typed(spark):
+    from name_match_ml_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    a = sorted(map(tuple, pagerank(e, iterations=4).collect()))
+    b = sorted(map(tuple, pagerank(e, iterations=4).collect()))
+    assert a == b  # integer arithmetic: no reduction-order wobble
+    assert all(isinstance(rank, int) for _, rank in a)
+
+
 # ------------------------------------------------------------------ totality
 
 
