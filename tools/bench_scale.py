@@ -32,6 +32,7 @@ DEFAULT_QUERIES = [
     "span_dedup", "shared_substring", "gopher_quality", "epoch_upsample",
     "embedding_quantize", "quantized_cosine_topk", "curriculum_order",
     "weighted_sample", "novelty_score", "corpus_diff",
+    "shared_substring_winnow", "doc_pagerank",
 ]
 
 NOTES = {
