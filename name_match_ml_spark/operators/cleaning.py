@@ -308,6 +308,10 @@ def epoch_upsample(
     ``sequence`` bounded by ``max_epochs`` (guards a typo'd rate from
     exploding the corpus 10^6×); no shuffle, no RNG state.
     """
+    if not 0 <= float(default_epochs) <= max_epochs:
+        raise ValueError(
+            f"default_epochs must be in [0, {max_epochs}]: {default_epochs}"
+        )
     int_part = F.lit(int(default_epochs))
     frac_threshold = F.lit(int((float(default_epochs) % 1.0) * (1 << 60)))
     for k, v in sorted(epochs.items()):
@@ -453,16 +457,19 @@ def weighted_sample(
     Scale shape: ``orderBy(...).limit(k)`` compiles to
     ``TakeOrderedAndProject`` — each task keeps a k-row heap and only
     those heaps move — NOT a global sort shuffle; the 100 TB cost is one
-    scan plus k rows per task over the wire.  Zero/negative weights sort
-    to the very end (``ln(u)/0 → -inf``) and are sampled only if fewer
-    than ``k`` positive-weight rows exist."""
+    scan plus k rows per task over the wire.  Rows with weight ≤ 0 are
+    EXCLUDED before ranking (A-ES is defined for positive weights;
+    ``ln(u)/w`` would otherwise rank a negative weight above every
+    positive one, and ``w = 0`` divides by zero), so the sample may
+    hold fewer than ``k`` rows when positive-weight rows run out."""
     h = _gram_hash(
         F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
     )
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
     pr = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
     return (
-        docs.withColumn("priority", pr)
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("priority", pr)
         .orderBy(F.col("priority").desc(), F.col(id_col))
         .limit(k)
     )

@@ -614,8 +614,12 @@ def shared_substring_pairs(
     least ``seed_n + w - 1`` words yields ≥ 1 diagonal match, interior
     selections sit ≤ w apart (so gap-≤-w chaining reconstructs the
     run), and the reported length ``max(pos)-min(pos)+seed_n`` is a
-    LOWER BOUND within ``2(w-1)`` of the true run.  Selection is a pure
-    function of content — equally oracle-replayable."""
+    LOWER BOUND within ``2(w-1)`` of the true run.  Because
+    ``min_words`` filters on that lower bound, winnow mode can drop a
+    pair whose TRUE longest run lies in ``[min_words, min_words +
+    2(w-1))`` — callers needing guaranteed recall for runs ≥ L should
+    pass ``min_words = max(seed_n, L - 2*(w-1))``.  Selection is a
+    pure function of content — equally oracle-replayable."""
     from ..operators.cleaning import _gram_hash
 
     if min_words < seed_n:

@@ -45,6 +45,31 @@ _TOPK_CAND_SCHEMA = StructType(
 )
 
 
+def _batch_topk_frame(
+    cids: np.ndarray, S: np.ndarray, b_qids: np.ndarray, take: int
+) -> pd.DataFrame:
+    """Per-batch top-``take`` selection shared by the exact and
+    quantized GEMM scorers: round scores to the final tie grid, mask
+    self-matches, take a stable per-query top slice ordered by
+    (rounded score desc, id asc) — ``cids`` MUST already be id-sorted
+    so the stable argsort yields that total order — and emit the RAW
+    scores (the final window re-rounds)."""
+    R = np.round(S, 6)
+    R[np.equal.outer(cids, b_qids)] = -np.inf  # self-matches out
+    top = np.argsort(-R, axis=0, kind="stable")[: min(take, len(cids))]
+    n_top, m = top.shape
+    rows = top.ravel(order="F")
+    cols = np.repeat(np.arange(m), n_top)
+    keep = np.isfinite(R[rows, cols])
+    return pd.DataFrame(
+        {
+            "query_id": b_qids[cols[keep]],
+            "neighbor_id": cids[rows[keep]],
+            "cosine": S[rows[keep], cols[keep]],
+        }
+    )
+
+
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
     # Norms are per-vector: compute them per side here, never per pair
     # (see norm_expr).
@@ -114,20 +139,7 @@ def cosine_topk_exact(
             C = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ b_Qn.T  # (batch, n_queries) — the GEMM
-            R = np.round(S, 6)
-            R[np.equal.outer(cids, b_qids)] = -np.inf  # self-matches out
-            top = np.argsort(-R, axis=0, kind="stable")[: min(take, len(cids))]
-            n_top, m = top.shape
-            rows = top.ravel(order="F")
-            cols = np.repeat(np.arange(m), n_top)
-            keep = np.isfinite(R[rows, cols])
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[cols[keep]],
-                    "neighbor_id": cids[rows[keep]],
-                    "cosine": S[rows[keep], cols[keep]],
-                }
-            )
+            yield _batch_topk_frame(cids, S, b_qids, take)
 
     cand = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
@@ -331,7 +343,12 @@ def quantized_cosine_topk(
     ).collect()
     if not qrows:
         empty = spark.createDataFrame([], _TOPK_CAND_SCHEMA)
-        return empty.withColumn("rank", F.lit(1)).limit(0)
+        # same output schema as the non-empty path (qcos, not cosine)
+        return (
+            empty.withColumn("rank", F.lit(1))
+            .select("query_id", "neighbor_id", F.col("cosine").alias("qcos"), "rank")
+            .limit(0)
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.int32) for r in qrows])
     Qn = np.sqrt((Q.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
@@ -350,20 +367,7 @@ def quantized_cosine_topk(
             Cn = np.sqrt((C.astype(np.int64) ** 2).sum(axis=1).astype(np.float64))
             D = (C @ b_Q.T).astype(np.float64)  # exact integer dots
             S = D / np.maximum(np.outer(Cn, b_Qn), 1e-30)
-            R = np.round(S, 6)
-            R[np.equal.outer(cids, b_qids)] = -np.inf
-            top = np.argsort(-R, axis=0, kind="stable")[: min(take, len(cids))]
-            n_top, m = top.shape
-            rows = top.ravel(order="F")
-            cols = np.repeat(np.arange(m), n_top)
-            keep = np.isfinite(R[rows, cols])
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[cols[keep]],
-                    "neighbor_id": cids[rows[keep]],
-                    "cosine": S[rows[keep], cols[keep]],
-                }
-            )
+            yield _batch_topk_frame(cids, S, b_qids, take)
 
     cand = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
         F.col("vec_id").alias("neighbor_id"), "q"

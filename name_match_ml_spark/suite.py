@@ -2524,7 +2524,7 @@ ORACLE_SQL["gopher_quality"] = f"""
       SELECT doc_id,
              len(ws) AS n_words,
              greatest(len(ws), 1) AS denom,
-             round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE
+             round(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
                    / greatest(len(ws), 1), 6) AS mean_word_len,
              round(((length(t) - length(replace(t, '#', '')))
                     + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3)

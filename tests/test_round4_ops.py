@@ -434,6 +434,25 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     assert heavy >= 45  # P(light doc beats heavy) ~ (u)^(1/100) tail
 
 
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from name_match_ml_spark.operators.cleaning import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, -5), (1, 0), (2, 3), (3, 7), (4, 1)], ["doc_id", "w"]
+    )
+    out = weighted_sample(df, 10, weight_col="w", seed="np").collect()
+    # zero/negative weights never sampled, even when k exceeds the rest
+    assert sorted(r.doc_id for r in out) == [2, 3, 4]
+
+
+def test_quantized_topk_empty_queries_schema(spark, qemb):
+    from name_match_ml_spark.operators.simsearch import quantized_cosine_topk
+
+    out = quantized_cosine_topk(qemb, qemb.filter(F.col("vec_id") < 0), k=3)
+    assert out.columns == ["query_id", "neighbor_id", "qcos", "rank"]
+    assert out.count() == 0
+
+
 def test_weighted_sample_plan_is_topk_not_global_sort(spark):
     from name_match_ml_spark.operators.cleaning import weighted_sample
 
