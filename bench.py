@@ -50,6 +50,16 @@ EXTENDED = [
     "corpus_diff",
     "shared_substring_winnow",
     "doc_pagerank",
+    # round 4 second batch: constant-memory Bloom decontamination,
+    # quota sampling, vocab coverage, index build, containment dedup,
+    # time-range frames, salted aggregation
+    "bloom_decontaminate",
+    "stratified_sample",
+    "vocab_coverage",
+    "inverted_index",
+    "containment_dedup",
+    "window_range_frame",
+    "salted_agg",
 ]
 
 HEADLINE = [

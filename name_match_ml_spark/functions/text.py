@@ -28,6 +28,8 @@ __all__ = [
     "unigram_logprob_scores",
     "bigram_logprob_scores",
     "chunk_documents",
+    "vocab_oov_stats",
+    "inverted_index",
     "ws_normalize",
 ]
 
@@ -428,3 +430,119 @@ def ws_normalize(text: Column) -> Column:
     """The normalization :func:`doc_fingerprint` applies — exposed so call
     sites can stage it as a materialized projection."""
     return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def vocab_oov_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size`` word
+    vocabulary by corpus frequency (ties broken lexically) and report
+    each document's out-of-vocabulary token rate.
+
+    This is the coverage check run before committing to a tokenizer
+    vocabulary: a rising OOV rate on a new data source means the vocab
+    (or its normalization) no longer fits the corpus.
+
+    Returns ``(doc_id, n_tokens, n_oov, oov_rate)``; ``oov_rate`` is a
+    single division of exact integers rounded to 6 dp (bit-stable), 0.0
+    for empty documents.
+
+    Plan: one (doc, word) count aggregate (map-side combine collapses
+    repeats before the exchange) feeds both the corpus-frequency table
+    and the per-doc sums.  The vocabulary is ``LIMIT vocab_size`` —
+    bounded by construction, not by data — so broadcasting it is safe at
+    any corpus size (contrast :func:`tfidf_top_terms`, whose unbounded
+    df table must NOT be broadcast).  The per-doc re-aggregation keys on
+    doc_id only.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        tf.groupBy("w")
+        .agg(F.sum("cnt").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tf.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.coalesce("n_oov", F.lit(0)).cast("double") / F.col("n_tokens"),
+                ).otherwise(0.0),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Term → document-frequency + bounded posting-list sample: the
+    retrieval-side index build (BM25/keyword search over a training
+    corpus, duplicate-query mining).
+
+    Returns ``(term, df_count, postings)`` where ``postings`` is the
+    first ``max_postings`` doc ids ascending, comma-joined — a bounded
+    *sample* of the posting list, never the whole thing.
+
+    Scale contract: posting lists are the classic unbounded-aggregate
+    trap — ``collect_list`` of a billion-document stopword posting is an
+    executor OOM.  The bound is enforced BEFORE collection: a per-term
+    ``row_number() <= max_postings`` window (WindowGroupLimit pushes the
+    top-n into each map partition) guarantees every ``collect_list``
+    sees at most ``max_postings`` elements.  df is a separate count on
+    the same shuffle key.
+    """
+    wd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_words(F.col(text_col)))).alias("term"),
+    )
+    dfreq = wd.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    sample = (
+        wd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda d: d.cast("string")
+                ),
+            ).alias("postings")
+        )
+    )
+    return dfreq.join(sample, "term").filter(F.col("df_count") >= min_df)

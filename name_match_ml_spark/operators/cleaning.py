@@ -31,6 +31,9 @@ from __future__ import annotations
 
 from typing import Mapping
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +49,8 @@ __all__ = [
     "weighted_sample",
     "novelty_stats",
     "corpus_diff",
+    "bloom_decontaminate",
+    "stratified_sample",
 ]
 
 
@@ -61,8 +66,8 @@ def _gram_hash(gram: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def _ngram_hashes(text_col: str, n: int, hash_fn: str) -> Column:
-    """Distinct hashed word n-grams of ``text_col`` (empty array for docs
+def _ngram_strings(text_col: str, n: int) -> Column:
+    """Distinct word n-gram strings of ``text_col`` (empty array for docs
     shorter than ``n`` words)."""
     w = _words(text_col)
     grams = F.when(
@@ -72,7 +77,13 @@ def _ngram_hashes(text_col: str, n: int, hash_fn: str) -> Column:
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.transform(grams, lambda g: _gram_hash(g, hash_fn)))
+    return F.array_distinct(grams)
+
+
+def _ngram_hashes(text_col: str, n: int, hash_fn: str) -> Column:
+    """Distinct hashed word n-grams of ``text_col`` (empty array for docs
+    shorter than ``n`` words)."""
+    return F.transform(_ngram_strings(text_col, n), lambda g: _gram_hash(g, hash_fn))
 
 
 def decontaminate_ngrams(
@@ -610,4 +621,131 @@ def select_keepers(
         "cluster_id",
         "quality",
         (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+def _bloom_bit_positions(gram: Column, *, m_bits: int, k: int, hash_fn: str) -> Column:
+    """The ``k`` Bloom bit positions of one gram string: hash of
+    ``gram + '#' + j`` mod ``m_bits`` for j in 0..k-1.  Salting the gram
+    string (not re-mixing one hash) keeps every position independently
+    replayable in any engine that has the same string hash."""
+    return F.array(
+        *[
+            F.pmod(_gram_hash(F.concat(gram, F.lit(f"#{j}")), hash_fn), F.lit(m_bits))
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the fixed-memory scale
+    variant of :func:`decontaminate_ngrams`.
+
+    Where ``decontaminate_ngrams`` broadcasts the benchmark's distinct
+    gram *table* (size grows with the eval set), this builds an
+    ``m_bits``-bit Bloom filter of the benchmark's word ``n``-grams —
+    **constant size regardless of eval-set cardinality** (an 8 GiB eval
+    suite still compresses to ``m_bits/8`` bytes) — and streams the
+    corpus through it map-side: no join, no shuffle, one Arrow-batched
+    membership probe per document.  This is how decontamination actually
+    runs at 100 TB: the filter rides the task closure; corpus grams
+    never leave their executor.
+
+    Bloom semantics: no false negatives — every truly shared gram is
+    flagged; false positives at rate ~``(1-e^(-kN/m))^k`` flag extra
+    grams (conservative for decontamination: may drop a clean doc, never
+    keeps a leaked one).  With deterministic ``md5_60`` bit positions the
+    *exact* flagged set — false positives included — is bit-reproducible
+    in any engine, so the declared query hash-checks against a DuckDB
+    replay of the same filter.
+
+    Returns ``(doc_id, n_flagged, contaminated)`` — ``n_flagged`` counts
+    the corpus doc's distinct grams whose ``k`` bits are all set.
+    """
+    bit_rows = (
+        benchmark.select(F.explode(_ngram_strings(text_col, n)).alias("g"))
+        .select(
+            F.explode(
+                _bloom_bit_positions(F.col("g"), m_bits=m_bits, k=k, hash_fn=hash_fn)
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    )
+    bitset = np.zeros(m_bits, dtype=bool)
+    bitset[[r["bit"] for r in bit_rows]] = True
+    packed = corpus.sparkSession.sparkContext.broadcast(np.packbits(bitset))
+
+    @F.pandas_udf("long")
+    def _n_flagged(flat_bits: pd.Series) -> pd.Series:
+        buf = packed.value
+        out = np.zeros(len(flat_bits), dtype=np.int64)
+        for i, arr in enumerate(flat_bits):
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size == 0:
+                continue
+            a = a.reshape(-1, k)
+            # np.packbits is MSB-first: bit p lives at byte p>>3, mask 1<<(7-(p&7))
+            hit = (buf[a >> 3] >> (7 - (a & 7))) & 1
+            out[i] = int(hit.all(axis=1).sum())
+        return pd.Series(out)
+
+    flat = F.flatten(
+        F.transform(
+            _ngram_strings(text_col, n),
+            lambda g: _bloom_bit_positions(g, m_bits=m_bits, k=k, hash_fn=hash_fn),
+        )
+    )
+    return corpus.select(
+        F.col(id_col).alias("doc_id"), _n_flagged(flat).alias("n_flagged")
+    ).select("doc_id", "n_flagged", (F.col("n_flagged") > 0).alias("contaminated"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    id_col: str = "doc_id",
+    n_per_stratum: int,
+    seed: str = "s1",
+) -> DataFrame:
+    """Deterministic exact-``n``-per-stratum sampling: every stratum
+    contributes exactly ``min(n, |stratum|)`` rows, chosen by ranking a
+    seeded hash of the row id — the fixed-quota companion to
+    :func:`mixture_sample` (rate-based) and :func:`weighted_sample`
+    (global weighted top-k).
+
+    Returns ``(id, stratum, sample_rank)`` for the selected rows, rank
+    1-based within the stratum.  Determinism: the order key is
+    ``md5_60(seed + '#' + id)`` with the id itself as tiebreak — no RNG
+    state, identical under retries and across engines.
+
+    Scale: one shuffle on the stratum key; the rank-≤-n filter gets
+    Spark's ``WindowGroupLimit`` pushdown (partial per-partition top-n
+    before the shuffle), so a billion-row stratum moves only ~n rows per
+    map task, not the stratum.
+    """
+    from pyspark.sql import Window
+
+    order = _gram_hash(
+        F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")), "md5_60"
+    )
+    w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= n_per_stratum)
     )

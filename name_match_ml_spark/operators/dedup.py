@@ -36,6 +36,7 @@ from ..plans.staging import stage
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "shared_substring_pairs",
@@ -853,4 +854,57 @@ def embedding_near_dup(
         .withColumn("cosine", F.round("cosine", 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ALL pairs whose max directional shingle CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` meets ``threshold`` — the asymmetric
+    companion to :func:`ngram_jaccard_pairs`.
+
+    Jaccard misses subset duplicates: a paragraph quoted whole inside a
+    10× longer page has J ≈ 0.1 but containment 1.0.  Containment is the
+    signal corpus pipelines use for quote/boilerplate-inclusion detection
+    (and is what the MinHash variant in Broder's original resemblance
+    paper sketches alongside resemblance).
+
+    Plan (countjoin shape, exact): explode distinct shingle hashes,
+    narrow self-equi-join on the hash, ``groupBy(pair).count()`` is the
+    intersection (map-side partial agg collapses before the wire), one
+    integer division at the end.  Unlike Jaccard there is NO sound
+    length-ratio prune for containment (a tiny doc may be fully contained
+    in a huge one), so the join carries every co-occurring pair — this
+    operator is the oracle-exact baseline; at 100 TB the sketch path is
+    MinHash with the containment estimator, and stop-shingles above a df
+    cap are dropped the way :mod:`..plans.blocking` caps hot keys.
+
+    Returns ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b`` and
+    containment rounded to 6 dp (a single integer-operand division —
+    bit-stable across engines).
+    """
+    base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    tok = base.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

@@ -1346,6 +1346,91 @@ def q_ml_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.filter(F.lit(passed))
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: same eval split as `decontaminate`
+    (doc_id % 97) but membership goes through a fixed-size 65536-bit
+    Bloom filter with 3 md5_60-derived hash functions — the
+    constant-memory scale path (operators/cleaning.py).  The flagged set
+    INCLUDES the filter's false positives; with deterministic bit
+    positions that exact set is replayed by the DuckDB oracle."""
+    from .operators.cleaning import bloom_decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(corpus, bench, n=4, m_bits=1 << 16, k=3, hash_fn="md5_60")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: 5 documents per source, selected by
+    seeded-hash rank (operators/cleaning.py::stratified_sample)."""
+    from .operators.cleaning import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(d, strata_col="source", id_col="doc_id", n_per_stratum=5)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 corpus vocabulary + per-document OOV token rate
+    (functions/text.py::vocab_oov_stats)."""
+    from .functions.text import vocab_oov_stats
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_oov_stats(d, vocab_size=16)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> df + first-10-doc posting sample
+    (functions/text.py::inverted_index)."""
+    from .functions.text import inverted_index
+
+    d = table(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=10)
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs — catches subset
+    duplicates Jaccard misses (operators/dedup.py::ngram_containment_pairs).
+    2-gram shingles at 0.5 keep the pair count corpus-meaningful on the
+    dense synthetic vocabulary."""
+    from .operators.dedup import ngram_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, threshold=0.5, shingle_n=2)
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour sum/count over
+    events, ordered by epoch second (SURVEY A4/W extension).  RANGE
+    includes all peer rows with the same second in both engines; sums
+    are decimal-exact."""
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        sec.alias("ts_sec"),
+        F.sum(_dec("value")).over(w).cast("double").alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_cnt"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (plans/skew.py::salted_count) — the
+    hot-key-safe groupBy(count) whose result must be IDENTICAL to the
+    plain aggregate the oracle runs.  Declares the skew tooling as a
+    driver-checked query instead of pytest-only."""
+    from .plans.skew import salted_count
+
+    e = table(spark, sf_dir, "events")
+    return salted_count(e, key="event_type", salt_src="event_id", salt=8)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1421,6 +1506,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "novelty_score": q_novelty_score,
     "corpus_diff": q_corpus_diff,
     "doc_pagerank": q_doc_pagerank,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "vocab_coverage": q_vocab_coverage,
+    "inverted_index": q_inverted_index,
+    "containment_dedup": q_containment_dedup,
+    "window_range_frame": q_window_range_frame,
+    "salted_agg": q_salted_agg,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2881,3 +2973,132 @@ def flagship_corpus_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocking=True,
         broadcast_employees=True,
     )
+
+# Bloom decontamination: the oracle rebuilds the SAME 65536-bit filter
+# (3 salted md5_60 positions per gram) and replays membership — false
+# positives and all — so the hash check covers the filter itself, not
+# just the happy path.
+ORACLE_SQL["bloom_decontaminate"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 4
+               THEN list_transform(range(1, len(ws) - 2),
+                                   i -> array_to_string(list_slice(ws, i, i + 3), ' '))
+               ELSE []::VARCHAR[] END) AS grams
+      FROM w),
+    j AS (SELECT unnest(range(3)) AS j),
+    eb AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(gram || '#' || j::VARCHAR), 1, 15))::BIGINT % 65536 AS bit
+      FROM (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+      CROSS JOIN j),
+    cb AS (
+      SELECT doc_id, gram, j,
+             ('0x' || substr(md5(gram || '#' || j::VARCHAR), 1, 15))::BIGINT % 65536 AS bit
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+      CROSS JOIN j),
+    fl AS (
+      SELECT doc_id, gram
+      FROM cb SEMI JOIN eb USING (bit)
+      GROUP BY doc_id, gram
+      HAVING count(DISTINCT j) = 3),
+    cnt AS (SELECT doc_id, count(*) AS n_flagged FROM fl GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(c.n_flagged, 0)::BIGINT AS n_flagged,
+           coalesce(c.n_flagged, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN cnt c USING (doc_id)
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+    WITH ranked AS (
+      SELECT doc_id AS id, source AS stratum,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5('s1#' || doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+                        doc_id ASC) AS sample_rank
+      FROM documents)
+    SELECT id, stratum, sample_rank::INT AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+"""
+
+ORACLE_SQL["vocab_coverage"] = """
+    WITH tf AS (
+      SELECT doc_id, w, count(*) AS cnt
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    vocab AS (
+      SELECT w FROM (SELECT w, sum(cnt) AS cf FROM tf GROUP BY w)
+      ORDER BY cf DESC, w ASC LIMIT 16),
+    per_doc AS (
+      SELECT doc_id, sum(cnt) AS n_tokens,
+             sum(CASE WHEN v.w IS NULL THEN cnt ELSE 0 END) AS n_oov
+      FROM tf LEFT JOIN vocab v USING (w)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+           round(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                 THEN coalesce(p.n_oov, 0)::DOUBLE / p.n_tokens
+                 ELSE 0.0 END, 6) AS oov_rate
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+ORACLE_SQL["inverted_index"] = """
+    WITH wd AS (
+      SELECT DISTINCT doc_id, w AS term
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents))
+    SELECT term,
+           count(*)::BIGINT AS df_count,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS postings
+    FROM wd GROUP BY term
+"""
+
+ORACLE_SQL["containment_dedup"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0)
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / least(a.n, b.n), 6) AS containment
+      FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+    WHERE containment >= 0.5
+"""
+
+ORACLE_SQL["window_range_frame"] = """
+    SELECT event_id, user_id,
+           (epoch_ms(ts) // 1000)::BIGINT AS ts_sec,
+           (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE AS rolling_sum,
+           (count(*) OVER w)::BIGINT AS rolling_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY (epoch_ms(ts) // 1000)::BIGINT
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_SQL["salted_agg"] = """
+    SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type
+"""

@@ -1,0 +1,197 @@
+"""Round-4 second-batch operator tests: Bloom decontamination,
+stratified sampling, vocabulary/OOV coverage, inverted index, and
+shingle-containment pairs.  DuckDB hash-parity for each is covered by
+the declared-query harness (tools/verify_queries.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.operators.cleaning import (
+    bloom_decontaminate,
+    decontaminate_ngrams,
+    stratified_sample,
+)
+from name_match_ml_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+from name_match_ml_spark.functions.text import inverted_index, vocab_oov_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over a sleeping cat"),
+        (2, "completely unrelated text about spark query engines"),
+        (3, "the quick brown fox"),  # subset of doc 0's opening
+        (4, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ------------------------------------------------------- bloom decontaminate
+
+
+def test_bloom_has_no_false_negatives(docs, spark):
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    exact = {
+        r.doc_id: r.contaminated
+        for r in decontaminate_ngrams(corpus, bench, n=3, hash_fn="md5_60").collect()
+    }
+    bloom = {
+        r.doc_id: r
+        for r in bloom_decontaminate(corpus, bench, n=3, hash_fn="md5_60").collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, contaminated in exact.items():
+        if contaminated:  # Bloom may over-flag, never under-flag
+            assert bloom[doc_id].contaminated, f"false negative on {doc_id}"
+    # docs 1 and 3 share 3-grams with doc 0; doc 2 shares none (modulo
+    # false positives, impossible here: 3 bits in a 65536-bit filter
+    # loaded with ~21 bits)
+    assert bloom[1].contaminated and bloom[3].contaminated
+    assert not bloom[2].contaminated
+    assert not bloom[4].contaminated  # empty doc has no grams
+
+
+def test_bloom_counts_bounded_by_gram_count(docs):
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    out = bloom_decontaminate(corpus, bench, n=3, hash_fn="md5_60")
+    grams = corpus.select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+            )
+        ).alias("n_words"),
+    )
+    for r in out.join(grams, "doc_id").collect():
+        assert 0 <= r.n_flagged <= max(r.n_words, 0)
+
+
+def test_bloom_tiny_filter_overflags_but_keeps_negatives_sound(docs):
+    """With m_bits=8 nearly every probe collides — n_flagged can only
+    grow vs the exact answer, never shrink."""
+    bench = docs.filter(F.col("doc_id") == 0)
+    corpus = docs.filter(F.col("doc_id") != 0)
+    big = {
+        r.doc_id: r.n_flagged
+        for r in bloom_decontaminate(
+            corpus, bench, n=3, m_bits=1 << 16, hash_fn="md5_60"
+        ).collect()
+    }
+    tiny = {
+        r.doc_id: r.n_flagged
+        for r in bloom_decontaminate(
+            corpus, bench, n=3, m_bits=8, hash_fn="md5_60"
+        ).collect()
+    }
+    for doc_id in big:
+        assert tiny[doc_id] >= big[doc_id]
+
+
+# --------------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_exact_quota(spark):
+    rows = [(i, f"s{i % 3}") for i in range(30)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(
+        df, strata_col="source", id_col="doc_id", n_per_stratum=4
+    ).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r.sample_rank)
+    assert sorted(by_stratum) == ["rare", "s0", "s1", "s2"]
+    for s in ("s0", "s1", "s2"):
+        assert sorted(by_stratum[s]) == [1, 2, 3, 4]
+    assert by_stratum["rare"] == [1]  # stratum smaller than the quota
+
+
+def test_stratified_sample_deterministic_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i, "s") for i in range(200)], ["doc_id", "source"])
+    pick = lambda seed: sorted(  # noqa: E731
+        r.id
+        for r in stratified_sample(
+            df, strata_col="source", id_col="doc_id", n_per_stratum=20, seed=seed
+        ).collect()
+    )
+    assert pick("s1") == pick("s1")
+    assert pick("s1") != pick("s2")
+
+
+# ------------------------------------------------------------- vocab / OOV
+
+
+def test_vocab_oov_rates(spark):
+    rows = [
+        (0, "a a a b"),  # all in a top-1 vocab of {a}? depends on size
+        (1, "a b c d"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in vocab_oov_stats(df, vocab_size=2).collect()}
+    # corpus freqs: a=4, b=2, c=1, d=1 -> vocab {a, b}
+    assert out[0].n_tokens == 4 and out[0].n_oov == 0 and out[0].oov_rate == 0.0
+    assert out[1].n_tokens == 4 and out[1].n_oov == 2 and out[1].oov_rate == 0.5
+    assert out[2].n_tokens == 0 and out[2].n_oov == 0 and out[2].oov_rate == 0.0
+
+
+def test_vocab_tie_broken_lexically(spark):
+    df = spark.createDataFrame([(0, "z y z y x")], ["doc_id", "text"])
+    out = vocab_oov_stats(df, vocab_size=3).collect()[0]
+    assert out.n_oov == 0  # x enters on the lexical tiebreak at cf=1
+    out2 = vocab_oov_stats(df, vocab_size=2).collect()[0]
+    assert out2.n_oov == 1  # vocab {y, z} (cf=2 each); x is OOV
+
+
+# ----------------------------------------------------------- inverted index
+
+
+def test_inverted_index_bounded_sorted_postings(spark):
+    rows = [(i, "common " + ("rare" if i == 7 else f"tail{i}")) for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.term: r for r in inverted_index(df, max_postings=10).collect()}
+    assert out["common"].df_count == 25
+    postings = [int(x) for x in out["common"].postings.split(",")]
+    assert postings == list(range(10))  # bounded at 10, ascending
+    assert out["rare"].df_count == 1 and out["rare"].postings == "7"
+
+
+def test_inverted_index_min_df_filter(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], ["doc_id", "text"]
+    )
+    terms = {r.term for r in inverted_index(df, min_df=2).collect()}
+    assert terms == {"a"}
+
+
+# ------------------------------------------------------- containment pairs
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    long = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    quote = "w0 w1 w2 w3"  # fully contained prefix
+    df = spark.createDataFrame([(0, long), (1, quote)], ["doc_id", "text"])
+    cont = ngram_containment_pairs(df, threshold=0.9, shingle_n=2).collect()
+    assert len(cont) == 1
+    assert (cont[0].doc_a, cont[0].doc_b, cont[0].containment) == (0, 1, 1.0)
+    jac = ngram_jaccard_pairs(
+        df, threshold=0.9, shingle_n=2, strategy="countjoin"
+    ).collect()
+    assert jac == []  # Jaccard of a 20% subset is ~0.2 — invisible at 0.9
+
+
+def test_containment_symmetric_output_contract(spark):
+    df = spark.createDataFrame(
+        [(5, "a b c d"), (2, "a b c d"), (9, "q r s t")], ["doc_id", "text"]
+    )
+    out = ngram_containment_pairs(df, threshold=0.5, shingle_n=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_a < r.doc_b and (r.doc_a, r.doc_b) == (2, 5) and r.containment == 1.0
