@@ -60,6 +60,10 @@ EXTENDED = [
     "containment_dedup",
     "window_range_frame",
     "salted_agg",
+    "correlated_subquery",
+    "correlated_exists",
+    "null_semantics",
+    "time_topk",
 ]
 
 HEADLINE = [

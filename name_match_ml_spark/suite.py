@@ -1431,6 +1431,100 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(e, key="event_type", salt_src="event_id", salt=8)
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape correlated scalar subqueries through the SQL
+    surface: small-quantity line items vs 1/5 of the part's average
+    order quantity.  Declared as raw SQL (not DataFrame calls) so the
+    parser + Catalyst's subquery DECORRELATION are the engine features
+    under test — each scalar subquery must rewrite to an aggregate +
+    join, never a per-row re-execution.  The predicate is cross-
+    multiplied to exact integer/decimal arithmetic (``5·qty·cnt <
+    sum``) so no engine computes a divided average."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l1.l_partkey AS partkey,
+               CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS small_qty_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l1
+        WHERE CAST(l1.l_quantity AS DECIMAL(18,2)) * 5 *
+              (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey)
+              < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+                 FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+        GROUP BY l1.l_partkey
+        """
+    )
+
+
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via the SQL surface (decorrelates
+    to semi + anti joins): customers holding an open high-value order
+    but no filled one."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O'
+                        AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic corners on one result: null-producing NULLIF,
+    null-safe equality (`<=>` / IS NOT DISTINCT FROM), COALESCE
+    fallback, and grouping where NULL is its own key."""
+    e = table(spark, sf_dir, "events")
+    tagged = e.select(
+        F.nullif(F.col("event_type"), F.lit("click")).alias("et_nullable"),
+        F.get_json_object("props", "$.missing_key").alias("absent"),
+        "value",
+    )
+    return tagged.groupBy("et_nullable").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("et_nullable").alias("n_nonnull"),  # count(col) skips NULLs
+        F.sum(
+            F.when(F.col("et_nullable").eqNullSafe(F.col("absent")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq"),  # NULL <=> NULL is TRUE, 'x' <=> NULL is FALSE
+        F.sum(F.when(F.coalesce("et_nullable", F.lit("fallback")) == "fallback", 1)
+              .otherwise(0)).alias("n_fallback"),
+    )
+
+
+def q_time_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top spender per hour bucket: time-bucketed grouping composed with
+    per-bucket ranking — the rollup+leaderboard shape of event
+    analytics.  Decimal-exact sums; rank ties broken by user id."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "user_id",
+        )
+        .agg(F.sum(_dec("value")).alias("spend"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("spend").desc(), F.col("user_id").asc())
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.unix_timestamp("bucket").alias("bucket_sec"),
+            "user_id",
+            F.col("spend").cast("double").alias("spend"),
+            "rnk",
+        )
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1506,6 +1600,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "novelty_score": q_novelty_score,
     "corpus_diff": q_corpus_diff,
     "doc_pagerank": q_doc_pagerank,
+    "correlated_subquery": q_correlated_subquery,
+    "correlated_exists": q_correlated_exists,
+    "null_semantics": q_null_semantics,
+    "time_topk": q_time_topk,
     "bloom_decontaminate": q_bloom_decontaminate,
     "stratified_sample": q_stratified_sample,
     "vocab_coverage": q_vocab_coverage,
@@ -3101,4 +3199,61 @@ ORACLE_SQL["window_range_frame"] = """
 
 ORACLE_SQL["salted_agg"] = """
     SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["correlated_subquery"] = """
+    SELECT l1.l_partkey AS partkey,
+           CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l1
+    WHERE CAST(l1.l_quantity AS DECIMAL(18,2)) * 5 *
+          (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+    GROUP BY l1.l_partkey
+"""
+
+ORACLE_SQL["correlated_exists"] = """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O'
+                    AND o.o_totalprice > 150000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+"""
+
+ORACLE_SQL["null_semantics"] = """
+    WITH tagged AS (
+      SELECT nullif(event_type, 'click') AS et_nullable,
+             json_extract_string(props, '$.missing_key') AS absent,
+             value
+      FROM events)
+    SELECT et_nullable,
+           count(*)::BIGINT AS n_rows,
+           count(et_nullable)::BIGINT AS n_nonnull,
+           sum(CASE WHEN et_nullable IS NOT DISTINCT FROM absent
+               THEN 1 ELSE 0 END)::BIGINT AS n_nullsafe_eq,
+           sum(CASE WHEN coalesce(et_nullable, 'fallback') = 'fallback'
+               THEN 1 ELSE 0 END)::BIGINT AS n_fallback
+    FROM tagged GROUP BY et_nullable
+"""
+
+ORACLE_SQL["time_topk"] = """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, user_id,
+             sum(value::DECIMAL(18,2)) AS spend
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT (epoch_ms(bucket) // 1000)::BIGINT AS bucket_sec, user_id,
+             spend::DOUBLE AS spend,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY spend DESC, user_id ASC) AS rnk
+      FROM hourly)
+    SELECT bucket_sec, user_id, spend, rnk::INT AS rnk FROM ranked WHERE rnk <= 3
 """

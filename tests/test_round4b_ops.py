@@ -195,3 +195,37 @@ def test_containment_symmetric_output_contract(spark):
     assert len(out) == 1
     r = out[0]
     assert r.doc_a < r.doc_b and (r.doc_a, r.doc_b) == (2, 5) and r.containment == 1.0
+
+
+# ------------------------------------------------- SQL-surface queries
+
+
+def test_correlated_subquery_decorrelates(spark):
+    from name_match_ml_spark.suite import SPARK_QUERIES
+
+    df = SPARK_QUERIES["correlated_subquery"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst must rewrite each correlated scalar subquery into an
+    # aggregate + join — a surviving per-row subquery node would
+    # re-execute the aggregate once per outer row.
+    assert "Subquery" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_null_semantics_null_group_row(spark):
+    from name_match_ml_spark.suite import SPARK_QUERIES
+
+    rows = {
+        r.et_nullable: r
+        for r in SPARK_QUERIES["null_semantics"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert None in rows  # NULL is its own grouping key
+    null_row = rows[None]
+    assert null_row.n_nonnull == 0  # count(col) skips NULLs
+    # NULL <=> NULL is TRUE for every clicked row in the NULL group
+    assert null_row.n_nullsafe_eq == null_row.n_rows
+    assert null_row.n_fallback == null_row.n_rows
+    for k, r in rows.items():
+        if k is not None:
+            assert r.n_nullsafe_eq == 0 and r.n_fallback == 0
