@@ -64,6 +64,9 @@ EXTENDED = [
     "correlated_exists",
     "null_semantics",
     "time_topk",
+    "doc_triangles",
+    "grouped_udaf",
+    "enrich_events",
 ]
 
 HEADLINE = [

@@ -238,3 +238,22 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + segment rollup: each micro-batch
+    of events joins the STATIC customer dimension (no watermark needed —
+    static sides are re-read per batch, and a broadcast keeps the join
+    map-side) and rolls up per market segment.
+
+    The stream-static join is the dimensional-enrichment workhorse:
+    unlike the stream-stream interval join there is no state to expire,
+    because only the stream side grows.  Batch twin:
+    ``suite.py::q_enrich_events`` (stream ≡ batch pinned in
+    tests/test_streaming.py)."""
+    joined = events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )

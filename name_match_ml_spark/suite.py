@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1525,6 +1527,64 @@ def q_time_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the exact-Jaccard near-dup graph (operators/graph.py
+    ::triangles, degree-oriented node-iterator): ordered (a, b, c)
+    triples.  Cohesion check on the same pair stream dedup_clusters
+    consumes — triangle-free chains flag risky transitive merges."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import triangles
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    return triangles(pairs)
+
+
+def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY §2.7): per-event-type median absolute
+    deviation of `value` via an Arrow GROUPED_AGG pandas UDF — the
+    robust-dispersion statistic no Catalyst builtin provides in one
+    aggregate.  Medians are selection-based (numpy and the oracle both
+    average the two middle doubles), so rounding to 6 dp hash-matches.
+    Scale note: grouped-agg UDFs ship each group through Arrow — right
+    for LOW-cardinality keys like event_type (5 groups); high-cardinality
+    robust stats go through approx_percentile instead."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+
+    @F.pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        med = v.median()
+        return float((v - med).abs().median())
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg; the count rides a separate aggregate on the
+    # same key (5 rows a side — the join is noise).
+    mads = e.groupBy("event_type").agg(F.round(mad("value"), 6).alias("mad_value"))
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return mads.join(counts, "event_type")
+
+
+def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment join + segment rollup: events joined to the
+    customer dimension (broadcast — dimensions are executor-memory sized
+    by design) and aggregated by market segment.  This is the batch twin
+    of the stream-static join (streaming/windows.py::enrich_stream;
+    stream ≡ batch pinned in tests/test_streaming.py)."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
@@ -1600,6 +1660,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "novelty_score": q_novelty_score,
     "corpus_diff": q_corpus_diff,
     "doc_pagerank": q_doc_pagerank,
+    "doc_triangles": q_doc_triangles,
+    "grouped_udaf": q_grouped_udaf,
+    "enrich_events": q_enrich_events,
     "correlated_subquery": q_correlated_subquery,
     "correlated_exists": q_correlated_exists,
     "null_semantics": q_null_semantics,
@@ -3256,4 +3319,55 @@ ORACLE_SQL["time_topk"] = """
                                 ORDER BY spend DESC, user_id ASC) AS rnk
       FROM hourly)
     SELECT bucket_sec, user_id, spend, rnk::INT AS rnk FROM ranked WHERE rnk <= 3
+"""
+
+# Triangles over the same near-dup pair stream as dedup_clusters: the
+# oracle re-derives the exact-Jaccard pairs and closes wedges with a
+# 3-way self-join on canonical (u < v) edges — triangle a<b<c matches
+# exactly once as (a,b)+(b,c)+(a,c).
+ORACLE_SQL["doc_triangles"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
+    SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+ORACLE_SQL["grouped_udaf"] = """
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(median(abs(e.value - m.m)), 6) AS mad_value,
+           count(*)::BIGINT AS n_events
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+"""
+
+ORACLE_SQL["enrich_events"] = """
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_events,
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
 """

@@ -229,3 +229,57 @@ def test_null_semantics_null_group_row(spark):
     for k, r in rows.items():
         if k is not None:
             assert r.n_nullsafe_eq == 0 and r.n_fallback == 0
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangles_enumeration(spark):
+    from name_match_ml_spark.operators.graph import triangles
+
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]  # one triangle
+        + [(4, 5), (5, 6)]  # chain: none
+        + [(a, b) for a in (7, 8, 9, 10) for b in (7, 8, 9, 10) if a < b]  # K4: 4
+        + [(11, x) for x in range(12, 21)]  # star hub: none
+        + [(2, 1)]  # duplicate reversed edge must not double-count
+    )
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = sorted(
+        (r.node_a, r.node_b, r.node_c) for r in triangles(pairs).collect()
+    )
+    assert got == [
+        (1, 2, 3),
+        (7, 8, 9),
+        (7, 8, 10),
+        (7, 9, 10),
+        (8, 9, 10),
+    ]
+
+
+def test_triangles_empty_and_self_loops(spark):
+    from name_match_ml_spark.operators.graph import triangles
+
+    pairs = spark.createDataFrame([(1, 1), (1, 2)], ["doc_a", "doc_b"])
+    assert triangles(pairs).collect() == []
+
+
+# ----------------------------------------------------------- grouped UDAF
+
+
+def test_grouped_udaf_mad_matches_numpy(spark):
+    import numpy as np
+    from name_match_ml_spark.suite import SPARK_QUERIES
+
+    out = {
+        r.event_type: r
+        for r in SPARK_QUERIES["grouped_udaf"](spark, "/root/testdata/sf0.001").collect()
+    }
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for et, vals in (
+        e.groupBy("event_type").agg(F.collect_list("value").alias("v")).collect()
+    ):
+        v = np.asarray(vals, dtype=float)
+        expect = round(float(np.median(np.abs(v - np.median(v)))), 6)
+        assert out[et].mad_value == expect
+        assert out[et].n_events == len(vals)

@@ -159,3 +159,15 @@ def test_interval_join_stream_equals_batch(spark, events_dir, batch_events):
     bc, be = split(batch_events)
     want = _rows_set(click_error_interval_join(bc, be).collect())
     assert got == want and want
+
+
+def test_enrich_stream_static_join_equals_batch(spark, events_dir, batch_events):
+    from name_match_ml_spark.streaming.windows import enrich_stream
+
+    dim = table(spark, SF, "customer")
+    got = _run_stream(
+        enrich_stream(stream_events(spark, events_dir), dim), "complete"
+    )
+    want = enrich_stream(batch_events, dim).collect()
+    assert _rows_set(got) == _rows_set(want)
+    assert len(got) > 0
