@@ -33,6 +33,11 @@ DEFAULT_QUERIES = [
     "embedding_quantize", "quantized_cosine_topk", "curriculum_order",
     "weighted_sample", "novelty_score", "corpus_diff",
     "shared_substring_winnow", "doc_pagerank",
+    # round-4 second/third batches
+    "bloom_decontaminate", "stratified_sample", "vocab_coverage",
+    "inverted_index", "containment_dedup", "window_range_frame",
+    "salted_agg", "correlated_subquery", "time_topk", "doc_triangles",
+    "grouped_udaf", "enrich_events",
 ]
 
 NOTES = {
