@@ -283,3 +283,35 @@ def test_grouped_udaf_mad_matches_numpy(spark):
         expect = round(float(np.median(np.abs(v - np.median(v)))), 6)
         assert out[et].mad_value == expect
         assert out[et].n_events == len(vals)
+
+
+def test_triangles_matches_bruteforce_random_graphs(spark):
+    """Randomized cross-check: degree-oriented enumeration vs an
+    itertools brute force over all node triples."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.randint(3, 11)
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.45
+            }
+        )
+        if not edges:
+            continue
+        eset = set(edges)
+        want = sorted(
+            (a, b, c)
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        from name_match_ml_spark.operators.graph import triangles
+
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = sorted((r.node_a, r.node_b, r.node_c) for r in triangles(pairs).collect())
+        assert got == want, f"trial {trial}: {got} != {want} on {edges}"
