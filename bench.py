@@ -67,6 +67,7 @@ EXTENDED = [
     "doc_triangles",
     "grouped_udaf",
     "enrich_events",
+    "python_datasource",
 ]
 
 HEADLINE = [

@@ -1585,7 +1585,26 @@ def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources/pydatasource.py): 5000
+    deterministic rows generated across 8 planned input partitions, then
+    aggregated per bucket — proves the source extension point feeds the
+    normal distributed pipeline.  payload_hash is md5_60(i), replayed by
+    the DuckDB oracle from generate_series."""
+    from .sources.pydatasource import register
+
+    register(spark)
+    src = spark.read.format("hashstream").option("n", 5000).option("buckets", 16).load()
+    return src.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("i").alias("sum_i"),
+        F.min("payload_hash").alias("min_hash"),
+        F.max("payload_hash").alias("max_hash"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "python_datasource": q_python_datasource,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "join_nation_region": q_join_nation_region,
@@ -3370,4 +3389,16 @@ ORACLE_SQL["enrich_events"] = """
            count(DISTINCT user_id)::BIGINT AS n_users
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c_mktsegment
+"""
+
+ORACLE_SQL["python_datasource"] = """
+    WITH g AS (
+      SELECT i, ('0x' || substr(md5(i::VARCHAR), 1, 15))::BIGINT AS h
+      FROM generate_series(0, 4999) t(i))
+    SELECT h % 16 AS bucket,
+           count(*)::BIGINT AS n_rows,
+           sum(i)::BIGINT AS sum_i,
+           min(h) AS min_hash,
+           max(h) AS max_hash
+    FROM g GROUP BY bucket
 """

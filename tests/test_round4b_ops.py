@@ -315,3 +315,41 @@ def test_triangles_matches_bruteforce_random_graphs(spark):
         pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
         got = sorted((r.node_a, r.node_b, r.node_c) for r in triangles(pairs).collect())
         assert got == want, f"trial {trial}: {got} != {want} on {edges}"
+
+
+# ------------------------------------------------- custom Python data source
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    import hashlib
+
+    from name_match_ml_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("hashstream")
+        .option("n", 100)
+        .option("numPartitions", 4)
+        .option("buckets", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # partition planning honored
+    rows = sorted((r.i, r.bucket, r.payload_hash) for r in df.collect())
+    assert len(rows) == 100 and [r[0] for r in rows] == list(range(100))
+    h7 = int(hashlib.md5(b"7").hexdigest()[:15], 16)
+    assert rows[7] == (7, h7 % 8, h7)
+    again = sorted((r.i, r.bucket, r.payload_hash) for r in df.collect())
+    assert again == rows  # re-read (= task retry) regenerates identically
+
+
+def test_python_datasource_uneven_partition_split(spark):
+    from name_match_ml_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("hashstream")
+        .option("n", 10)
+        .option("numPartitions", 3)
+        .load()
+    )
+    assert df.count() == 10  # ceil-split ranges cover [0, n) exactly once
