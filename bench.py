@@ -68,6 +68,7 @@ EXTENDED = [
     "grouped_udaf",
     "enrich_events",
     "python_datasource",
+    "lateral_topk_join",
 ]
 
 HEADLINE = [

@@ -1603,8 +1603,28 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    top-k-per-outer-row join written the SQL way.  Catalyst must
+    decorrelate it into a WindowGroupLimit + one hash join (plan pinned
+    in tests): per-customer top-2 orders WITHOUT re-running the inner
+    query per outer row."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "python_datasource": q_python_datasource,
+    "lateral_topk_join": q_lateral_topk_join,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "join_nation_region": q_join_nation_region,
@@ -3401,4 +3421,13 @@ ORACLE_SQL["python_datasource"] = """
            min(h) AS min_hash,
            max(h) AS max_hash
     FROM g GROUP BY bucket
+"""
+
+ORACLE_SQL["lateral_topk_join"] = """
+    SELECT c.c_custkey, t.o_orderkey,
+           (t.o_totalprice::DECIMAL(18,2))::DOUBLE AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
 """

@@ -353,3 +353,12 @@ def test_python_datasource_uneven_partition_split(spark):
         .load()
     )
     assert df.count() == 10  # ceil-split ranges cover [0, n) exactly once
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    from name_match_ml_spark.suite import SPARK_QUERIES
+
+    df = SPARK_QUERIES["lateral_topk_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # per-key top-k pushed below the shuffle
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
