@@ -3379,7 +3379,9 @@ ORACLE_SQL["doc_triangles"] = """
       FROM base),
     sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
               WHERE len(shingles) > 0),
-    e AS (
+    e AS MATERIALIZED (
+      -- MATERIALIZED: e is referenced three times below; inlining would
+      -- re-run the quadratic list_intersect cross join per reference
       SELECT a.doc_id AS u, b.doc_id AS v
       FROM sized a JOIN sized b
         ON a.doc_id < b.doc_id
