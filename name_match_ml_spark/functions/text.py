@@ -524,11 +524,19 @@ def inverted_index(
     ``row_number() <= max_postings`` window (WindowGroupLimit pushes the
     top-n into each map partition) guarantees every ``collect_list``
     sees at most ``max_postings`` elements.  df is a separate count on
-    the same shuffle key.
+    the same shuffle key; the exploded (doc, term) stream is STAGED once
+    (the two consumers put different operators below their exchanges, so
+    ReuseExchange cannot dedup them — without staging the scan + split +
+    explode runs twice).
     """
-    wd = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_words(F.col(text_col)))).alias("term"),
+    from ..plans.staging import stage
+
+    wd = stage(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_words(F.col(text_col)))).alias("term"),
+        ),
+        "term",
     )
     dfreq = wd.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())

@@ -671,6 +671,15 @@ def bloom_decontaminate(
 
     Returns ``(doc_id, n_flagged, contaminated)`` — ``n_flagged`` counts
     the corpus doc's distinct grams whose ``k`` bits are all set.
+
+    NOTE: building the filter runs an EAGER benchmark-side job at
+    DataFrame-construction time (explode → distinct bits → collect) —
+    the bitset must exist on the driver before it can ride the task
+    closure.  This is the same documented pattern as the plan-stats
+    probes in ``operators/matching.py``: an eager job bounded by the
+    SMALL side's size (here ≤ ``m_bits`` longs), never by the corpus.
+    Callers composing many plans before executing any should construct
+    this one last or pass a pre-filtered benchmark.
     """
     bit_rows = (
         benchmark.select(F.explode(_ngram_strings(text_col, n)).alias("g"))

@@ -348,8 +348,11 @@ def triangles(
         (F.col("t1") == F.col("c1")) & (F.col("t2") == F.col("c2")),
         "leftsemi",
     )
+    # exactly-once by construction: (degree, id) is a strict total order,
+    # so each triangle has ONE pivot with out-edges to the other two and
+    # the t1 < t2 wedge picks that out-pair once — no dedup pass needed
     return tri.select(
         F.least(F.col("s"), F.col("t1")).alias("node_a"),
         F.array_sort(F.array("s", "t1", "t2")).getItem(1).alias("node_b"),
         F.greatest(F.col("s"), F.col("t2")).alias("node_c"),
-    ).distinct()
+    )

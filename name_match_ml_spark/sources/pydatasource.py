@@ -48,13 +48,26 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+def _positive_option(options, key: str, default: int) -> int:
+    v = int(options.get(key, default))
+    if v < 1:
+        raise ValueError(f"hashstream option {key!r} must be >= 1, got {v}")
+    return v
+
+
 class _HashStreamReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
-        self.num_partitions = int(options.get("numpartitions", 8))
-        self.buckets = int(options.get("buckets", 16))
+        if self.n < 0:
+            raise ValueError(f"hashstream option 'n' must be >= 0, got {self.n}")
+        self.num_partitions = _positive_option(options, "numpartitions", 8)
+        self.buckets = _positive_option(options, "buckets", 16)
 
     def partitions(self):
+        if self.n == 0:
+            # n=0 is a valid empty scan; an empty partition list would
+            # make the runner fall back to read(None)
+            return [_RangePartition(0, 0)]
         step = max(1, -(-self.n // self.num_partitions))  # ceil division
         return [
             _RangePartition(lo, min(lo + step, self.n))
@@ -78,17 +91,20 @@ class _HashStreamStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
-        self.rows_per_batch = int(options.get("rowsperbatch", 100))
-        self.buckets = int(options.get("buckets", 16))
+        if self.n < 0:
+            raise ValueError(f"hashstream option 'n' must be >= 0, got {self.n}")
+        self.rows_per_batch = _positive_option(options, "rowsperbatch", 100)
+        self.buckets = _positive_option(options, "buckets", 16)
 
     def initialOffset(self):
         return {"i": 0}
 
     def _rows(self, start: int, end: int):
-        return [
-            (i, _md5_60(str(i)) % self.buckets, _md5_60(str(i)))
-            for i in range(start, end)
-        ]
+        rows = []
+        for i in range(start, end):
+            h = _md5_60(str(i))
+            rows.append((i, h % self.buckets, h))
+        return rows
 
     def read(self, start: dict):
         lo = start["i"]

@@ -1544,19 +1544,33 @@ def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface (SURVEY §2.7): per-event-type median absolute
     deviation of `value` via an Arrow GROUPED_AGG pandas UDF — the
     robust-dispersion statistic no Catalyst builtin provides in one
-    aggregate.  Medians are selection-based (numpy and the oracle both
-    average the two middle doubles), so rounding to 6 dp hash-matches.
-    Scale note: grouped-agg UDFs ship each group through Arrow — right
-    for LOW-cardinality keys like event_type (5 groups); high-cardinality
-    robust stats go through approx_percentile instead."""
-    import pandas as pd
+    aggregate.  The UDF replicates DuckDB's quantile_cont interpolation
+    literally — ``lo + (hi - lo) * 0.5`` on the two middle doubles, NOT
+    pandas' ``(lo + hi) / 2`` (the formulas can differ by 1 ulp, which a
+    6-dp round does not always absorb) — so the hash check is exact by
+    construction, not by luck.  Scale note: grouped-agg UDFs ship each
+    group through Arrow — right for LOW-cardinality keys like event_type
+    (5 groups); high-cardinality robust stats go through
+    approx_percentile instead."""
+    import numpy as np
 
     e = table(spark, sf_dir, "events")
 
+    def _median_interp(a: "np.ndarray") -> float:
+        # DuckDB quantile_cont(0.5): lo + (hi - lo) * 0.5
+        a = np.sort(a)
+        n = len(a)
+        mid = (n - 1) // 2
+        if n % 2:
+            return float(a[mid])
+        lo, hi = float(a[mid]), float(a[mid + 1])
+        return lo + (hi - lo) * 0.5
+
     @F.pandas_udf("double")
     def mad(v: pd.Series) -> float:
-        med = v.median()
-        return float((v - med).abs().median())
+        a = v.to_numpy(dtype="float64")
+        med = _median_interp(a)
+        return _median_interp(np.abs(a - med))
 
     # Spark disallows mixing a GROUPED_AGG pandas UDF with non-pandas
     # aggregates in one agg; the count rides a separate aggregate on the
