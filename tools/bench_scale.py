@@ -51,6 +51,17 @@ NOTES = {
     "embedding_quantize": "pure map-side projection; scan-bound",
     "gopher_quality": "pure map-side codegen; scan-bound",
     "epoch_upsample": "map-side explode; scan-bound",
+    "containment_dedup": (
+        "exact-by-contract baseline: no sound length/prefix prune exists "
+        "for containment, so work is the full shingle-join sum-of-df^2 "
+        "(grows linearly in replicas) plus pair-agg pressure; the "
+        "documented 100 TB path is MinHash containment estimation or a "
+        "stop-shingle df cap"
+    ),
+    "weighted_sample": "per-task top-k heaps; output size fixed",
+    "corpus_diff": "one full-outer join; overhead-dominated at this scale",
+    "bloom_decontaminate": "map-side Arrow probe of a fixed bitset; scan-bound",
+    "stratified_sample": "WindowGroupLimit partial top-n; output fixed per stratum",
 }
 
 
