@@ -69,6 +69,9 @@ EXTENDED = [
     "enrich_events",
     "python_datasource",
     "lateral_topk_join",
+    "variant_events",
+    "unpivot_metrics",
+    "mode_stats",
 ]
 
 HEADLINE = [

@@ -1636,9 +1636,63 @@ def q_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT processing (Spark 4 data model): props
+    parsed once to a VARIANT column, fields extracted with typed
+    variant_get paths, aggregated per event type.  VARIANT keeps the
+    parsed tree in a compact binary form — at scale this replaces
+    re-parsing the JSON string per field reference (json_events does
+    string extraction; this is the engine-native path)."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "long").alias("absent"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count("absent").alias("n_absent"),  # typed get of a missing path -> NULL
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT (melt): the wide per-flag aggregate turns into
+    (flag, measure, value) long form — decimal-exact sums so the melted
+    doubles hash match."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price"),
+        F.sum(_dec("l_discount")).cast("double").alias("discount"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "price", "discount"], "measure", "value")
+
+
+def q_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE aggregate: most frequent value-bucket per event
+    type, ties broken toward the smallest bucket (Spark's
+    mode(col, deterministic=true); the oracle replays the same tiebreak
+    with a (count desc, value asc) rank)."""
+    e = table(spark, sf_dir, "events")
+    bucketed = e.select(
+        "event_type", F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    )
+    return bucketed.groupBy("event_type").agg(
+        F.mode("bucket", True).alias("mode_bucket"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "python_datasource": q_python_datasource,
     "lateral_topk_join": q_lateral_topk_join,
+    "variant_events": q_variant_events,
+    "unpivot_metrics": q_unpivot_metrics,
+    "mode_stats": q_mode_stats,
     "pricing_summary": q_pricing_summary,
     "filter_project": q_filter_project,
     "join_nation_region": q_join_nation_region,
@@ -3446,4 +3500,51 @@ ORACLE_SQL["lateral_topk_join"] = """
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              WHERE o.o_custkey = c.c_custkey
              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+ORACLE_SQL["variant_events"] = """
+    WITH parsed AS (
+      SELECT event_type,
+             json_extract(props, '$.k')::BIGINT AS k,
+             json_extract(props, '$.missing')::BIGINT AS absent
+      FROM events)
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(k)::BIGINT AS sum_k,
+           max(k)::BIGINT AS max_k,
+           count(absent)::BIGINT AS n_absent
+    FROM parsed GROUP BY event_type
+"""
+
+ORACLE_SQL["unpivot_metrics"] = """
+    WITH wide AS (
+      SELECT l_returnflag,
+             (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS qty,
+             (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS price,
+             (sum(l_discount::DECIMAL(18,2)))::DOUBLE AS discount
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price', price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'discount', discount FROM wide
+"""
+
+# Spark's mode(col, deterministic=true) returns the LOWEST value among
+# tied maxima; the oracle replays that tiebreak explicitly.
+ORACLE_SQL["mode_stats"] = """
+    WITH bucketed AS (
+      SELECT event_type, floor(value / 50)::BIGINT AS bucket FROM events),
+    counts AS (
+      SELECT event_type, bucket, count(*) AS c
+      FROM bucketed GROUP BY event_type, bucket),
+    ranked AS (
+      SELECT event_type, bucket,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, bucket ASC) AS rn
+      FROM counts),
+    totals AS (
+      SELECT event_type, count(*) AS n_events FROM bucketed GROUP BY event_type)
+    SELECT t.event_type, r.bucket AS mode_bucket, t.n_events::BIGINT AS n_events
+    FROM totals t JOIN ranked r ON r.event_type = t.event_type AND r.rn = 1
 """
