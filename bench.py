@@ -72,6 +72,7 @@ EXTENDED = [
     "variant_events",
     "unpivot_metrics",
     "mode_stats",
+    "recursive_cte",
 ]
 
 HEADLINE = [

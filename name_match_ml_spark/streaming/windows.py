@@ -21,6 +21,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -256,4 +257,51 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor: per-user running count and
+    value total in a ValueState — the arbitrary-state shape, on the
+    modern API (vs :func:`running_user_totals`'s
+    ``applyInPandasWithState``).  The new API brings composable typed
+    state (value/list/map), timers, and state TTL/eviction — on 100 TB
+    event streams the TTL is what bounds state for keys that go quiet.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("totals", "cnt LONG, total DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        existing = self._state.get()
+        cnt, total = existing if existing is not None else (0, 0.0)
+        for pdf in rows:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        total = round(total, 6)
+        self._state.update((cnt, total))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt], "total": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    requires the RocksDB state store (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider``) and the ``protobuf`` package (the
+    API's Python state-server protocol imports ``google.protobuf`` at
+    worker startup; absent in this build container, standard on cluster
+    images — the equivalence test importorskips on it).  Must equal
+    :func:`running_user_totals` and the batch aggregate exactly."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotalsProcessor(),
+            outputStructType=_TOTALS_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
     )

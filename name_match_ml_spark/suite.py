@@ -1687,7 +1687,35 @@ def q_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_CTE_SQL = """
+    WITH RECURSIVE walk(id, anc, depth) AS (
+      SELECT c_custkey, CAST(floor(c_custkey / 10) AS BIGINT), CAST(1 AS BIGINT)
+      FROM customer WHERE c_custkey > 0
+      UNION ALL
+      SELECT id, CAST(floor(anc / 10) AS BIGINT), depth + 1
+      FROM walk WHERE anc > 0)
+    SELECT id, max(depth) AS depth_to_root, count(*) AS n_ancestors
+    FROM walk GROUP BY id
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL surface (Spark 4.1 WITH RECURSIVE):
+    walk the implicit digit-stripping hierarchy (parent = custkey / 10)
+    to the root, reporting each customer's depth and ancestor count.
+    Arithmetic is floor-then-cast (Spark truncates double->bigint casts
+    while DuckDB rounds them — an explicit floor removes the dialect
+    divergence), which keeps the SAME SQL text valid in both engines — the oracle is this query verbatim, so what is checked is
+    the recursion semantics themselves (iterate-until-empty UNION ALL),
+    not a reimplementation.  The engine's iterative DataFrame loops
+    (connected components, PageRank) cover the same shape procedurally;
+    this covers it declaratively."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "recursive_cte": q_recursive_cte,
     "python_datasource": q_python_datasource,
     "lateral_topk_join": q_lateral_topk_join,
     "variant_events": q_variant_events,
@@ -3548,3 +3576,5 @@ ORACLE_SQL["mode_stats"] = """
     SELECT t.event_type, r.bucket AS mode_bucket, t.n_events::BIGINT AS n_events
     FROM totals t JOIN ranked r ON r.event_type = t.event_type AND r.rn = 1
 """
+
+ORACLE_SQL["recursive_cte"] = _RECURSIVE_CTE_SQL

@@ -171,3 +171,51 @@ def test_enrich_stream_static_join_equals_batch(spark, events_dir, batch_events)
     want = enrich_stream(batch_events, dim).collect()
     assert _rows_set(got) == _rows_set(want)
     assert len(got) > 0
+
+
+def test_transform_with_state_totals_equals_batch(spark, events_dir, batch_events):
+    """The modern stateful API (transformWithStateInPandas + RocksDB
+    state store) must produce the same final per-user totals as the
+    batch aggregate and the applyInPandasWithState operator.
+
+    Skipped where protobuf is unavailable: transformWithState's Python
+    state-server protocol imports google.protobuf at worker startup
+    (the operator itself is correct on any standard cluster image)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state protocol",
+    )
+    from name_match_ml_spark.streaming.windows import running_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_stream(
+            running_user_totals_tws(stream_events(spark, events_dir)), "update"
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # update-mode may emit several rows per key across micro-batches;
+    # the LAST emission per user is the final state
+    final = {}
+    for r in got:
+        final[r.user_id] = (r.cnt, r.total)
+    want = {
+        r.user_id: (r.cnt, r.total)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u, (cnt, total) in want.items():
+        assert final[u][0] == cnt
+        assert abs(final[u][1] - total) < 1e-6
