@@ -73,6 +73,8 @@ EXTENDED = [
     "unpivot_metrics",
     "mode_stats",
     "recursive_cte",
+    "collection_ops",
+    "session_dynamic_gap",
 ]
 
 HEADLINE = [

@@ -305,3 +305,29 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def session_dynamic_gap_agg(events: DataFrame) -> DataFrame:
+    """Dynamic-gap sessionization (per-event gap expression: errors hold
+    the session open 10 min, others 5) — works identically on static and
+    streaming inputs; streaming callers add a watermark to bound session
+    state.  Batch twin declared as ``suite.py::q_session_dynamic_gap``
+    with a gaps-and-islands oracle."""
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    sessions = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("second", F.col("ts")).alias("tsec"),
+        )
+        .groupBy("user_id", F.session_window("tsec", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("start_s"),
+        F.unix_timestamp("w.end").alias("end_s"),
+        "n_events",
+    )

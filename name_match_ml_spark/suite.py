@@ -1714,7 +1714,52 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_CTE_SQL)
 
 
+def q_collection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-type surface: arrays built per row, transformed with
+    higher-order functions (transform / filter / aggregate / zip_with —
+    all codegen'd lambda expressions, no UDF), plus a JSON-derived map
+    column.  Integer arithmetic end to end so the fold results are
+    order-independent and hash-exact."""
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        F.sequence(F.lit(1), (F.col("event_id") % 8 + 3).cast("int")).alias("arr"),
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    squares = F.transform(F.col("arr"), lambda x: x * x)
+    return base.select(
+        "event_id",
+        F.size("arr").alias("arr_len"),
+        F.aggregate(squares, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "sum_squares"
+        ),
+        F.size(F.filter(F.col("arr"), lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.zip_with(F.col("arr"), F.reverse(F.col("arr")), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_reversed"),
+        F.element_at(F.col("m"), "k").alias("k_value"),
+        F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+    )
+
+
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: each event extends its session by a
+    PER-EVENT gap (errors hold sessions open 10 min, everything else
+    5 min) — `session_window` with a gap *expression*, the feature fixed
+    gaps can't emulate.  Timestamps are truncated to whole seconds
+    before windowing so the oracle's integer gaps-and-islands replay
+    (running max of event-end vs next start, end-exclusive merge) is
+    bit-exact."""
+    from .streaming.windows import session_dynamic_gap_agg
+
+    return session_dynamic_gap_agg(table(spark, sf_dir, "events"))
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "session_dynamic_gap": q_session_dynamic_gap,
+    "collection_ops": q_collection_ops,
     "recursive_cte": q_recursive_cte,
     "python_datasource": q_python_datasource,
     "lateral_topk_join": q_lateral_topk_join,
@@ -3578,3 +3623,51 @@ ORACLE_SQL["mode_stats"] = """
 """
 
 ORACLE_SQL["recursive_cte"] = _RECURSIVE_CTE_SQL
+
+ORACLE_SQL["collection_ops"] = """
+    WITH base AS (
+      SELECT event_id,
+             range(1, (event_id % 8 + 3)::INT + 1) AS arr,
+             json_extract(props, '$.k')::BIGINT AS k_value
+      FROM events)
+    SELECT event_id,
+           len(arr)::INT AS arr_len,
+           list_sum(list_transform(arr, x -> x * x))::BIGINT AS sum_squares,
+           len(list_filter(arr, x -> x % 2 = 0))::INT AS n_even,
+           list_sum(list_transform(range(len(arr)),
+                    i -> arr[i + 1] * arr[len(arr) - i]))::BIGINT AS dot_reversed,
+           k_value,
+           1::INT AS n_keys
+    FROM base
+"""
+
+# Dynamic-gap sessionization replay: Spark merges sessions when the next
+# event's start is STRICTLY before the running max end (end-exclusive);
+# the islands form under a running max of per-event ends.
+ORACLE_SQL["session_dynamic_gap"] = """
+    WITH t AS (
+      SELECT user_id,
+             (epoch_ms(date_trunc('second', ts)) // 1000)::BIGINT AS s,
+             CASE WHEN event_type = 'error' THEN 600 ELSE 300 END AS gap
+      FROM events),
+    o AS (
+      SELECT user_id, s, gap,
+             max(s + gap) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM t),
+    m AS (
+      SELECT user_id, s, gap,
+             CASE WHEN prev_end IS NULL OR s >= prev_end THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    isl AS (
+      SELECT user_id, s, gap,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           min(s) AS start_s,
+           max(s + gap) AS end_s,
+           count(*)::BIGINT AS n_events
+    FROM isl GROUP BY user_id, sid
+"""

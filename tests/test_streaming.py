@@ -219,3 +219,13 @@ def test_transform_with_state_totals_equals_batch(spark, events_dir, batch_event
     for u, (cnt, total) in want.items():
         assert final[u][0] == cnt
         assert abs(final[u][1] - total) < 1e-6
+
+
+def test_session_dynamic_gap_stream_equals_batch(spark, events_dir, batch_events):
+    from name_match_ml_spark.streaming.windows import session_dynamic_gap_agg
+
+    stream_in = stream_events(spark, events_dir).withWatermark("ts", "1 hour")
+    got = _run_stream(session_dynamic_gap_agg(stream_in), "complete")
+    want = session_dynamic_gap_agg(batch_events).collect()
+    assert _rows_set(got) == _rows_set(want)
+    assert len(got) > 0
