@@ -58,6 +58,7 @@ EXTENDED = [
     "vocab_coverage",
     "inverted_index",
     "containment_dedup",
+    "containment_sketch",
     "window_range_frame",
     "salted_agg",
     "correlated_subquery",

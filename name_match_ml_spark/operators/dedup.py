@@ -37,6 +37,7 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "minhash_containment_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "shared_substring_pairs",
@@ -330,13 +331,21 @@ def _shingles(words: Column, n: int = 2) -> Column:
 
 
 def _staged_shingle_hashes(
-    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """``(doc_id, sh: array<long>)`` — distinct 64-bit shingle hashes per
     doc, with words → shingles → hashes each materialized as its own
     projection so no higher-order function receives an inline subtree
     (see :func:`_shingles`).  Hashing to longs up front keeps every
-    downstream shuffle/compare narrow."""
+    downstream shuffle/compare narrow.  ``hash_fn`` follows the
+    convention of :func:`simhash_pairs`: ``"xxhash64"`` (default, fast
+    JVM hash) or ``"md5_60"`` (oracle-replayable in any engine with md5)."""
+    from .cleaning import _gram_hash
+
     # The empty-doc filter runs against the cheap words stage, NOT the
     # final shingle column (equivalent: shingles are empty iff words are):
     # a filter on `sh` would be predicate-pushed below the projections,
@@ -347,7 +356,7 @@ def _staged_shingle_hashes(
         docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("_w"))
         .filter(F.size("_w") > 0)
         .select("doc_id", _shingles(F.col("_w"), shingle_n).alias("_sh"))
-        .select("doc_id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("sh"))
+        .select("doc_id", F.transform("_sh", lambda s: _gram_hash(s, hash_fn)).alias("sh"))
     )
 
 
@@ -907,4 +916,128 @@ def ngram_containment_pairs(
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def minhash_containment_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    sketch_k: int = 64,
+    hash_fn: str = "xxhash64",
+    max_element_df: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Sketch-based directional-containment pairs — the 100 TB path that
+    :func:`ngram_containment_pairs`'s docstring names (the exact
+    containment join admits no sound prune, so its cost is the full
+    sum-of-df² of the shingle vocabulary; this operator bounds per-doc
+    state at ``sketch_k`` longs regardless of document length).
+
+    Sketch: the KMV (k-minimum-values) bottom-k sketch — the ``sketch_k``
+    smallest distinct shingle hashes per document, plus the exact distinct
+    count ``n`` (one long, free to carry).  For a candidate pair, with
+    ``M`` = the k smallest hashes of ``S_A ∪ S_B``,
+    ``y = |M ∩ S_A ∩ S_B|`` and ``m = |M|``:
+
+        Ĵ = y/m                             (the classic KMV estimator)
+        Î = Ĵ·|A∪B| = y·(n_a+n_b)/(m+y)     (since |A∪B| = (n_a+n_b)/(1+J))
+        containment ≈ Î / min(n_a, n_b)
+
+    computed as ONE division of two exact int64 products
+    (``y·(n_a+n_b) / ((m+y)·min(n_a,n_b))``) — bit-stable across engines,
+    so with ``hash_fn="md5_60"`` the whole operator (candidates, estimate,
+    threshold) is replayable in DuckDB and hash-checkable, false-sharing
+    included.
+
+    Candidate generation is the sketch itself: explode the ≤k sketch
+    elements and self-equi-join on the 64-bit hash.  A pair with y = 0
+    has estimate 0, so for threshold > 0 the blocking is EXACT with
+    respect to the estimator — no candidate that could pass is lost.
+    The join shuffles (doc_id, hash) longs only; per-doc fan-out is ≤ k
+    rows however long the document is.
+
+    ``max_element_df`` is the boilerplate-bomb guard (same rationale as
+    the hot-key cap in :mod:`..plans.blocking` and ``max_seed_df`` in
+    :func:`shared_substring_pairs`): a shingle that both hashes small and
+    appears in d documents lands in d sketches and fans out d² candidate
+    pairs.  With the cap, sketch elements with document frequency > cap
+    are dropped BEFORE the join (an in-plan aggregate, no collect); a
+    pair is lost only if ALL its shared sketch elements are hot —
+    documented approximation, off by default so the declared query stays
+    estimator-exact.
+
+    Returns ``(doc_a, doc_b, containment_est)`` with ``doc_a < doc_b``,
+    rounded to 6 dp."""
+    if sketch_k < 1:
+        raise ValueError("sketch_k must be >= 1")
+    k = int(sketch_k)
+
+    base = stage(
+        _staged_shingle_hashes(docs, text_col, id_col, shingle_n, hash_fn=hash_fn),
+        "doc_id",
+        enabled=materialize,
+    )
+    sized = base.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.slice(F.array_sort("sh"), 1, k).alias("sk"),
+    )
+
+    tok = sized.select("doc_id", F.explode("sk").alias("h"))
+    if max_element_df is not None:
+        hot = (
+            tok.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_element_df))
+            .select("h")
+        )
+        # Hot-element table is bounded by (rows/cap), tiny in practice,
+        # but NOT provably executor-memory-safe — leave the join strategy
+        # to AQE rather than forcing a broadcast (the shared_substring
+        # lesson, commit 73ef652).
+        tok = tok.join(hot, "h", "left_anti")
+
+    a = tok.select(F.col("doc_id").alias("doc_a"), "h")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sk_a = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), F.col("sk").alias("sk_a")
+    )
+    sk_b = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), F.col("sk").alias("sk_b")
+    )
+    merged = F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    return (
+        cand.join(sk_a, "doc_a")
+        .join(sk_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(merged).alias("m"),
+            F.size(
+                F.array_intersect(merged, F.array_intersect("sk_a", "sk_b"))
+            ).alias("y"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                (F.col("y") * (F.col("n_a") + F.col("n_b"))).cast("double")
+                / ((F.col("m") + F.col("y")) * F.least("n_a", "n_b")),
+                6,
+            ).alias("containment_est"),
+        )
+        .filter(F.col("containment_est") >= threshold)
     )

@@ -1401,6 +1401,23 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(d, threshold=0.5, shingle_n=2)
 
 
+def q_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch containment pairs — the bounded-state scale path the
+    exact containment baseline names
+    (operators/dedup.py::minhash_containment_pairs).  md5_60 hashing and
+    the integer-product estimator make the ENTIRE approximation —
+    candidates, estimate, threshold, false-sharing included —
+    bit-replayable in DuckDB, so the sketch itself is hash-checked, not
+    just spot-tested.  k=16 at 2-gram shingles keeps per-doc state at 16
+    longs vs the exact operator's full shingle set."""
+    from .operators.dedup import minhash_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_containment_pairs(
+        d, threshold=0.4, shingle_n=2, sketch_k=16, hash_fn="md5_60"
+    )
+
+
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per-user rolling 1-hour sum/count over
     events, ordered by epoch second (SURVEY A4/W extension).  RANGE
@@ -1852,6 +1869,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "inverted_index": q_inverted_index,
     "containment_dedup": q_containment_dedup,
+    "containment_sketch": q_containment_sketch,
     "window_range_frame": q_window_range_frame,
     "salted_agg": q_salted_agg,
     "multimodal_image_features": q_multimodal_image_features,
@@ -3427,6 +3445,51 @@ ORACLE_SQL["containment_dedup"] = """
                    / least(a.n, b.n), 6) AS containment
       FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
     WHERE containment >= 0.5
+"""
+
+# Bit-exact replay of minhash_containment_pairs(hash_fn="md5_60",
+# sketch_k=16, shingle_n=2, threshold=0.4): same md5_60 shingle hashes,
+# same bottom-16 sketch, same shared-element candidate generation, same
+# integer-product estimator y*(n_a+n_b) / ((m+y)*min(n_a,n_b)) — one
+# double division, so the approximation itself (false shares included)
+# hash-matches.
+ORACLE_SQL["containment_sketch"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (
+      SELECT doc_id, len(hs) AS n, list_sort(hs)[1:16] AS sk
+      FROM (SELECT doc_id,
+                   list_transform(shingles,
+                       s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+            FROM sh WHERE len(shingles) > 0)),
+    tok AS (SELECT doc_id, unnest(sk) AS h FROM sized),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b,
+             len(list_sort(list_distinct(sa.sk || sb.sk))[1:16]) AS m,
+             len(list_intersect(list_sort(list_distinct(sa.sk || sb.sk))[1:16],
+                                list_intersect(sa.sk, sb.sk))) AS y
+      FROM cand
+      JOIN sized sa ON sa.doc_id = cand.doc_a
+      JOIN sized sb ON sb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, containment_est FROM (
+      SELECT doc_a, doc_b,
+             round((y * (n_a + n_b))::DOUBLE
+                   / ((m + y) * least(n_a, n_b)), 6) AS containment_est
+      FROM est)
+    WHERE containment_est >= 0.4
 """
 
 ORACLE_SQL["window_range_frame"] = """

@@ -197,6 +197,91 @@ def test_containment_symmetric_output_contract(spark):
     assert r.doc_a < r.doc_b and (r.doc_a, r.doc_b) == (2, 5) and r.containment == 1.0
 
 
+# --------------------------------------------- KMV containment sketch
+
+
+def test_containment_sketch_exact_when_k_covers_all_shingles(spark):
+    """With sketch_k >= every doc's distinct-shingle count the KMV
+    estimator degenerates to the EXACT containment (M = the full union,
+    y = the full intersection, and y*(n_a+n_b)/((m+y)*min) reduces to
+    I/min since m+y = n_a+n_b) — so the sketch operator must equal the
+    exact baseline pair-for-pair and value-for-value."""
+    from name_match_ml_spark.operators.dedup import minhash_containment_pairs
+
+    rows = [
+        (0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"),
+        (1, "w0 w1 w2 w3"),
+        (2, "a b c d e f g h"),
+        (3, "e f g h i j"),
+        (4, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.3, shingle_n=2).collect()
+    }
+    sk = {
+        (r.doc_a, r.doc_b): r.containment_est
+        for r in minhash_containment_pairs(
+            df, threshold=0.3, shingle_n=2, sketch_k=1000
+        ).collect()
+    }
+    assert sk == exact and len(exact) >= 2
+
+
+def test_containment_sketch_identical_docs_estimate_one(spark):
+    from name_match_ml_spark.operators.dedup import minhash_containment_pairs
+
+    df = spark.createDataFrame(
+        [(7, "x y z w v u t s r q p o n m"), (3, "x y z w v u t s r q p o n m")],
+        ["doc_id", "text"],
+    )
+    out = minhash_containment_pairs(df, threshold=0.9, shingle_n=2, sketch_k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b, r.containment_est) == (3, 7, 1.0)
+
+
+def test_containment_sketch_disjoint_docs_no_candidates(spark):
+    from name_match_ml_spark.operators.dedup import minhash_containment_pairs
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "e f g h"), (2, "i j k l")], ["doc_id", "text"]
+    )
+    assert minhash_containment_pairs(df, threshold=0.01, shingle_n=2).collect() == []
+
+
+def test_containment_sketch_hot_element_cap(spark):
+    """max_element_df drops sketch elements above the df cap BEFORE the
+    self-join; a pair whose only shared sketch element is hot disappears
+    (the documented approximation), while pairs sharing cold elements
+    survive."""
+    from name_match_ml_spark.operators.dedup import minhash_containment_pairs
+
+    # "hot hot" 2-gram shared by all four docs; docs 0/1 additionally
+    # share a cold run.
+    rows = [
+        (0, "hot hot cold0 cold1 cold2 cold3"),
+        (1, "hot hot cold0 cold1 cold2 cold3"),
+        (2, "hot hot only2 more2"),
+        (3, "hot hot only3 more3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_containment_pairs(df, threshold=0.2, shingle_n=2).collect()
+    }
+    assert (2, 3) in uncapped and (0, 1) in uncapped
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_containment_pairs(
+            df, threshold=0.2, shingle_n=2, max_element_df=3
+        ).collect()
+    }
+    assert (0, 1) in capped  # cold shared elements keep the real pair
+    assert (2, 3) not in capped  # only-hot pair lost by design
+
+
 # ------------------------------------------------- SQL-surface queries
 
 

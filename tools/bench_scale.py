@@ -35,7 +35,8 @@ DEFAULT_QUERIES = [
     "shared_substring_winnow", "doc_pagerank",
     # round-4 second/third batches
     "bloom_decontaminate", "stratified_sample", "vocab_coverage",
-    "inverted_index", "containment_dedup", "window_range_frame",
+    "inverted_index", "containment_dedup", "containment_sketch",
+    "window_range_frame",
     "salted_agg", "correlated_subquery", "time_topk", "doc_triangles",
     "grouped_udaf", "enrich_events",
 ]
@@ -57,6 +58,10 @@ NOTES = {
         "(grows linearly in replicas) plus pair-agg pressure; the "
         "documented 100 TB path is MinHash containment estimation or a "
         "stop-shingle df cap"
+    ),
+    "containment_sketch": (
+        "the KMV sketch path: per-doc state capped at sketch_k longs, "
+        "self-join carries only sketch elements"
     ),
     "weighted_sample": "per-task top-k heaps; output size fixed",
     "corpus_diff": "one full-outer join; overhead-dominated at this scale",
