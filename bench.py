@@ -76,6 +76,7 @@ EXTENDED = [
     "recursive_cte",
     "collection_ops",
     "session_dynamic_gap",
+    "scd2_history",
 ]
 
 HEADLINE = [

@@ -1,4 +1,5 @@
-"""Temporal / interval join operators [EXT]: as-of join and range join.
+"""Temporal / interval operators [EXT]: as-of join, range join, and SCD2
+history building.
 
 The reference has no temporal joins (SURVEY.md §2.3 J2 — its only join
 is the similarity cross join, ``main.py:163-167``); these are the two
@@ -39,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_buckets"]
+__all__ = ["asof_join", "range_join_buckets", "scd2_intervals"]
 
 
 def asof_join(
@@ -139,4 +140,69 @@ def range_join_buckets(
         pts.join(rng, "_bucket")
         .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
         .drop("_bucket")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    *,
+    key: str,
+    order_by: list[str],
+    attrs: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse an ordered
+    change stream into validity intervals per entity.
+
+    For each ``key``, rows are ordered by ``order_by`` (pass enough
+    columns for a UNIQUE total order — a bare timestamp with ties makes
+    the interval boundaries nondeterministic) and consecutive runs of
+    identical ``attrs`` values collapse to one row::
+
+        (key, attrs..., valid_from, valid_to, is_current, version)
+
+    ``valid_from`` is the first ``order_by[0]`` value of the run,
+    ``valid_to`` the next run's ``valid_from`` (NULL on the latest run —
+    the half-open interval convention, so a dimension lookup is
+    ``valid_from <= ts AND (ts < valid_to OR valid_to IS NULL)``, which
+    :func:`asof_join` or :func:`range_join_buckets` can then serve).
+    ``version`` numbers runs 1..n per key.
+
+    Change detection is null-safe (``eqNullSafe`` per attribute, any
+    difference starts a new run) and total: the first row of a key is
+    always a run start, even with all-NULL attributes.
+
+    Scale shape: ONE shuffle on ``key``; both window passes (the lag
+    change-detector and the lead interval-closer) share the same
+    partitioning and sort order, and the filter between them preserves
+    both, so Catalyst plans a single Exchange+Sort with two Window
+    nodes over it.  State per row is the attribute tuple — no
+    aggregation, no join.  NULLs in ``order_by`` columns sort FIRST in
+    Spark but LAST in most SQL engines — keep ordering columns
+    non-null.
+    """
+    if not order_by or not attrs:
+        raise ValueError("order_by and attrs must be non-empty")
+    w = Window.partitionBy(key).orderBy(*order_by)
+
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.lag(a).over(w).eqNullSafe(F.col(a))
+    runs = (
+        df.select(
+            key,
+            *order_by,
+            *attrs,
+            ((F.row_number().over(w) == 1) | changed).alias("_chg"),
+        )
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+
+    return runs.select(
+        key,
+        *attrs,
+        F.col(order_by[0]).alias("valid_from"),
+        F.lead(order_by[0]).over(w).alias("valid_to"),
+        F.lead(order_by[0]).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
     )

@@ -656,6 +656,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "band_id", "value")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history (operators/temporal.py::scd2_intervals): the
+    per-user event_type change stream collapsed into half-open validity
+    intervals with version numbers — the standard dimension-history
+    build of a warehouse ingest pipeline.  One shuffle on user_id; the
+    (ts, event_id) order key is unique, so interval boundaries are
+    deterministic and hash-checkable."""
+    from .operators.temporal import scd2_intervals
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    iv = scd2_intervals(e, key="user_id", order_by=["ts", "event_id"], attrs=["event_type"])
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_s"),
+        F.unix_timestamp("valid_to").alias("valid_to_s"),
+        "is_current",
+        "version",
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1823,6 +1844,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_within_watermark": q_dedup_within_watermark,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "scd2_history": q_scd2_history,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2306,6 +2328,23 @@ ORACLE_SQL: dict[str, str] = {
         JOIN (SELECT i AS band_id, i * 20.0 AS lo, i * 20.0 + 30.0 AS hi
               FROM range(25) t(i)) b
           ON e.value >= b.lo AND e.value < b.hi
+    """,
+    "scd2_history": """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        runs AS (
+          SELECT user_id, ts, event_id, event_type FROM ordered
+          WHERE prev_type IS DISTINCT FROM event_type)
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+               CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+               (lead(ts) OVER w IS NULL) AS is_current,
+               CAST(row_number() OVER w AS INT) AS version
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "text_stats": """
         SELECT doc_id, lang,

@@ -120,3 +120,101 @@ def test_range_join_plan_no_nested_loop(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- SCD2 intervals
+
+
+def test_scd2_collapses_runs_and_tiles_timeline(spark):
+    from name_match_ml_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        ("u1", _ts(0), 0, "A"),
+        ("u1", _ts(1), 1, "A"),  # same run
+        ("u1", _ts(2), 2, "B"),  # change
+        ("u1", _ts(3), 3, "B"),
+        ("u1", _ts(4), 4, "A"),  # back to A -> NEW run, not merged
+        ("u2", _ts(0), 5, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "attr"])
+    out = scd2_intervals(df, key="k", order_by=["ts", "seq"], attrs=["attr"]).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r.k, r.version)):
+        by_key.setdefault(r.k, []).append(r)
+    u1 = by_key["u1"]
+    assert [(r.attr, r.valid_from, r.valid_to) for r in u1] == [
+        ("A", _ts(0), _ts(2)),
+        ("B", _ts(2), _ts(4)),
+        ("A", _ts(4), None),
+    ]
+    assert [r.version for r in u1] == [1, 2, 3]
+    assert [r.is_current for r in u1] == [False, False, True]
+    # intervals tile: each valid_to equals the next valid_from
+    for a, b in zip(u1, u1[1:]):
+        assert a.valid_to == b.valid_from
+    u2 = by_key["u2"]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+
+
+def test_scd2_null_safe_change_detection(spark):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from name_match_ml_spark.operators.temporal import scd2_intervals
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("seq", IntegerType()),
+            StructField("attr", StringType()),
+        ]
+    )
+    rows = [
+        ("u", _ts(0), 0, None),  # first run: NULL attr must still open a run
+        ("u", _ts(1), 1, None),
+        ("u", _ts(2), 2, "A"),  # NULL -> A is a change
+        ("u", _ts(3), 3, None),  # A -> NULL is a change
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = sorted(
+        scd2_intervals(df, key="k", order_by=["ts", "seq"], attrs=["attr"]).collect(),
+        key=lambda r: r.version,
+    )
+    assert [(r.attr, r.valid_from) for r in out] == [
+        (None, _ts(0)),
+        ("A", _ts(2)),
+        (None, _ts(3)),
+    ]
+
+
+def test_scd2_multi_attr_any_change_starts_run(spark):
+    from name_match_ml_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        ("u", _ts(0), 0, "A", 1),
+        ("u", _ts(1), 1, "A", 2),  # second attr changes -> new run
+        ("u", _ts(2), 2, "A", 2),  # no change
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "seq", "a1", "a2"])
+    out = scd2_intervals(df, key="k", order_by=["ts", "seq"], attrs=["a1", "a2"])
+    assert [(r.a1, r.a2) for r in sorted(out.collect(), key=lambda r: r.version)] == [
+        ("A", 1),
+        ("A", 2),
+    ]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both window passes must share one Exchange on the key — a second
+    shuffle would double the operator's cost at 100 TB for nothing."""
+    from name_match_ml_spark.operators.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [("u", _ts(0), 0, "A"), ("u", _ts(1), 1, "B")], ["k", "ts", "seq", "attr"]
+    )
+    plan = _plan(scd2_intervals(df, key="k", order_by=["ts", "seq"], attrs=["attr"]))
+    assert plan.count("Exchange") == 1, plan
