@@ -77,6 +77,7 @@ EXTENDED = [
     "collection_ops",
     "session_dynamic_gap",
     "scd2_history",
+    "dq_profile",
 ]
 
 HEADLINE = [

@@ -677,6 +677,22 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile over lineitem
+    (operators/profiling.py::profile_columns) — completeness,
+    cardinality, and native-type min/max for the snapshot-promotion
+    gate.  distinct="exact" here because HLL estimates are
+    engine-specific; "approx" is the documented 100 TB default."""
+    from .operators.profiling import profile_columns
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        distinct="exact",
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1845,6 +1861,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "scd2_history": q_scd2_history,
+    "dq_profile": q_dq_profile,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2345,6 +2362,35 @@ ORACLE_SQL: dict[str, str] = {
                CAST(row_number() OVER w AS INT) AS version
         FROM runs
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "dq_profile": """
+        SELECT 'l_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+               (count(*) - count(l_orderkey))::BIGINT AS n_null,
+               count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', count(*)::BIGINT,
+               (count(*) - count(l_linenumber))::BIGINT,
+               count(DISTINCT l_linenumber)::BIGINT,
+               CAST(min(l_linenumber) AS VARCHAR),
+               CAST(max(l_linenumber) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*)::BIGINT,
+               (count(*) - count(l_returnflag))::BIGINT,
+               count(DISTINCT l_returnflag)::BIGINT,
+               CAST(min(l_returnflag) AS VARCHAR),
+               CAST(max(l_returnflag) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', count(*)::BIGINT,
+               (count(*) - count(l_linestatus))::BIGINT,
+               count(DISTINCT l_linestatus)::BIGINT,
+               CAST(min(l_linestatus) AS VARCHAR),
+               CAST(max(l_linestatus) AS VARCHAR)
+        FROM lineitem
     """,
     "text_stats": """
         SELECT doc_id, lang,
