@@ -78,6 +78,7 @@ EXTENDED = [
     "session_dynamic_gap",
     "scd2_history",
     "dq_profile",
+    "apply_cdc",
 ]
 
 HEADLINE = [

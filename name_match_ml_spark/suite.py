@@ -693,6 +693,27 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert (operators/cdc.py::apply_changes): events replay
+    as a change batch onto the customer balance snapshot — last writer
+    per key wins ('error' events delete, everything else upserts the
+    event value).  One max_by aggregate + one full-outer join; values
+    pass straight from parquet to output, so the result is bit-exact."""
+    from .operators.cdc import apply_changes
+
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("val")
+    )
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("value").alias("val"),
+    )
+    return apply_changes(c, e, key="k", seq_cols=["ts", "event_id"], op_col="op")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1862,6 +1883,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "scd2_history": q_scd2_history,
     "dq_profile": q_dq_profile,
+    "apply_cdc": q_apply_cdc,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2391,6 +2413,21 @@ ORACLE_SQL: dict[str, str] = {
                CAST(min(l_linestatus) AS VARCHAR),
                CAST(max(l_linestatus) AS VARCHAR)
         FROM lineitem
+    """,
+    "apply_cdc": """
+        WITH latest AS (
+          SELECT k, op, val FROM (
+            SELECT user_id AS k,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   value AS val,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)
+        SELECT COALESCE(s.k, c.k) AS k,
+               CASE WHEN c.k IS NOT NULL THEN c.val ELSE s.val END AS val
+        FROM (SELECT c_custkey AS k, c_acctbal AS val FROM customer) s
+        FULL OUTER JOIN latest c ON s.k = c.k
+        WHERE c.op IS NULL OR c.op <> 'D'
     """,
     "text_stats": """
         SELECT doc_id, lang,
