@@ -79,6 +79,7 @@ EXTENDED = [
     "scd2_history",
     "dq_profile",
     "apply_cdc",
+    "kmv_distinct",
 ]
 
 HEADLINE = [

@@ -1,0 +1,91 @@
+"""Deterministic cardinality sketches [EXT].
+
+Companion to the HyperLogLog++ path (``suite.py::q_approx_count_distinct``
+— Spark's built-in, whose point estimates are implementation-specific,
+so its oracle can only pin an error envelope): the KMV (k-minimum-values)
+estimator here is a PURE FUNCTION of the input set and the hash choice,
+so with ``hash_fn="md5_60"`` the approximate count itself is
+bit-reproducible in any engine — estimator error included — and
+hash-checkable, not just envelope-checkable.
+
+Estimator (Bar-Yossef et al. 2002; same sketch family as
+:func:`..operators.dedup.minhash_containment_pairs`): hash values to
+uniform 60-bit ints; per group keep the k smallest DISTINCT hashes.
+With m = sketch size and h_k = the k-th smallest:
+
+    m < k  →  estimate = m                (the sketch saw everything)
+    m = k  →  estimate = (k-1) · 2⁶⁰ / h_k
+
+``(k-1)·2⁶⁰`` is exact in a double (power-of-two scaling), so the
+estimate is ONE IEEE division — bit-stable across engines.
+
+Scale shape: dedup-aggregate on (group, hash) — map-side combine kills
+per-partition repeats before the wire — then a WindowGroupLimit-pushed
+``row_number() <= k`` bounds every group's sketch BEFORE the final
+aggregate, so no executor materializes an unbounded distinct stream
+(the same bound-before-collect idiom as ``functions/text.py::
+inverted_index``).  Total shuffle: (group, 8-byte hash) rows, then k
+rows per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct"]
+
+_M60 = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = 256,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT ``value_col``) via a
+    k-minimum-values sketch; returns ``group_cols + (kmv_distinct:
+    double)`` with the estimate rounded to 2 dp.
+
+    Standard error is ~1/sqrt(k-2) (k=256 → ~6%); groups with fewer
+    than k distinct values are EXACT (modulo 60-bit hash collisions).
+    NULL values are ignored, like COUNT(DISTINCT).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from ..operators.cleaning import _gram_hash
+
+    h = _gram_hash(F.col(value_col).cast("string"), hash_fn)
+    if hash_fn == "xxhash64":
+        # xxhash64 spans the full signed-64 range; fold to uniform
+        # [0, 2^60) to match the estimator's scaling.
+        h = F.shiftrightunsigned(h, 4)
+
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .groupBy(*group_cols, "_h")
+        .agg(F.count(F.lit(1)).alias("_dummy"))
+        .drop("_dummy")
+    )
+
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    sketch = hashed.select(
+        *group_cols, "_h", F.row_number().over(w).alias("_rn")
+    ).filter(F.col("_rn") <= k)
+
+    return sketch.groupBy(*group_cols).agg(
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            ).otherwise(
+                F.lit((k - 1) * _M60)
+                / F.greatest(F.max("_h"), F.lit(1)).cast("double")
+            ),
+            2,
+        ).alias("kmv_distinct")
+    )

@@ -714,6 +714,20 @@ def q_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(c, e, key="k", seq_cols=["ts", "event_id"], op_col="op")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch (functions/sketches.py::kmv_distinct):
+    approximate distinct l_partkey per return flag.  Unlike the HLL++
+    twin (q_approx_count_distinct, envelope-checked only), the KMV
+    estimate is a pure function of the data + md5_60, so the
+    approximation itself — estimator error included — hash-matches the
+    DuckDB replay.  k=64 keeps the estimator (not the exact-small) path
+    exercised at sf0.01."""
+    from .functions.sketches import kmv_distinct
+
+    li = table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64, hash_fn="md5_60")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1884,6 +1898,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "dq_profile": q_dq_profile,
     "apply_cdc": q_apply_cdc,
+    "kmv_distinct": q_kmv_distinct,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2428,6 +2443,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT c_custkey AS k, c_acctbal AS val FROM customer) s
         FULL OUTER JOIN latest c ON s.k = c.k
         WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    "kmv_distinct": """
+        WITH hashed AS (
+          SELECT DISTINCT l_returnflag,
+                 ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        sk AS (
+          SELECT l_returnflag, h,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+          FROM hashed)
+        SELECT l_returnflag,
+               round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                     ELSE 63.0 * 1152921504606846976.0
+                          / greatest(max(h), 1)::DOUBLE END, 2) AS kmv_distinct
+        FROM sk WHERE rn <= 64
+        GROUP BY l_returnflag
     """,
     "text_stats": """
         SELECT doc_id, lang,

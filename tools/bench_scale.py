@@ -38,7 +38,7 @@ DEFAULT_QUERIES = [
     "inverted_index", "containment_dedup", "containment_sketch",
     "window_range_frame",
     "salted_agg", "correlated_subquery", "time_topk", "doc_triangles",
-    "scd2_history", "dq_profile", "apply_cdc",
+    "scd2_history", "dq_profile", "apply_cdc", "kmv_distinct",
     "grouped_udaf", "enrich_events",
 ]
 
