@@ -80,6 +80,8 @@ EXTENDED = [
     "dq_profile",
     "apply_cdc",
     "kmv_distinct",
+    "label_centroids",
+    "window_distribution",
 ]
 
 HEADLINE = [

@@ -34,6 +34,7 @@ __all__ = [
     "ivf_cosine_topk",
     "quantize_embeddings",
     "quantized_cosine_topk",
+    "fixed_point_centroids",
 ]
 
 _TOPK_CAND_SCHEMA = StructType(
@@ -527,4 +528,47 @@ def lsh_cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def fixed_point_centroids(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    grid_bits: int = 20,
+) -> DataFrame:
+    """Per-label embedding centroids on an integer fixed-point grid —
+    ``(label, dim, centroid)`` — the class-mean primitive behind
+    nearest-class-mean classification, k-means initialization, and
+    per-source embedding drift checks.
+
+    A float centroid (``sum(x)/n``) is order-dependent across partitions
+    and can never hash-match another engine; here each component is
+    snapped to a ``2^grid_bits`` grid first (``round(x · 2^20)`` — the
+    :func:`..operators.graph.pagerank` idiom), summed EXACTLY in int64,
+    and divided once at the end — bit-reproducible anywhere.  Grid error
+    is ≤ 2^-21 per component, far below float32 input precision.
+
+    Scale shape: posexplode to ``(label, dim, int64)`` — three longs —
+    then ONE partial-combining aggregate; shuffle volume is
+    n_labels × dims rows, independent of corpus size.  Output stays in
+    long (label, dim, value) form rather than re-assembled arrays so
+    downstream joins stay narrow (assemble with ``collect_list`` over a
+    sorted struct only at the consumer edge when needed).
+    """
+    grid = float(1 << grid_bits)
+    fp = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "_x"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("_x").cast("double") * F.lit(grid)).cast("long").alias("_fx"),
+    )
+    return fp.groupBy("label", "dim").agg(
+        F.round(
+            F.sum("_fx").cast("double") / (F.count(F.lit(1)) * F.lit(grid)),
+            6,
+        ).alias("centroid")
     )

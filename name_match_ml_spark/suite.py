@@ -728,6 +728,36 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64, hash_fn="md5_60")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids on an integer fixed-point grid
+    (operators/simsearch.py::fixed_point_centroids) — class means for
+    nearest-class-mean / k-means init, made hash-checkable by snapping
+    components to a 2^20 grid and summing exactly in int64 (a float
+    centroid is partition-order-dependent and could never match)."""
+    from .operators.simsearch import fixed_point_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    return fixed_point_centroids(emb)
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over orders (SURVEY A4/W extension):
+    ntile quartiles, percent_rank, cume_dist, nth_value — the remaining
+    standard-SQL window surface.  (o_totalprice, o_orderkey) is a unique
+    order key, so every function is deterministic; percent_rank and
+    cume_dist are single int/int divisions, bit-stable in both engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1899,6 +1929,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_profile": q_dq_profile,
     "apply_cdc": q_apply_cdc,
     "kmv_distinct": q_kmv_distinct,
+    "label_centroids": q_label_centroids,
+    "window_distribution": q_window_distribution,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2459,6 +2491,28 @@ ORACLE_SQL: dict[str, str] = {
                           / greatest(max(h), 1)::DOUBLE END, 2) AS kmv_distinct
         FROM sk WHERE rn <= 64
         GROUP BY l_returnflag
+    """,
+    "label_centroids": """
+        SELECT label, u.u.dim AS dim,
+               round(sum(u.u.fx)::DOUBLE / (count(*) * 1048576), 6) AS centroid
+        FROM (
+          SELECT label,
+                 unnest(list_transform(range(len(embedding)),
+                     i -> {'dim': i,
+                           'fx': CAST(round(embedding[i + 1]::DOUBLE * 1048576)
+                                      AS BIGINT)})) AS u
+          FROM embeddings) u
+        GROUP BY label, u.u.dim
+    """,
+    "window_distribution": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               nth_value(o_orderkey, 3) OVER w AS third_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey)
     """,
     "text_stats": """
         SELECT doc_id, lang,

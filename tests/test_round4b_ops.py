@@ -487,3 +487,52 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) == 57
+
+
+# --------------------------------------------- fixed-point centroids
+
+
+def test_fixed_point_centroids_match_numpy_mean(spark):
+    import numpy as np
+    from name_match_ml_spark.operators.simsearch import fixed_point_centroids
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), int(i % 3), [float(x) for x in rng.normal(size=8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        (r.label, r.dim): r.centroid
+        for r in fixed_point_centroids(df, grid_bits=20).collect()
+    }
+    by_label = {}
+    for _, lbl, v in rows:
+        by_label.setdefault(lbl, []).append(v)
+    for lbl, vecs in by_label.items():
+        mean = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        for d in range(8):
+            # grid error <= 2^-21 per component + 6dp output rounding
+            assert abs(got[(lbl, d)] - mean[d]) < 1e-5
+
+
+def test_fixed_point_centroids_partition_invariant(spark):
+    """The whole point of the integer grid: the result must be identical
+    under any partitioning / summation order."""
+    from name_match_ml_spark.operators.simsearch import fixed_point_centroids
+
+    rows = [(i, 0, [0.1 * i, -0.3 * i]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    a = sorted(map(tuple, fixed_point_centroids(df).collect()))
+    b = sorted(map(tuple, fixed_point_centroids(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_fixed_point_centroids_single_shuffle(spark):
+    from name_match_ml_spark.operators.simsearch import fixed_point_centroids
+
+    df = spark.createDataFrame([(1, 0, [1.0, 2.0])], ["vec_id", "label", "embedding"])
+    plan = (
+        fixed_point_centroids(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan

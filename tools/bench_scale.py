@@ -39,6 +39,7 @@ DEFAULT_QUERIES = [
     "window_range_frame",
     "salted_agg", "correlated_subquery", "time_topk", "doc_triangles",
     "scd2_history", "dq_profile", "apply_cdc", "kmv_distinct",
+    "label_centroids", "window_distribution",
     "grouped_udaf", "enrich_events",
 ]
 
