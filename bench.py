@@ -82,6 +82,7 @@ EXTENDED = [
     "kmv_distinct",
     "label_centroids",
     "window_distribution",
+    "salted_join",
 ]
 
 HEADLINE = [

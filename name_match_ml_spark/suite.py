@@ -758,6 +758,25 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted skew join (plans/skew.py::salted_join) declared
+    as a driver-checked query: events (the skewed fact, salted by
+    event_id hash) joined to the customer dimension (exploded
+    salt-fold) must equal the oracle's plain join exactly — salting may
+    move rows between reducers, never change the result."""
+    from .plans.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "event_id", "value"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return salted_join(e, c, on="k", salt_src="event_id", salt=8).select(
+        "event_id", "k", "value", "c_mktsegment"
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1931,6 +1950,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "label_centroids": q_label_centroids,
     "window_distribution": q_window_distribution,
+    "salted_join": q_salted_join,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2513,6 +2533,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
                      ORDER BY o_totalprice, o_orderkey)
+    """,
+    "salted_join": """
+        SELECT e.event_id, e.user_id AS k, e.value, c.c_mktsegment
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
     """,
     "text_stats": """
         SELECT doc_id, lang,
