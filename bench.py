@@ -83,6 +83,7 @@ EXTENDED = [
     "label_centroids",
     "window_distribution",
     "salted_join",
+    "cms_term_counts",
 ]
 
 HEADLINE = [

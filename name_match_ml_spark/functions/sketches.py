@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "cms_term_counts"]
 
 _M60 = float(1 << 60)
 
@@ -88,4 +88,94 @@ def kmv_distinct(
             ),
             2,
         ).alias("kmv_distinct")
+    )
+
+
+def cms_term_counts(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Count-min-sketch term-frequency estimates — the COUNTING
+    companion to ``operators/cleaning.py::bloom_decontaminate``
+    (membership): total corpus occurrences of each query term estimated
+    from a fixed ``depth × width`` counter grid, never from a
+    full-vocabulary aggregate.
+
+    Build: every token increments one cell per row r —
+    ``(r, hash_r(term) mod width)`` with the salted md5_60/xxhash64
+    hash family — so the sketch aggregate is bounded at ``depth·width``
+    cells REGARDLESS of vocabulary size (the map-side combine collapses
+    to ≤ that many rows per task).  Estimate: ``min`` over the term's
+    ``depth`` cells — the classic Cormode-Muthukrishnan bound: never an
+    undercount, over by > ε·N with probability ≤ (1/2^depth)-ish at
+    width ≥ e/ε.  Absent terms read whatever collisions deposited —
+    over-counting included, the estimator is a pure function of
+    (corpus, hash family), so with ``hash_fn="md5_60"`` the whole
+    sketch replays bit-exactly in DuckDB and is hash-checkable.
+
+    ``query_terms`` is a literal list by contract (the probe set);
+    returns ``(term, cms_count)``.
+
+    Scale shape: one explode to tokens (scan-side), one
+    bounded-cardinality aggregate, one tiny join (≤ depth·|terms| probe
+    rows against ≤ depth·width cells) — AQE broadcasts whichever side
+    it likes; both are contract-bounded.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    from ..operators.cleaning import _gram_hash
+
+    spark = docs.sparkSession
+
+    def cell(term_col, r: int):
+        return F.pmod(
+            _gram_hash(F.concat(F.lit(f"cms{r}:"), term_col), hash_fn), F.lit(width)
+        )
+
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("_t")
+    )
+    cells = (
+        words.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), cell(F.col("_t"), r).alias("pos")
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.r", "c.pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    q = spark.createDataFrame([(t,) for t in query_terms], ["term"])
+    qpos = q.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), cell(F.col("term"), r).alias("pos"))
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "c.r", "c.pos")
+
+    return (
+        qpos.join(cells, ["r", "pos"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )

@@ -777,6 +777,22 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_PROBE_TERMS = ["table", "spark", "vector", "join", "quantum"]
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term counts (functions/sketches.py::
+    cms_term_counts): corpus occurrences of a probe-term list estimated
+    from a fixed 4x1024 counter grid — bounded memory regardless of
+    vocabulary.  md5_60 hashing makes the sketch (over-counts included)
+    bit-replayable in DuckDB; 'quantum' is absent from the synthetic
+    vocabulary, so its row pins the collision floor."""
+    from .functions.sketches import cms_term_counts
+
+    d = table(spark, sf_dir, "documents")
+    return cms_term_counts(d, CMS_PROBE_TERMS, depth=4, width=1024, hash_fn="md5_60")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1951,6 +1967,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "window_distribution": q_window_distribution,
     "salted_join": q_salted_join,
+    "cms_term_counts": q_cms_term_counts,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2538,6 +2555,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT e.event_id, e.user_id AS k, e.value, c.c_mktsegment
         FROM events e
         JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    "cms_term_counts": """
+        WITH words AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    w -> w <> '')) AS term
+          FROM documents),
+        cells AS (
+          SELECT r.i AS r,
+                 (('0x' || substr(md5('cms' || r.i || ':' || term), 1, 15))::BIGINT
+                  % 1024) AS pos,
+                 count(*) AS cnt
+          FROM words, range(4) r(i)
+          GROUP BY 1, 2),
+        q AS (SELECT unnest(['table','spark','vector','join','quantum']) AS term),
+        qpos AS (
+          SELECT term, r.i AS r,
+                 (('0x' || substr(md5('cms' || r.i || ':' || term), 1, 15))::BIGINT
+                  % 1024) AS pos
+          FROM q, range(4) r(i))
+        SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count
+        FROM qpos LEFT JOIN cells USING (r, pos)
+        GROUP BY term
     """,
     "text_stats": """
         SELECT doc_id, lang,

@@ -55,3 +55,57 @@ def test_k_must_be_at_least_two(spark):
     df = spark.createDataFrame([("g", 1)], ["g", "v"])
     with pytest.raises(ValueError):
         kmv_distinct(df, ["g"], "v", k=1)
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from name_match_ml_spark.functions.sketches import cms_term_counts
+
+    rows = [(0, "a a a b c"), (1, "a b b"), (2, "z z z z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {"a": 4, "b": 3, "c": 1, "z": 4, "missing": 0}
+    got = {
+        r.term: r.cms_count
+        for r in cms_term_counts(
+            df, list(exact), depth=4, width=1024, hash_fn="md5_60"
+        ).collect()
+    }
+    for t, n in exact.items():
+        assert got[t] >= n  # CMS never undercounts
+    # 5 distinct terms in a 4x1024 grid: collisions are (5/1024)-likely
+    # per row and the min over 4 rows makes a wrong estimate ~1e-9 —
+    # deterministic given md5_60, and exact here.
+    assert got == exact
+
+
+def test_cms_min_over_rows_beats_single_row(spark):
+    """depth=1 estimates can only be >= depth=4 estimates (min over a
+    superset of cells)."""
+    from name_match_ml_spark.functions.sketches import cms_term_counts
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 50} filler") for i in range(100)], ["doc_id", "text"]
+    )
+    terms = [f"w{i}" for i in range(10)] + ["absent"]
+    deep = {
+        r.term: r.cms_count
+        for r in cms_term_counts(df, terms, depth=4, width=32).collect()
+    }
+    shallow = {
+        r.term: r.cms_count
+        for r in cms_term_counts(df, terms, depth=1, width=32).collect()
+    }
+    for t in terms:
+        assert shallow[t] >= deep[t] >= (2 if t != "absent" else 0)
+
+
+def test_cms_rejects_bad_args(spark):
+    from name_match_ml_spark.functions.sketches import cms_term_counts
+
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        cms_term_counts(df, [])
+    with pytest.raises(ValueError):
+        cms_term_counts(df, ["x"], depth=0)
