@@ -1904,8 +1904,11 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5 min) — `session_window` with a gap *expression*, the feature fixed
     gaps can't emulate.  Timestamps are truncated to whole seconds
     before windowing so the oracle's integer gaps-and-islands replay
-    (running max of event-end vs next start, end-exclusive merge) is
-    bit-exact."""
+    (running max of event-end vs next start) is bit-exact.  Spark
+    merges an event landing EXACTLY at the session end (touch counts as
+    overlap — probed empirically at sf0.1, where second-truncation
+    produces exact touches), so the oracle starts a new session only
+    when start > running end, strictly."""
     from .streaming.windows import session_dynamic_gap_agg
 
     return session_dynamic_gap_agg(table(spark, sf_dir, "events"))
@@ -2607,7 +2610,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH marked AS (
           SELECT user_id, ts, value,
                  CASE WHEN lag(ts) OVER w IS NULL
-                           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                           OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
                       THEN 1 ELSE 0 END AS new_s
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -3992,7 +3995,7 @@ ORACLE_SQL["session_dynamic_gap"] = """
       FROM t),
     m AS (
       SELECT user_id, s, gap,
-             CASE WHEN prev_end IS NULL OR s >= prev_end THEN 1 ELSE 0 END AS is_new
+             CASE WHEN prev_end IS NULL OR s > prev_end THEN 1 ELSE 0 END AS is_new
       FROM o),
     isl AS (
       SELECT user_id, s, gap,
