@@ -84,6 +84,7 @@ EXTENDED = [
     "window_distribution",
     "salted_join",
     "cms_term_counts",
+    "winsorize",
 ]
 
 HEADLINE = [

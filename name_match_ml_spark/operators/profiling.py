@@ -21,10 +21,10 @@ implementation-specific and would not hash-match any oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "winsorize"]
 
 
 def profile_columns(
@@ -76,3 +76,70 @@ def profile_columns(
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    lower_pct: int = 5,
+    upper_pct: int = 95,
+) -> DataFrame:
+    """Percentile clipping (winsorization) — the standard outlier guard
+    before normalization / feature extraction: values below the
+    ``lower_pct``-th or above the ``upper_pct``-th percentile of their
+    group clamp to those bounds.  Adds ``{value_col}_w``; all input
+    columns pass through.
+
+    Percentiles are DISCRETE (percentile_disc semantics): the bound is
+    the actual value at rank ``max(1, ceil(n·pct/100))`` in the group's
+    sort order, selected with pure integer arithmetic — no
+    interpolation, so unlike ``percentile_cont`` the bound (and the
+    clipped output) is bit-identical in any engine.  Values at a tied
+    rank position are equal by construction, so row_number tie order
+    cannot affect the selected bound.
+
+    Scale shape: one window pass (row_number + count over the group
+    sort — exact percentiles cost a per-group sort, the same bill as
+    ``ordered_index``) and one bounds join whose build side has ONE ROW
+    PER GROUP — broadcast-sized for any realistic group count.  When an
+    approximate bound is acceptable at 100 TB, ``approx_percentile``
+    replaces the window pass with a sketch aggregate — same trade as
+    ``profile_columns(distinct="approx")``, and like it, not
+    oracle-replayable.
+    """
+    if not (0 <= lower_pct <= upper_pct <= 100):
+        raise ValueError("need 0 <= lower_pct <= upper_pct <= 100")
+    group_cols = group_cols or []
+    gw = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    w = gw.orderBy(value_col)
+
+    def pos(pct: int):
+        return F.greatest(
+            F.expr(f"(_n * {pct} + 99) div 100"), F.lit(1).cast("long")
+        )
+
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1))
+        .over(gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("_rn") == pos(lower_pct), F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_rn") == pos(upper_pct), F.col("_v"))).alias("_hi"),
+    )
+    joined = df.join(bounds, group_cols) if group_cols else df.crossJoin(F.broadcast(bounds))
+    return joined.select(
+        *df.columns,
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")).alias(
+            f"{value_col}_w"
+        ),
+    )

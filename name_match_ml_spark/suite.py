@@ -793,6 +793,18 @@ def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_term_counts(d, CMS_PROBE_TERMS, depth=4, width=1024, hash_fn="md5_60")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile clipping (operators/profiling.py::winsorize):
+    event values clamped to their event_type's [p5, p95] — DISCRETE
+    percentiles selected by integer rank, so bounds and clipped values
+    are bit-exact in both engines (percentile_cont interpolation would
+    not be)."""
+    from .operators.profiling import winsorize
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize(e, "value", group_cols=["event_type"])
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1971,6 +1983,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_distribution": q_window_distribution,
     "salted_join": q_salted_join,
     "cms_term_counts": q_cms_term_counts,
+    "winsorize": q_winsorize,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -2580,6 +2593,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_count
         FROM qpos LEFT JOIN cells USING (r, pos)
         GROUP BY term
+    """,
+    "winsorize": """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        bounds AS (
+          SELECT event_type,
+                 min(CASE WHEN rn = greatest((n * 5 + 99) // 100, 1)
+                     THEN value END) AS lo,
+                 min(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                     THEN value END) AS hi
+          FROM ranked GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               least(greatest(e.value, b.lo), b.hi) AS value_w
+        FROM events e JOIN bounds b USING (event_type)
     """,
     "text_stats": """
         SELECT doc_id, lang,

@@ -57,3 +57,37 @@ def test_profile_rejects_bad_args(spark):
         profile_columns(df, [], distinct="exact")
     with pytest.raises(ValueError):
         profile_columns(df, ["v"], distinct="sketchy")
+
+
+# --------------------------------------------------------------- winsorize
+
+
+def test_winsorize_clips_to_discrete_percentiles(spark):
+    from name_match_ml_spark.operators.profiling import winsorize
+
+    # group g: values 1..100 -> p5 bound = value at rank 5 = 5,
+    # p95 bound = value at rank 95 = 95
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 101)], ["id", "grp", "v"]
+    )
+    out = {r.id: r.v_w for r in winsorize(df, "v", group_cols=["grp"]).collect()}
+    assert out[1] == 5.0 and out[4] == 5.0  # clipped up
+    assert out[5] == 5.0 and out[50] == 50.0  # pass-through inside bounds
+    assert out[96] == 95.0 and out[100] == 95.0  # clipped down
+
+
+def test_winsorize_small_group_degenerates_to_minmax(spark):
+    from name_match_ml_spark.operators.profiling import winsorize
+
+    df = spark.createDataFrame([(1, "g", 10.0), (2, "g", 20.0)], ["id", "grp", "v"])
+    out = {r.id: r.v_w for r in winsorize(df, "v", group_cols=["grp"]).collect()}
+    # n=2: lo rank = max(1, ceil(0.1)) = 1 -> 10; hi rank = ceil(1.9) = 2 -> 20
+    assert out == {1: 10.0, 2: 20.0}
+
+
+def test_winsorize_rejects_bad_percentiles(spark):
+    from name_match_ml_spark.operators.profiling import winsorize
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    with pytest.raises(ValueError):
+        winsorize(df, "v", lower_pct=60, upper_pct=40)
