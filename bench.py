@@ -85,6 +85,7 @@ EXTENDED = [
     "salted_join",
     "cms_term_counts",
     "winsorize",
+    "zorder_key",
 ]
 
 HEADLINE = [

@@ -805,6 +805,25 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(e, "value", group_cols=["event_type"])
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two event dimensions
+    (functions/layout.py::zorder_key) — the multi-column clustering key
+    save_sorted_layout sorts by so parquet zone maps prune on BOTH
+    user_id and value ranges.  The oracle rebuilds the identical
+    interleaving from zorder_sql, so the exact key is hash-checked."""
+    from .functions.layout import zorder_key
+
+    e = table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.least(F.greatest(F.floor("value"), F.lit(0)), F.lit(255))
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=8).alias("zkey"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality-score shape over documents (SURVEY §2.10)."""
     d = table(spark, sf_dir, "documents")
@@ -1984,6 +2003,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "cms_term_counts": q_cms_term_counts,
     "winsorize": q_winsorize,
+    "zorder_key": q_zorder_key,
     "text_stats": q_text_stats,
     "doc_lang_profile": q_doc_lang_profile,
     "time_sliding": q_time_sliding,
@@ -3757,6 +3777,20 @@ ORACLE_SQL["containment_dedup"] = """
 # integer-product estimator y*(n_a+n_b) / ((m+y)*min(n_a,n_b)) — one
 # double division, so the approximation itself (false shares included)
 # hash-matches.
+# Bit-exact replay of q_zorder_key: the oracle's interleaving expression
+# is GENERATED from the same zorder_sql helper the engine documents for
+# external pushdown, so Spark and DuckDB compute the identical Morton
+# key bit-for-bit.
+from .functions.layout import zorder_sql as _zorder_sql  # noqa: E402
+
+_Z_X = "(user_id % 256)"
+_Z_Y = "least(greatest(floor(value)::BIGINT, 0), 255)"
+ORACLE_SQL["zorder_key"] = f"""
+    SELECT event_id, {_Z_X} AS x, {_Z_Y} AS y,
+           {_zorder_sql([_Z_X, _Z_Y], bits=8)} AS zkey
+    FROM events
+"""
+
 ORACLE_SQL["containment_sketch"] = """
     WITH base AS (
       SELECT doc_id,

@@ -39,7 +39,7 @@ DEFAULT_QUERIES = [
     "window_range_frame",
     "salted_agg", "correlated_subquery", "time_topk", "doc_triangles",
     "scd2_history", "dq_profile", "apply_cdc", "kmv_distinct",
-    "label_centroids", "window_distribution", "salted_join", "cms_term_counts", "winsorize",
+    "label_centroids", "window_distribution", "salted_join", "cms_term_counts", "winsorize", "zorder_key",
     "grouped_udaf", "enrich_events",
 ]
 
