@@ -64,3 +64,50 @@ def test_zorder_rejects_bad_shapes(spark):
         zorder_key(["x"], bits=8)
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
+
+
+def test_zorder_layout_prunes_row_groups_on_both_dims(spark, tmp_path):
+    """End-to-end layout proof: the same 128x128 grid written via
+    save_sorted_layout sorted by zkey vs sorted by x, row-group stats
+    inspected with pyarrow.  For a small box predicate on BOTH dims the
+    Z-order layout leaves row groups whose [min,max] envelopes intersect
+    the box on each dimension only near the box itself, so MOST row
+    groups are prunable on the y dimension too — while the x-sorted
+    layout's y stats span the full range in every row group (zero y
+    pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from name_match_ml_spark.sources.sinks import save_sorted_layout
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(128) for y in range(128)], ["x", "y"]
+    ).select("x", "y", zorder_key(["x", "y"], bits=7).alias("zkey"))
+
+    def prunable_fraction(path, lo, hi, dim):
+        total = kept = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[dim]).statistics
+                total += 1
+                if st.max < lo or st.min > hi:
+                    kept += 1
+        assert total >= 8, f"need multiple row groups, got {total}"
+        return kept / total
+
+    zpath, xpath = str(tmp_path / "z"), str(tmp_path / "x")
+    save_sorted_layout(
+        grid.repartition(1), zpath, sort_by=("zkey",), max_records_per_file=2048
+    )
+    save_sorted_layout(
+        grid.repartition(1), xpath, sort_by=("x", "y"), max_records_per_file=2048
+    )
+
+    # box query: y BETWEEN 8 AND 15 — pruning on the SECOND dimension
+    z_prune = prunable_fraction(zpath, 8, 15, "y")
+    x_prune = prunable_fraction(xpath, 8, 15, "y")
+    assert x_prune == 0.0  # x-sort: every row group spans all y
+    assert z_prune >= 0.5, z_prune  # z-order: most row groups skip the box
