@@ -86,6 +86,13 @@ EXTENDED = [
     "cms_term_counts",
     "winsorize",
     "zorder_key",
+    # round 4 event-analytics family: funnel, cohort, transitions,
+    # fixed-point gap-fill, continuous-aggregate rollup
+    "event_funnel",
+    "cohort_retention",
+    "event_transitions",
+    "gapfill_interpolate",
+    "hierarchical_rollup",
 ]
 
 HEADLINE = [

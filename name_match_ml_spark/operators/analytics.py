@@ -1,0 +1,368 @@
+"""Event-analytics operators [EXT]: funnels, cohort retention, path
+transitions, time-series gap filling, and hierarchical rollup
+reaggregation.
+
+The reference has no event/time-series analytics at all (its only
+workload is the similarity join, ``main.py:163-167``); these are the
+standard product-analytics and warehouse shapes every events pipeline
+needs (funnel conversion, weekly retention matrices, next-event Markov
+transitions, regular-grid resampling with LOCF/interpolation, and
+continuous-aggregate-style rollups that REUSE finer-grained partials
+instead of rescanning raw data).
+
+Scale notes (100 TB of events):
+
+* Every operator here shuffles the events table AT MOST once, on
+  ``user_id`` (funnel/cohort/paths/gapfill) — the natural key a real
+  deployment would already bucket on (``sources/sinks.py::save_bucketed``
+  makes them exchange-free).  Follow-up aggregates are
+  partial-combining (map-side combine) over far smaller keyed rows.
+* ``funnel_steps`` computes the per-step reach timestamps with k
+  chained window expressions over ONE ``partitionBy(user)`` Exchange —
+  never k self-joins of the events table.
+* ``rollup_reaggregate`` is the continuous-aggregate contract: the
+  daily table is derived from the HOURLY aggregate (sum of sums /
+  sum of counts with decimal-exact arithmetic), so at scale each
+  coarser resolution reads partials, not raw events.  The declared
+  query's oracle computes the daily grain directly from raw events —
+  hash equality IS the proof that reaggregation loses nothing.
+* ``gapfill_locf`` works on a fixed-point integer grid (floor(value *
+  10^6), the :func:`..operators.graph.pagerank` idiom) so LOCF and
+  linear interpolation are bit-reproducible in any engine; the only
+  float op is one IEEE double division folded through ``floor``, the
+  same cross-engine-deterministic device as ``functions/sketches.py``.
+  The hour grid per user is generated from that user's own [min, max]
+  hour (no global calendar explosion), bounded by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "funnel_steps",
+    "cohort_retention",
+    "path_transitions",
+    "gapfill_locf",
+    "rollup_reaggregate",
+]
+
+FP_SCALE = 1_000_000  # fixed-point grid for gap-fill values
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY after it, then ``steps[2]`` strictly
+    after that, and so on.
+
+    Returns one row per step: ``(step_idx, step, users_reached)``.
+    A user reaches step i+1 iff they have an event of that type with a
+    timestamp strictly greater than their step-i reach timestamp (the
+    earliest qualifying one — the standard first-touch funnel).  With
+    ``within_s``, each step must additionally land within that many
+    seconds of the PREVIOUS step's reach time (time-to-convert bound).
+
+    Shape: ONE Exchange on ``user_col``; the k per-step reach
+    timestamps are chained conditional-min window expressions over that
+    same partitioning (step i+1's predicate references step i's column,
+    so Catalyst stacks k Window nodes over one shuffle — no self-joins,
+    no collect).  The final per-user row set collapses with a
+    partial-combining aggregate.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(user_col)
+
+    df = events.select(user_col, ts_col, type_col)
+    reach_cols = []
+    for i, step in enumerate(steps):
+        col = f"_reach_{i}"
+        cond = F.col(type_col) == step
+        if i > 0:
+            prev = F.col(reach_cols[-1])
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+            if within_s is not None:
+                # interval arithmetic, not unix_timestamp: exact to the
+                # microsecond and identical in any SQL engine (no
+                # second-truncation semantics to replicate).
+                cond = cond & (
+                    F.col(ts_col) <= prev + F.expr(f"INTERVAL {within_s} SECONDS")
+                )
+        df = df.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        reach_cols.append(col)
+
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in reach_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col(c).isNotNull(), F.lit(1))).alias(f"_n_{i}")
+            for i, c in enumerate(reach_cols)
+        ]
+    )
+    # counts is ONE row; unpivot it driver-free with stack().
+    stack_args: list[Column] = []
+    for i, step in enumerate(steps):
+        stack_args += [F.lit(i), F.lit(step), F.col(f"_n_{i}")]
+    return counts.select(
+        F.stack(F.lit(len(steps)), *stack_args).alias(
+            "step_idx", "step", "users_reached"
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the Monday
+    of their first event's week; for every (cohort_week, week_offset)
+    cell, count the distinct users active that week.
+
+    Returns ``(cohort_week DATE, week_offset INT, n_users BIGINT)``
+    with ``week_offset = 0`` being the cohort week itself.
+
+    Shape: one Exchange on ``user_col`` (window min for the cohort
+    anchor), then a distinct on (user, week) and a partial-combining
+    count — the distinct is the second and last shuffle, over rows
+    already reduced to user-weeks.
+    """
+    w = Window.partitionBy(user_col)
+    wk = F.date_trunc("week", F.col(ts_col))
+    user_weeks = (
+        events.select(
+            F.col(user_col).alias("u"),
+            wk.alias("_wk"),
+            F.min(wk).over(w).alias("_cohort"),
+        )
+        .distinct()
+    )
+    return (
+        user_weeks.groupBy(
+            F.to_date("_cohort").alias("cohort_week"),
+            (F.datediff(F.col("_wk"), F.col("_cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def path_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_gap_s: int = 1800,
+    top_n: int = 20,
+) -> DataFrame:
+    """Next-event (Markov) transition counts: for each user's event
+    stream in (ts, tiebreak) order, count ``prev_type -> next_type``
+    transitions whose gap is at most ``max_gap_s`` seconds, and return
+    the ``top_n`` transitions ordered by count desc (ties by the
+    transition pair, so the cut is deterministic).
+
+    Shape: one Exchange on ``user_col`` + one lag window, then a
+    partial-combining count over at most |types|² keys and a per-task
+    top-k (``TakeOrderedAndProject`` — no global sort shuffle).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    trans = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+            (
+                F.unix_timestamp(F.col(ts_col))
+                - F.unix_timestamp(F.lag(ts_col).over(w))
+            ).alias("_gap"),
+        )
+        .filter(F.col("prev_type").isNotNull() & (F.col("_gap") <= max_gap_s))
+    )
+    return (
+        trans.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "prev_type", "next_type")
+        .limit(top_n)
+    )
+
+
+def _floor_div(num: Column, den: Column) -> Column:
+    # floor over one IEEE double division of exactly-representable
+    # integer operands — bit-identical in any IEEE engine (the
+    # functions/sketches.py device).  NOT integer `div`, whose
+    # truncation direction differs across engines for negatives.
+    return F.floor(num.cast("double") / den.cast("double")).cast("long")
+
+
+def gapfill_locf(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    interpolate: bool = True,
+) -> DataFrame:
+    """Resample each user's value series onto a dense hourly grid with
+    last-observation-carried-forward and (optionally) linear
+    interpolation between observations — the timescale-style gap-fill.
+
+    Per (user, hour) the observed value is that hour's LAST event by
+    (ts, tiebreak) — a lexicographic ``max(struct(...))`` aggregate, so
+    hot hours collapse map-side (the :mod:`..operators.cdc` idiom, not
+    a row_number window).  Values live on a fixed-point integer grid
+    (``floor(value * 1e6)``) so every arithmetic step — including the
+    interpolation slope, computed as ``floor`` of one double division —
+    is bit-reproducible across engines.
+
+    Returns ``(user, hour_ts TIMESTAMP, value_fp BIGINT nullable,
+    locf_fp BIGINT nullable, filled_fp BIGINT nullable, fill_kind
+    STRING)`` where ``fill_kind`` ∈ {'observed', 'interpolated',
+    'locf', 'leading'} and ``filled_fp`` is interpolated between
+    surrounding observations, LOCF after the last one, and NULL before
+    the first (kind 'leading').
+
+    Shape: one partial-combining aggregate on (user, hour); the grid is
+    ``sequence(min_hour, max_hour)`` per user (bounded by each user's
+    own span — no global calendar cross join); one equi-join of grid to
+    observations; two window passes sharing one Exchange on user.
+    """
+    hour_idx = _floor_div(
+        F.unix_timestamp(F.col(ts_col)), F.lit(3600)
+    ).alias("_h")
+    vfp = F.floor(F.col(value_col) * FP_SCALE).cast("long")
+
+    obs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            hour_idx,
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                vfp.alias("v"),
+            ).alias("_o"),
+        )
+        .groupBy("_u", "_h")
+        .agg(F.max("_o").alias("_o"))
+        .select("_u", "_h", F.col("_o.v").alias("_v"))
+    )
+
+    grid = (
+        obs.groupBy("_u")
+        .agg(F.min("_h").alias("_h0"), F.max("_h").alias("_h1"))
+        .select("_u", F.explode(F.sequence("_h0", "_h1")).alias("_h"))
+    )
+    joined = grid.join(obs, ["_u", "_h"], "left")
+
+    wb = (
+        Window.partitionBy("_u")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_u")
+        .orderBy("_h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("_v").isNotNull(), F.col("_h"))
+    filled = joined.select(
+        "_u",
+        "_h",
+        "_v",
+        F.last("_v", ignorenulls=True).over(wb).alias("_pv"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("_ph"),
+        F.first("_v", ignorenulls=True).over(wf).alias("_nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("_nh"),
+    )
+
+    interp = F.col("_pv") + _floor_div(
+        (F.col("_nv") - F.col("_pv")) * (F.col("_h") - F.col("_ph")),
+        F.col("_nh") - F.col("_ph"),
+    )
+    fill_expr = F.when(F.col("_v").isNotNull(), F.col("_v"))
+    if interpolate:
+        fill_expr = fill_expr.when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(), interp
+        )
+    fill_expr = fill_expr.when(F.col("_pv").isNotNull(), F.col("_pv")).otherwise(
+        F.lit(None).cast("long")
+    )
+    kind = (
+        F.when(F.col("_v").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull() & F.lit(interpolate),
+            F.lit("interpolated"),
+        )
+        .when(F.col("_pv").isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("leading"))
+    )
+    return filled.select(
+        F.col("_u").alias(user_col),
+        F.timestamp_seconds(F.col("_h") * 3600).alias("hour_ts"),
+        F.col("_v").alias("value_fp"),
+        F.col("_pv").alias("locf_fp"),
+        fill_expr.alias("filled_fp"),
+        kind.alias("fill_kind"),
+    )
+
+
+def rollup_reaggregate(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-aggregate-style hierarchical rollup: build the HOURLY
+    aggregate once, then derive the DAILY aggregate from the hourly
+    partials (sum of sums, sum of counts) — never rescanning raw
+    events for the coarser grain.
+
+    Returns ``(hourly, daily)``.  Sums are ``DECIMAL(18,6)`` so the
+    reaggregation is exact (decimal addition is associative; a double
+    sum would drift between the one-pass and two-pass plans).
+
+    At 100 TB this is the continuous-aggregate contract: raw → hourly
+    is the only scan of the events table; hourly → daily (and daily →
+    monthly, …) reads partials whose cardinality is smaller by the
+    bucket fan-in.  The declared query hash-checks the DAILY table
+    against an oracle computed directly from raw events — equality
+    proves reaggregation loses nothing.
+    """
+    dec = F.col(value_col).cast("decimal(18,6)")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col(ts_col)).alias("hour_ts"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.sum(dec).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            F.to_date(F.date_trunc("day", F.col("hour_ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    return hourly, daily

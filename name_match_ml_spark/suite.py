@@ -1945,7 +1945,85 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_dynamic_gap_agg(table(spark, sf_dir, "events"))
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/analytics.py::funnel_steps): users who
+    viewed, then clicked strictly later, then purchased strictly later —
+    each within 24 h of the previous step.  Chained conditional-min
+    windows over ONE user_id Exchange; interval arithmetic (never
+    unix_timestamp truncation) keeps the time bound microsecond-exact
+    in both engines."""
+    from .operators.analytics import funnel_steps
+
+    return funnel_steps(
+        table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_s=86400,
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/analytics.py::
+    cohort_retention): cohort by Monday of first-event week, distinct
+    active users per (cohort, week offset).  One window shuffle + one
+    distinct over user-weeks."""
+    from .operators.analytics import cohort_retention
+
+    return cohort_retention(table(spark, sf_dir, "events"))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event Markov transitions (operators/analytics.py::
+    path_transitions): lag window per user over (ts, event_id), gap
+    <= 30 min, top 20 transitions with deterministic ties.  The gap uses
+    whole-second semantics (unix_timestamp floor == date_diff('second')
+    boundary counting — identical by construction)."""
+    from .operators.analytics import path_transitions
+
+    return path_transitions(table(spark, sf_dir, "events"), max_gap_s=1800, top_n=20)
+
+
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with LOCF + linear interpolation
+    (operators/analytics.py::gapfill_locf) on a fixed-point 1e6 integer
+    grid — the slope is floor of ONE IEEE double division, so every
+    filled value is bit-reproducible in DuckDB.  Grid bounded per user
+    by that user's own [min, max] hour."""
+    from .operators.analytics import gapfill_locf
+
+    g = gapfill_locf(table(spark, sf_dir, "events"))
+    return g.select(
+        "user_id",
+        F.unix_timestamp("hour_ts").alias("hour_s"),
+        "value_fp",
+        "locf_fp",
+        "filled_fp",
+        "fill_kind",
+    )
+
+
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate contract (operators/analytics.py::
+    rollup_reaggregate): the DAILY aggregate is derived from the HOURLY
+    partials (sum of decimal sums), never from raw events; the oracle
+    computes the daily grain directly — hash equality proves
+    reaggregation loses nothing."""
+    from .operators.analytics import rollup_reaggregate
+
+    _hourly, daily = rollup_reaggregate(table(spark, sf_dir, "events"))
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n_events",
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+    "gapfill_interpolate": q_gapfill_interpolate,
+    "hierarchical_rollup": q_hierarchical_rollup,
     "session_dynamic_gap": q_session_dynamic_gap,
     "collection_ops": q_collection_ops,
     "recursive_cte": q_recursive_cte,
@@ -4071,4 +4149,119 @@ ORACLE_SQL["session_dynamic_gap"] = """
            max(s + gap) AS end_s,
            count(*)::BIGINT AS n_events
     FROM isl GROUP BY user_id, sid
+"""
+
+
+# Event-analytics family (operators/analytics.py).  Funnel: chained
+# first-touch reach times; step i+1 must land strictly after and within
+# 24 h of step i (interval arithmetic — microsecond-exact, no
+# truncation semantics to replicate).
+ORACLE_SQL["event_funnel"] = """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS r FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS r
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.r
+        AND e.ts <= t1.r + INTERVAL 86400 SECOND
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS r
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.r
+        AND e.ts <= t2.r + INTERVAL 86400 SECOND
+      GROUP BY e.user_id)
+    SELECT 0 AS step_idx, 'view' AS step, count(*)::BIGINT AS users_reached FROM t1
+    UNION ALL
+    SELECT 1, 'click', count(*)::BIGINT FROM t2
+    UNION ALL
+    SELECT 2, 'purchase', count(*)::BIGINT FROM t3
+"""
+
+# Cohort weeks are Monday-truncated in both engines; offsets are exact
+# multiples of 7 days, so the /7 division is exact and cast-safe.
+ORACLE_SQL["cohort_retention"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', ts) AS wk,
+             min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+      FROM events)
+    SELECT CAST(cohort AS DATE) AS cohort_week,
+           CAST(date_diff('day', cohort, wk) / 7 AS INT) AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM uw GROUP BY 1, 2
+"""
+
+# date_diff('second') counts second-boundary crossings, which equals
+# Spark's unix_timestamp floor difference by construction.
+ORACLE_SQL["event_transitions"] = """
+    WITH t AS (
+      SELECT lag(event_type) OVER w AS prev_type,
+             event_type AS next_type,
+             date_diff('second', lag(ts) OVER w, ts) AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+    FROM t WHERE prev_type IS NOT NULL AND gap <= 1800
+    GROUP BY 1, 2
+    ORDER BY n_transitions DESC, prev_type, next_type
+    LIMIT 20
+"""
+
+# Fixed-point gap-fill replay: hour index = floor(epoch/3600), value on
+# the 1e6 integer grid, last-in-hour by (ts, event_id); the interp slope
+# is floor of one double division of exactly-representable integers —
+# bit-identical to Spark's expression.
+ORACLE_SQL["gapfill_interpolate"] = """
+    WITH obs AS (
+      SELECT u, h, v FROM (
+        SELECT user_id AS u,
+               CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT) AS h,
+               CAST(floor(value * 1000000) AS BIGINT) AS v,
+               row_number() OVER (PARTITION BY user_id,
+                                  CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    grid AS (
+      SELECT u, unnest(range(h0, h1 + 1)) AS h
+      FROM (SELECT u, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY u)),
+    j AS (SELECT g.u, g.h, o.v FROM grid g LEFT JOIN obs o USING (u, h)),
+    f AS (
+      SELECT u, h, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS ph,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+      FROM j
+      WINDOW wb AS (PARTITION BY u ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY u ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT u AS user_id,
+           h * 3600 AS hour_s,
+           v AS value_fp,
+           pv AS locf_fp,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + CAST(floor(CAST((nv - pv) * (h - ph) AS DOUBLE)
+                                       / CAST(nh - ph AS DOUBLE)) AS BIGINT)
+                WHEN pv IS NOT NULL THEN pv
+                ELSE NULL END AS filled_fp,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                WHEN pv IS NOT NULL THEN 'locf'
+                ELSE 'leading' END AS fill_kind
+    FROM f
+"""
+
+# The oracle aggregates raw events at the daily grain directly; the
+# Spark query reaggregates hourly partials — equality proves the
+# continuous-aggregate contract (decimal sums are associative).
+ORACLE_SQL["hierarchical_rollup"] = """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1, 2
 """
