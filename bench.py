@@ -93,6 +93,13 @@ EXTENDED = [
     "event_transitions",
     "gapfill_interpolate",
     "hierarchical_rollup",
+    # round 4 TPC-H shape completion (Q7/Q9/Q13/Q14/Q15/Q18 analogs)
+    "volume_shipping",
+    "product_profit",
+    "top_supplier",
+    "large_orders",
+    "promo_revenue",
+    "order_count_distribution",
 ]
 
 HEADLINE = [

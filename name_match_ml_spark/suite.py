@@ -2018,7 +2018,160 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations in both
+    directions by year.  Five-table join (lineitem ⋈ supplier ⋈ orders ⋈
+    customer ⋈ nation×2) — the dimension sides broadcast, lineitem is
+    the only big scan; revenue in DECIMAL(18,2)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table in the corpus, so profit is
+    discounted revenue): profit by supplier nation × order year for
+    parts of one brand.  Part/supplier/nation broadcast; orders joins
+    on the shuffled orderkey."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part")
+    n = table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+                li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("profit"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a
+    quarter.  The max is a 1-row aggregate equi-joined back on the
+    revenue value (decimal-exact, so the equality is safe) — a
+    BroadcastHashJoin, not a nested loop."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev_expr = (F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_expr).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (sum of quantities > 300)
+    with their customer.  The having-filter runs on the grouped
+    lineitem BEFORE joining orders/customer, so only qualifying
+    orderkeys reach the join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.to_date("o_orderdate").alias("o_orderdate"),
+                "o_totalprice",
+                F.col("sum_qty").cast("double").alias("sum_qty"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly PROMO revenue share.  Both sums are
+    decimal-exact; the percentage is ONE double division per row —
+    deterministic in any IEEE engine (the functions/sketches.py
+    device)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "month",
+            (F.lit(100.0) * F.col("_promo").cast("double")
+             / F.col("_total").cast("double")).alias("promo_pct"),
+        )
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed (including zero).  Left join + two partial-combining
+    aggregates; the second groups at most max-order-count keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "top_supplier": q_top_supplier,
+    "large_orders": q_large_orders,
+    "promo_revenue": q_promo_revenue,
+    "order_count_distribution": q_order_count_distribution,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
@@ -4264,4 +4417,91 @@ ORACLE_SQL["hierarchical_rollup"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
            count(*)::BIGINT AS n_events
     FROM events GROUP BY 1, 2
+"""
+
+
+# TPC-H shape analogs over the driver corpus (no partsupp table, no
+# receipt/commit dates or ship modes — Q9/Q7 adapt accordingly).
+ORACLE_SQL["volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["product_profit"] = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_brand = 'Brand#1'
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["top_supplier"] = """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLE_SQL["large_orders"] = """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM big
+    JOIN orders   ON big.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLE_SQL["promo_revenue"] = """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+"""
+
+ORACLE_SQL["order_count_distribution"] = """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
 """
