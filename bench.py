@@ -100,6 +100,8 @@ EXTENDED = [
     "large_orders",
     "promo_revenue",
     "order_count_distribution",
+    # SemDeDup-style LSH-cell semantic dedup (integer predicate)
+    "semantic_dedup",
 ]
 
 HEADLINE = [

@@ -35,6 +35,7 @@ __all__ = [
     "quantize_embeddings",
     "quantized_cosine_topk",
     "fixed_point_centroids",
+    "semantic_dedup",
 ]
 
 _TOPK_CAND_SCHEMA = StructType(
@@ -571,4 +572,109 @@ def fixed_point_centroids(
             F.sum("_fx").cast("double") / (F.count(F.lit(1)) * F.lit(grid)),
             6,
         ).alias("centroid")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int | None = None,
+    target_cell_rows: int = 256,
+    threshold_pct: int = 80,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): partition the corpus into embedding-space cells,
+    flag every vector that has a LOWER-id cell-mate with cosine
+    similarity ≥ ``threshold_pct``/100, and keep the rest.
+
+    Returns one row per input vector: ``(vec_id, cell, kept, dup_of)``
+    where ``dup_of`` is the smallest flagging neighbor id (NULL when
+    kept) — the deterministic keep-the-first rule that replaces the
+    paper's arbitrary per-cluster choice.
+
+    Determinism/oracle contract: cells are ONE random-hyperplane
+    signature (:func:`lsh_signature_sql`'s md5 plane family when
+    ``hash_fn="md5_60"`` — bit-identical sign tests in any IEEE
+    engine); similarity is tested on int8-quantized codes
+    (:func:`quantize_expr`) with the PURE-INTEGER predicate::
+
+        dot > 0  AND  dot² · 10⁴ ≥ pct² · ‖qa‖² · ‖qb‖²
+
+    which is ``qcos ≥ pct/100`` without ever taking a square root —
+    int64-exact for dims ≤ ~512 (dot ≤ 127²·512 ≈ 8.3e6 ⇒ every term
+    ≤ ~7e17), so the full flagged set replays bit-for-bit in DuckDB.
+
+    Scale shape: the k-means of the paper is replaced by LSH cells —
+    assignment is a per-row codegen expression (no training pass, no
+    centroid broadcast); ``nbits=None`` sizes cells from the corpus
+    exactly like :func:`lsh_cosine_topk` (each doubling of N adds one
+    bit, holding expected cell size constant), so the within-cell
+    self-join stays O(N · cell_rows), never all-pairs.  The join
+    shuffles int8 codes (4× smaller than float32) on the cell key;
+    AQE splits skewed cells.  Recall vs the exact near-dup operator is
+    a pytest gate, not a contract — a vector pair split across a cell
+    boundary is missed, the paper's own trade.
+    """
+    if nbits is None:
+        n = df.count()
+        nbits = max(2, min(24, int(np.ceil(np.log2(max(n, 1) / target_cell_rows)))))
+
+    v = F.col(vec_col).cast("array<double>")
+    scale, q = quantize_expr(v)
+    if hash_fn == "md5_60":
+        base = df.select(F.col(id_col).alias("vec_id"), v.alias("_v"), q.alias("q"))
+        base = base.withColumn("cell", F.expr(lsh_signature_sql("_v", dim, nbits, 0)))
+    else:
+        base = df.select(
+            F.col(id_col).alias("vec_id"),
+            _lsh_signature(v, dim, nbits, 0, hash_fn).alias("cell"),
+            q.alias("q"),
+        )
+    int_dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = base.select("vec_id", "cell", "q", int_dot(F.col("q"), F.col("q")).alias("n2"))
+
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    pct = F.lit(int(threshold_pct)).cast("long")
+    dot = int_dot(F.col("qa"), F.col("qb"))
+    dup_map = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_dot", dot)
+        .filter(
+            (F.col("_dot") > 0)
+            & (F.col("_dot") * F.col("_dot") * F.lit(10000).cast("long")
+               >= pct * pct * F.col("na") * F.col("nb"))
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        base.select("vec_id", "cell")
+        .join(dup_map, base.vec_id == dup_map.id_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
     )

@@ -2165,7 +2165,28 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/simsearch.py::
+    semantic_dedup): LSH-cell partition + int8-quantized pure-integer
+    similarity predicate + deterministic keep-the-smallest-id rule.
+    md5_60 planes and integer arithmetic make the FULL flagged set
+    (false negatives across cell boundaries included — the paper's own
+    trade) bit-reproducible in DuckDB.  threshold_pct=30 because the
+    synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈0.51) — a real corpus would run 95+; the predicate path exercised
+    is identical."""
+    from .operators.simsearch import semantic_dedup
+
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        nbits=4,
+        threshold_pct=30,
+        hash_fn="md5_60",
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semantic_dedup": q_semantic_dedup,
     "volume_shipping": q_volume_shipping,
     "product_profit": q_product_profit,
     "top_supplier": q_top_supplier,
@@ -4505,3 +4526,48 @@ ORACLE_SQL["order_count_distribution"] = """
       GROUP BY c_custkey)
     GROUP BY c_count
 """
+
+
+def _semantic_dedup_oracle_sql(dim: int = 64, nbits: int = 4, pct: int = 30) -> str:
+    """DuckDB mirror of ``q_semantic_dedup``: the cell signature expands
+    the same :func:`..operators.simsearch.lsh_plane` constants in the
+    same fold order (bit-identical sign tests), quantization replays
+    ``quantize_expr`` term-for-term, and the similarity predicate is
+    pure int64 — no float comparison anywhere."""
+    from .operators.simsearch import lsh_plane
+
+    def dot(vec: str, b: int) -> str:
+        return " + ".join(f"{vec}[{d + 1}]*({lsh_plane(0, b, d)!r})" for d in range(dim))
+
+    sig = " + ".join(
+        f"(CASE WHEN ({dot('v', b)}) > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc,
+             ({sig})::BIGINT AS cell
+      FROM base),
+    n AS (
+      SELECT vec_id, cell,
+             list_transform(v, x -> floor(x / sc * 127.0 + 0.5)::BIGINT) AS q,
+             list_sum(list_transform(v, x -> (floor(x / sc * 127.0 + 0.5)::BIGINT
+                                              * floor(x / sc * 127.0 + 0.5)::BIGINT)))::BIGINT AS n2
+      FROM s),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range({dim}),
+                 i -> a.q[i + 1] * b.q[i + 1]))::BIGINT AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    dup AS (
+      SELECT id_b, min(id_a) AS dup_of FROM pairs
+      WHERE dot > 0 AND dot * dot * 10000 >= {pct * pct} * na * nb
+      GROUP BY id_b)
+    SELECT n.vec_id, n.cell, dup.dup_of IS NULL AS kept, dup.dup_of
+    FROM n LEFT JOIN dup ON n.vec_id = dup.id_b
+    """
+
+
+ORACLE_SQL["semantic_dedup"] = _semantic_dedup_oracle_sql()
