@@ -102,6 +102,9 @@ EXTENDED = [
     "order_count_distribution",
     # SemDeDup-style LSH-cell semantic dedup (integer predicate)
     "semantic_dedup",
+    # mixture-drift KL monitor + exact rolling-median window
+    "source_divergence",
+    "rolling_median",
 ]
 
 HEADLINE = [

@@ -31,6 +31,7 @@ __all__ = [
     "vocab_oov_stats",
     "inverted_index",
     "ws_normalize",
+    "source_kl_divergence",
 ]
 
 # Top stopwords per language — enough signal for a coarse heuristic ID.
@@ -554,3 +555,55 @@ def inverted_index(
         )
     )
     return dfreq.join(sample, "term").filter(F.col("df_count") >= min_df)
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distribution drift per corpus slice: KL(p_source ‖ p_corpus) over
+    unigram term distributions — the mixture-monitoring signal a data
+    recipe needs ("did this crawl snapshot's language shift?").
+
+    Returns ``(source, n_terms, n_tokens, kl_divergence)`` where
+    ``kl = Σ_t p_s(t)·ln(p_s(t)/q(t))`` over terms present in the
+    slice (q(t) > 0 always holds — the corpus contains the slice, so
+    the sum is finite and ≥ 0 up to grid error).
+
+    Determinism: each term's contribution is floored onto a 1e-9 grid
+    as int64 BEFORE summing, so the per-source total is independent of
+    partition/summation order and replays exactly in any engine whose
+    ``ln`` agrees at that grid (the :mod:`..operators.cleaning`
+    weighted-sample precedent).  Shuffle budget: one (source, term)
+    aggregate with map-side combine; the corpus term table joins back
+    on ``term`` UNHINTED (vocabulary-sized — the r3-verdict broadcast
+    lesson); per-source totals join on ``source`` (slice-cardinality,
+    AQE broadcasts when small); the corpus total is a 1-row broadcast.
+    """
+    words = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("source").agg(F.sum("tf").alias("t_s"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.select(F.sum("cf").alias("total"))
+
+    p = F.col("tf").cast("double") / F.col("t_s").cast("double")
+    q = F.col("cf").cast("double") / F.col("total").cast("double")
+    contrib_fp = F.floor(p * F.log(p / q) * F.lit(1e9)).cast("long")
+    return (
+        tf.join(cf, "term")
+        .join(totals, "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(contrib_fp).cast("double") / F.lit(1e9), 6).alias(
+                "kl_divergence"
+            ),
+        )
+    )

@@ -2185,7 +2185,45 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence vs the corpus unigram distribution
+    (functions/text.py::source_kl_divergence) — the mixture-drift
+    monitor of a data recipe.  Per-term contributions floor onto a 1e-9
+    int64 grid before summing, so the total is partition-order-free and
+    replays exactly in DuckDB."""
+    from .functions.text import source_kl_divergence
+
+    return source_kl_divergence(table(spark, sf_dir, "documents"))
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling lower-median over the last 7 events per user —
+    the robust-statistics window shape approx_percentile can't serve
+    deterministically.  Values on the fixed-point 1e6 grid; the frame
+    list is sorted per row (frame ≤ 7 elements, so the per-row cost is
+    constant) and the lower median is an integer pick — no
+    interpolation, bit-exact in any engine."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vfp = F.floor(F.col("value") * 1000000).cast("long")
+    vals = F.sort_array(F.collect_list(vfp).over(w))
+    n = F.size(vals)
+    return e.select(
+        "user_id",
+        "event_id",
+        vfp.alias("value_fp"),
+        n.cast("long").alias("n_in_frame"),
+        F.element_at(vals, ((n + 1) / 2).cast("int")).alias("rolling_med_fp"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_divergence": q_source_divergence,
+    "rolling_median": q_rolling_median,
     "semantic_dedup": q_semantic_dedup,
     "volume_shipping": q_volume_shipping,
     "product_profit": q_product_profit,
@@ -4571,3 +4609,44 @@ def _semantic_dedup_oracle_sql(dim: int = 64, nbits: int = 4, pct: int = 30) -> 
 
 
 ORACLE_SQL["semantic_dedup"] = _semantic_dedup_oracle_sql()
+
+
+# Per-term KL contributions floor onto a 1e-9 int64 grid before the
+# sum, so partition order can't move the total; ln parity at that grid
+# is the established weighted_sample precedent.
+ORACLE_SQL["source_divergence"] = """
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS term
+      FROM documents),
+    tf AS (SELECT source, term, count(*) AS tf FROM words GROUP BY source, term),
+    ts AS (SELECT source, sum(tf) AS t_s FROM tf GROUP BY source),
+    cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT sum(cf) AS total FROM cf)
+    SELECT source,
+           count(*)::BIGINT AS n_terms,
+           sum(tf)::BIGINT AS n_tokens,
+           round(sum(CAST(floor((tf::DOUBLE / t_s::DOUBLE)
+                       * ln((tf::DOUBLE / t_s::DOUBLE)
+                            / (cf::DOUBLE / total::DOUBLE)) * 1e9) AS BIGINT))::DOUBLE
+                 / 1e9, 6) AS kl_divergence
+    FROM tf JOIN cf USING (term) JOIN ts USING (source), tot
+    GROUP BY source
+"""
+
+ORACLE_SQL["rolling_median"] = """
+    WITH t AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS vfp
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, vfp,
+             list_sort(list(vfp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+      FROM t)
+    SELECT user_id, event_id, vfp AS value_fp,
+           len(l)::BIGINT AS n_in_frame,
+           l[(len(l) + 1) // 2] AS rolling_med_fp
+    FROM m
+"""

@@ -24,6 +24,8 @@ ALLOWED = {
     "unigram_logprob": {"BroadcastNestedLoopJoin"},
     # and the 1-row vocabulary-size broadcast for the bigram LM
     "bigram_logprob": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-total broadcast for the KL divergence denominator
+    "source_divergence": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
