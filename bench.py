@@ -105,6 +105,9 @@ EXTENDED = [
     # mixture-drift KL monitor + exact rolling-median window
     "source_divergence",
     "rolling_median",
+    # distributed BPE tokenizer training (merge log + final segmentation)
+    "bpe_merges",
+    "bpe_segments",
 ]
 
 HEADLINE = [

@@ -1,0 +1,154 @@
+"""Distributed BPE merge training [EXT]: learn byte-pair-encoding
+merges over a corpus — the tokenizer-training pass of an LLM data
+pipeline, expressed as Catalyst plans.
+
+The reference has no tokenizer machinery at all; this follows the
+original BPE recipe (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units"): train on the WORD LEXICON with
+frequencies, not the raw corpus — the corpus is scanned exactly once to
+build ``(word, freq)``, and every merge round works on the
+vocabulary-bounded symbol table (sum of distinct-word lengths rows, a
+quantity that grows with the vocabulary, not with corpus bytes).  That
+is precisely why BPE training scales to 100 TB: the heavy aggregation
+happens once, and the iterative part never touches corpus-sized data.
+
+Per round (all deterministic, no RNG):
+
+1. pair counts: ``lead(sym)`` over each word's position order (one
+   window over the standing ``word`` partitioning) → ``(a, b,
+   Σ freq)`` partial-combining aggregate;
+2. winner: max count, ties broken by ``(a, b)`` lexicographically —
+   a 1-row ``orderBy().limit(1)`` broadcast (allowlisted nested-loop
+   shape, like the corpus-count joins in :mod:`..functions.text`);
+3. merge: left-to-right non-overlapping occurrences.  Within each
+   maximal run of consecutive matching positions, occurrences at even
+   offset from the run start merge (classic greedy semantics — for
+   pair (a,a) on "aaaa" this merges positions 0&1 and 2&3); the
+   follower row drops, positions renumber.
+
+Rounds are unrolled in the driver with ``localCheckpoint`` per round
+(the :mod:`.graph` convention — it cuts the exponentially-nesting
+lineage of plan-in-loop construction).  Every step is integer/string
+arithmetic, so the full merge table AND the final segmentation replay
+bit-exactly in DuckDB as generated unrolled CTEs
+(``suite._bpe_oracle_sql``).
+
+Exhaustion semantics: once no adjacent pair remains, the winner set is
+empty and — because the winner joins back with an INNER 1-row join —
+the symbol table empties and later rounds contribute nothing; the merge
+table simply stops growing.  Both engines share this behavior by
+construction.  (Real corpora never exhaust at the round counts used
+here.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_lexicon", "bpe_train"]
+
+
+def _chars(word: Column) -> Column:
+    # sequence(0, len-1) DESCENDS for the empty string (len-1 = -1);
+    # guard to a typed empty array (the round-4 notes gotcha).
+    return F.when(
+        F.length(word) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.length(word) - 1),
+            lambda i: word.substr(i + 1, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_lexicon(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> DataFrame:
+    """``(wid, freq, pos, sym)`` initial symbol table: lowercase
+    whitespace words with corpus frequencies, exploded to one row per
+    character position.  ``max_words`` keeps only the top-``max_words``
+    words by (freq desc, word asc) — the LIMIT-bounded state cap that
+    makes the training set size explicit at 100 TB (rare-tail words
+    contribute negligible pair mass; the cut is deterministic)."""
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("wid")
+    )
+    lex = words.groupBy("wid").agg(F.count(F.lit(1)).alias("freq"))
+    if max_words is not None:
+        lex = lex.orderBy(F.desc("freq"), "wid").limit(max_words)
+    return lex.select(
+        "wid", "freq", F.posexplode(_chars(F.col("wid"))).alias("pos", "sym")
+    )
+
+
+def _merge_round(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round: returns ``(merged_seqs, winner)`` where winner is
+    a 0/1-row DataFrame ``(sym_a, sym_b, pair_count)``."""
+    w = Window.partitionBy("wid").orderBy("pos")
+    paired = seqs.select(
+        "wid", "freq", "pos", "sym", F.lead("sym").over(w).alias("_nxt")
+    )
+    counts = (
+        paired.filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col("sym").alias("sym_a"), F.col("_nxt").alias("sym_b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    winner = counts.orderBy(F.desc("pair_count"), "sym_a", "sym_b").limit(1)
+
+    tagged = paired.crossJoin(F.broadcast(winner)).withColumn(
+        "_match",
+        (F.col("sym") == F.col("sym_a")) & (F.col("_nxt") == F.col("sym_b")),
+    )
+    run_start = F.last(
+        F.when(
+            F.col("_match") & ~F.coalesce(F.lag("_match").over(w), F.lit(False)),
+            F.col("pos"),
+        ),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = tagged.withColumn(
+        "_merge",
+        F.col("_match") & ((F.col("pos") - run_start) % 2 == 0),
+    ).withColumn("_drop", F.coalesce(F.lag("_merge").over(w), F.lit(False)))
+    kept = flagged.filter(~F.col("_drop")).select(
+        "wid",
+        "freq",
+        F.when(F.col("_merge"), F.concat("sym", "_nxt")).otherwise(F.col("sym")).alias(
+            "sym"
+        ),
+        (F.row_number().over(w) - 1).alias("pos"),
+    )
+    return kept.select("wid", "freq", "pos", "sym"), winner
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_words: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merges; returns ``(merges, segments)``.
+
+    ``merges``: ``(round, sym_a, sym_b, pair_count)`` — the ordered
+    merge table (THE tokenizer artifact).  ``segments``: the final
+    ``(wid, freq, pos, sym)`` symbol table — each word's segmentation
+    under the learned merges (applying BPE to any text is replaying
+    ``merges`` over its words with the same left-to-right rule).
+    """
+    spark = docs.sparkSession
+    seqs = bpe_lexicon(docs, text_col=text_col, max_words=max_words).localCheckpoint()
+    merge_rows = []
+    for r in range(n_merges):
+        seqs, winner = _merge_round(seqs)
+        seqs = seqs.localCheckpoint()
+        merge_rows.append(winner.select(F.lit(r).alias("round"), "*"))
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    return merges, seqs

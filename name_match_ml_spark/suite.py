@@ -2221,7 +2221,40 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py::bpe_train):
+    8 merge rounds over the top-1000-word lexicon of the documents
+    corpus.  The corpus is scanned once for word frequencies; every
+    round then works on the vocabulary-bounded symbol table — the
+    Sennrich-style lexicon formulation that makes tokenizer training
+    corpus-size-independent after the first aggregate.  The ordered
+    merge table is the tokenizer artifact; the oracle replays all 8
+    rounds as unrolled CTEs."""
+    from .operators.bpe import bpe_train
+
+    merges, _segs = bpe_train(
+        table(spark, sf_dir, "documents"), n_merges=8, max_words=1000
+    )
+    return merges
+
+
+def q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final BPE segmentation of the lexicon after the 8 learned merges
+    (same training run as bpe_merges) — one row per (word, position,
+    symbol).  Hash equality here checks the MERGE APPLICATION path
+    (left-to-right non-overlap, run parity on aa-type pairs), not just
+    the winner selection."""
+    from .operators.bpe import bpe_train
+
+    _merges, segs = bpe_train(
+        table(spark, sf_dir, "documents"), n_merges=8, max_words=1000
+    )
+    return segs
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_merges": q_bpe_merges,
+    "bpe_segments": q_bpe_segments,
     "source_divergence": q_source_divergence,
     "rolling_median": q_rolling_median,
     "semantic_dedup": q_semantic_dedup,
@@ -4650,3 +4683,72 @@ ORACLE_SQL["rolling_median"] = """
            l[(len(l) + 1) // 2] AS rolling_med_fp
     FROM m
 """
+
+
+def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = False) -> str:
+    """DuckDB mirror of ``q_bpe_merges`` / ``q_bpe_segments``: the
+    lexicon build plus ``n_merges`` unrolled merge rounds (pair count →
+    deterministic winner → left-to-right run-parity merge → renumber),
+    generated round-for-round from the same semantics as
+    ``operators/bpe.py::_merge_round``.  ``final=True`` selects the
+    last symbol table instead of the merge log."""
+    rounds = []
+    for r in range(n_merges):
+        rounds.append(f"""
+    p{r} AS (
+      SELECT wid, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+      FROM seqs{r}),
+    c{r} AS (
+      SELECT sym AS a, nxt AS b, sum(freq) AS cnt
+      FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    b{r} AS (SELECT a, b, cnt FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    t{r} AS (
+      SELECT p.wid, p.freq, p.pos, p.sym, p.nxt,
+             (p.sym = b.a AND p.nxt = b.b) AS match
+      FROM p{r} p, b{r} b),
+    u{r} AS (
+      SELECT *, CASE WHEN match AND NOT coalesce(lag(match)
+                       OVER (PARTITION BY wid ORDER BY pos), FALSE)
+                     THEN pos END AS startpos
+      FROM t{r}),
+    v{r} AS (
+      SELECT *, (match AND ((pos - last_value(startpos IGNORE NULLS)
+                  OVER (PARTITION BY wid ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) % 2 = 0))
+                AS do_merge
+      FROM u{r}),
+    x{r} AS (
+      SELECT *, coalesce(lag(do_merge) OVER (PARTITION BY wid ORDER BY pos),
+                         FALSE) AS dropped
+      FROM v{r}),
+    seqs{r + 1} AS (
+      SELECT wid, freq,
+             row_number() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
+             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+      FROM x{r} WHERE NOT dropped)""")
+
+    if final:
+        tail = f"SELECT wid, freq, pos, sym FROM seqs{n_merges}"
+    else:
+        tail = "\n    UNION ALL ".join(
+            f"SELECT {r} AS round, a AS sym_a, b AS sym_b, cnt::BIGINT AS pair_count FROM b{r}"
+            for r in range(n_merges)
+        )
+    return f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS wid
+      FROM documents),
+    lex AS (
+      SELECT wid, count(*) AS freq FROM words GROUP BY wid
+      ORDER BY freq DESC, wid LIMIT {max_words}),
+    cs AS (SELECT wid, freq, unnest(range(length(wid))) AS pos FROM lex),
+    seqs0 AS (SELECT wid, freq, pos, wid[(pos + 1)::INT] AS sym FROM cs),
+    {",".join(rounds)}
+    {tail}
+    """
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
+ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
