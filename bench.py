@@ -108,6 +108,8 @@ EXTENDED = [
     # distributed BPE tokenizer training (merge log + final segmentation)
     "bpe_merges",
     "bpe_segments",
+    # stream-stream LEFT OUTER interval join (batch twin)
+    "stream_left_join",
 ]
 
 HEADLINE = [

@@ -39,6 +39,7 @@ __all__ = [
     "sliding_counts",
     "session_aggregate",
     "click_error_interval_join",
+    "error_click_left_join",
     "dedup_within_watermark",
     "running_user_totals",
 ]
@@ -185,6 +186,50 @@ def click_error_interval_join(
         & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {horizon}")),
     ).select(
         F.col("c_user").alias("user_id"),
+        "error_id",
+        "click_id",
+        F.unix_timestamp("e_ts").alias("error_ts_s"),
+        F.unix_timestamp("c_ts").alias("click_ts_s"),
+    )
+
+
+def error_click_left_join(
+    errors: DataFrame,
+    clicks: DataFrame,
+    *,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error pairs with
+    the same user's clicks in the preceding ``horizon``; errors with NO
+    qualifying click emit one NULL-click row — but only once the
+    watermark passes the error's join window, because until then a
+    matching click could still arrive.  That is the semantics
+    difference from :func:`click_error_interval_join`: the NULL result
+    is a statement about the FUTURE, so it is watermark-gated, and the
+    trailing ``watermark + horizon`` of the stream never emits its
+    unmatched errors (state that cannot be proven final).  The batch
+    twin (``suite.q_stream_left_join``) emits them all — tests pin that
+    the streamed rows are exactly the batch rows minus that provably
+    unfinalizable tail."""
+    e = errors.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return e.join(
+        c,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("e_user").alias("user_id"),
         "error_id",
         "click_id",
         F.unix_timestamp("e_ts").alias("error_ts_s"),

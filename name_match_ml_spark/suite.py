@@ -2252,7 +2252,25 @@ def q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join
+    (streaming/windows.py::error_click_left_join): errors left-joined
+    to same-user clicks in the preceding 10 minutes, NULL click when
+    none.  In streaming the NULL rows are watermark-gated (a statement
+    about the future); the batch plan emits them all — the stream ≡
+    batch-minus-unfinalizable-tail relation is pinned in
+    tests/test_streaming.py."""
+    from .streaming.windows import error_click_left_join
+
+    e = table(spark, sf_dir, "events")
+    return error_click_left_join(
+        e.filter(F.col("event_type") == "error"),
+        e.filter(F.col("event_type") == "click"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_left_join": q_stream_left_join,
     "bpe_merges": q_bpe_merges,
     "bpe_segments": q_bpe_segments,
     "source_divergence": q_source_divergence,
@@ -4752,3 +4770,16 @@ def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = Fals
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
+
+
+ORACLE_SQL["stream_left_join"] = """
+    SELECT e.user_id,
+           e.event_id AS error_id,
+           c.event_id AS click_id,
+           CAST(floor(epoch(e.ts)) AS BIGINT) AS error_ts_s,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
+"""

@@ -229,3 +229,41 @@ def test_session_dynamic_gap_stream_equals_batch(spark, events_dir, batch_events
     want = session_dynamic_gap_agg(batch_events).collect()
     assert _rows_set(got) == _rows_set(want)
     assert len(got) > 0
+
+
+def test_left_outer_interval_join_stream_equals_batch_minus_tail(
+    spark, events_dir, batch_events
+):
+    """LEFT OUTER stream-stream join: matched rows emit eagerly; NULL
+    rows are watermark-gated, so the streamed set must equal the batch
+    set minus unmatched errors inside the final watermark+horizon tail
+    (state Spark cannot prove final when the stream drains)."""
+    import datetime as dt
+
+    from name_match_ml_spark.streaming.windows import error_click_left_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "error"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    se, sc = split(stream_events(spark, events_dir))
+    got = _rows_set(_run_stream(error_click_left_join(se, sc), "append"))
+    be, bc = split(batch_events)
+    want_rows = error_click_left_join(be, bc).collect()
+    want = _rows_set(want_rows)
+
+    got_set, want_set = set(got), set(want)
+    assert got_set <= want_set
+    missing = want_set - got_set
+    # every missing row is an unmatched error in the unfinalizable tail
+    max_ts = max(r.error_ts_s for r in want_rows)
+    tail_start = max_ts - (30 * 60) - (10 * 60)
+    for row in missing:
+        user_id, error_id, click_id, error_ts_s, click_ts_s = row
+        assert click_id is None
+        assert error_ts_s > tail_start
+    # and the join is not vacuous: matched and NULL rows both streamed
+    assert any(r[2] is not None for r in got)
+    assert any(r[2] is None for r in got)
