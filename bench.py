@@ -110,6 +110,9 @@ EXTENDED = [
     "bpe_segments",
     # stream-stream LEFT OUTER interval join (batch twin)
     "stream_left_join",
+    # metrics-warehouse anomaly + bounded-state quantiles
+    "zscore_outliers",
+    "sampled_quantiles",
 ]
 
 HEADLINE = [

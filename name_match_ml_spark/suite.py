@@ -2269,7 +2269,91 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly detection over event values — the
+    monitoring query of a metrics warehouse.  The stats_agg device:
+    moments accumulate EXACTLY in decimal (values carry 2 decimals),
+    the closed-form mean/std evaluate in double on those exact sums
+    with the identical expression shape as the oracle, and z rounds to
+    6 dp.  One aggregate + one broadcast-sized join back on the type
+    key; the row filter |z| >= 3 prunes to the anomaly set."""
+    e = table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = e.groupBy(F.col("event_type").alias("_t")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum((dec * dec).cast("decimal(38,4)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z_raw = (F.col("value") - s1 / n) / F.sqrt(
+        (n * s2 - s1 * s1) / (n * (n - 1))
+    )
+    # filter on the RAW z like the oracle does — filtering the rounded
+    # value would disagree on a z in [2.9999995, 3)
+    return (
+        e.join(stats, e.event_type == F.col("_t"))
+        .filter(F.abs(z_raw) >= 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z_raw, 6).alias("zscore"),
+        )
+    )
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state approximate quantiles from a DETERMINISTIC sample:
+    per group, the 256 rows with the smallest seeded md5_60 hash form
+    the sample (a uniform draw that replays bit-for-bit — the
+    stratified_sample device), and p25/p50/p75 are integer-rank picks
+    from the sorted sample (the winsorize rank formula, no
+    interpolation).  This is the scale path next to the exact
+    `quantiles` query: state per group is 256 values regardless of
+    group size, the cut is WindowGroupLimit-pushed, and unlike
+    approx_percentile the result is engine-reproducible.  Sampling
+    error vs the exact quantiles is pinned in pytest, not here."""
+    li = table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("qs:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("_h").asc())
+    sampled = (
+        li.select("l_returnflag", F.col("l_extendedprice").alias("v"), h.alias("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 256)
+    )
+    arr = F.sort_array(F.collect_list("v"))
+    n = F.size(arr)
+
+    def pick(p: int):
+        rank = F.greatest(F.lit(1), ((n * p + 99) / 100).cast("int"))
+        return F.element_at(arr, rank)
+
+    return sampled.groupBy("l_returnflag").agg(
+        n.alias("n_sampled"),
+        pick(25).alias("p25"),
+        pick(50).alias("p50"),
+        pick(75).alias("p75"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sampled_quantiles": q_sampled_quantiles,
+    "zscore_outliers": q_zscore_outliers,
     "stream_left_join": q_stream_left_join,
     "bpe_merges": q_bpe_merges,
     "bpe_segments": q_bpe_segments,
@@ -4782,4 +4866,42 @@ ORACLE_SQL["stream_left_join"] = """
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON e.user_id = c.user_id
      AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 10 MINUTE
+"""
+
+
+ORACLE_SQL["zscore_outliers"] = """
+    WITH s AS (
+      SELECT event_type AS t,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2))
+                           AS DECIMAL(38,4))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type)
+    SELECT event_id, event_type, value,
+           ROUND((value - s1/n) / sqrt((n*s2 - s1*s1) / (n*(n-1))), 6) AS zscore
+    FROM events JOIN s ON event_type = t
+    WHERE abs((value - s1/n) / sqrt((n*s2 - s1*s1) / (n*(n-1)))) >= 3
+"""
+
+
+ORACLE_SQL["sampled_quantiles"] = """
+    WITH h AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ('0x' || substr(md5('qs:' || l_orderkey::VARCHAR || ':'
+                                 || l_linenumber::VARCHAR), 1, 15))::BIGINT AS hh
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hh) AS rn
+      FROM h),
+    g AS (
+      SELECT l_returnflag, list_sort(list(v)) AS arr, count(*)::BIGINT AS n
+      FROM s WHERE rn <= 256 GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           n::INT AS n_sampled,
+           arr[greatest(1, (n*25 + 99) // 100)::INT] AS p25,
+           arr[greatest(1, (n*50 + 99) // 100)::INT] AS p50,
+           arr[greatest(1, (n*75 + 99) // 100)::INT] AS p75
+    FROM g
 """

@@ -173,3 +173,32 @@ def test_rollup_reaggregation_matches_direct(spark):
             for r in direct.collect()}
     assert got == want
     assert hourly.count() == 3 * 2  # hours 0, 1, and 25
+
+
+# ----------------------------------------------------- sampled quantiles
+
+
+def test_sampled_quantiles_close_to_exact(spark):
+    """The deterministic 256-sample quantiles must land near the exact
+    percentiles (binomial error at n=256 keeps the quantile RANK within
+    ~±3/sqrt(256) ≈ ±0.19 of target with overwhelming probability; on
+    lineitem's smooth price distribution that is a loose value band)."""
+    from name_match_ml_spark.suite import q_sampled_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.l_returnflag: r for r in q_sampled_quantiles(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    for flag, row in got.items():
+        vals = [
+            x[0]
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        ]
+        vals.sort()
+        assert row.n_sampled == 256
+        for p, v in ((25, row.p25), (50, row.p50), (75, row.p75)):
+            lo = vals[max(0, int(len(vals) * (p - 15) / 100))]
+            hi = vals[min(len(vals) - 1, int(len(vals) * (p + 15) / 100))]
+            assert lo <= v <= hi, (flag, p, v, lo, hi)
+        assert row.p25 <= row.p50 <= row.p75
