@@ -113,6 +113,9 @@ EXTENDED = [
     # metrics-warehouse anomaly + bounded-state quantiles
     "zscore_outliers",
     "sampled_quantiles",
+    # oracle-checked blocked similarity join (the reference's core
+    # semantic with native Levenshtein instead of the thefuzz scorer)
+    "similarity_join_exact",
 ]
 
 HEADLINE = [
