@@ -116,6 +116,8 @@ EXTENDED = [
     # oracle-checked blocked similarity join (the reference's core
     # semantic with native Levenshtein instead of the thefuzz scorer)
     "similarity_join_exact",
+    # share-of-total reporting over the pre-aggregated nation table
+    "ratio_to_report",
 ]
 
 HEADLINE = [

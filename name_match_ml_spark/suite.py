@@ -2379,7 +2379,40 @@ def q_similarity_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total reporting (Oracle's RATIO_TO_REPORT shape):
+    revenue by customer nation with each nation's share of the global
+    total.  The share window runs over the ALREADY-AGGREGATED nation
+    table (≤ |nation| rows), so the single-partition Exchange it needs
+    is free — the raw lineitem never sees a global window.  Decimal
+    sums; the share is one double division per row."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "nation",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(total).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ratio_to_report": q_ratio_to_report,
     "similarity_join_exact": q_similarity_join_exact,
     "sampled_quantiles": q_sampled_quantiles,
     "zscore_outliers": q_zscore_outliers,
@@ -4951,4 +4984,23 @@ ORACLE_SQL["similarity_join_exact"] = """
                                 ORDER BY distance, s_name) AS rank
       FROM scored)
     SELECT c_name, s_name, distance, rank FROM ranked WHERE rank <= 3
+"""
+
+
+ORACLE_SQL["ratio_to_report"] = """
+    WITH per_nation AS (
+      SELECT n_name AS nation,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS revenue_share
+    FROM per_nation
 """
