@@ -118,6 +118,13 @@ EXTENDED = [
     "similarity_join_exact",
     # share-of-total reporting over the pre-aggregated nation table
     "ratio_to_report",
+    # round 4c: Fellegi-Sunter linkage, fixed-point EWMA, 2-D skyline,
+    # schema-evolution union, ordered string aggregation
+    "fs_linkage",
+    "ewma_smooth",
+    "skyline_orders",
+    "schema_union_evolve",
+    "string_agg_segments",
 ]
 
 HEADLINE = [

@@ -48,6 +48,8 @@ __all__ = [
     "path_transitions",
     "gapfill_locf",
     "rollup_reaggregate",
+    "ewma_fixed_point",
+    "skyline_2d",
 ]
 
 FP_SCALE = 1_000_000  # fixed-point grid for gap-fill values
@@ -366,3 +368,107 @@ def rollup_reaggregate(
         )
     )
     return hourly, daily
+
+
+def ewma_fixed_point(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    x_col: str,
+    *,
+    alpha_1e6: int = 200_000,
+    grid: int = FP_SCALE,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average on an integer grid.
+
+    ``s_1 = x_1``; ``s_i = (alpha*x_i + (grid-alpha)*s_{i-1}) div grid``
+    with every term int64 (``x_col`` must already be fixed-point, e.g.
+    ``floor(value * 10^6)``).  Integer floor at every step makes the
+    recurrence bit-reproducible in any engine — a float EWMA could
+    never be hash-checked (cf. ``operators/graph.py::pagerank``, the
+    same fixed-point device for an iterative computation).
+
+    The recurrence is inherently sequential PER KEY, so it runs as one
+    ``applyInPandas`` over a single ``key_col`` Exchange — the same
+    single-shuffle contract as every operator in this module.  At
+    100 TB the group is one key's history (bounded by construction for
+    user/entity keys); the corpus-wide work is embarrassingly parallel
+    across keys.  Magnitude bound: |x| ≤ 2^43 keeps ``alpha*x`` inside
+    int64 at grid 10^6.
+    """
+    import pandas as pd  # noqa: F401  (Arrow kernel dependency)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    order = list(order_cols)
+    # fresh StructType: .add() would MUTATE df's cached schema object,
+    # making the input DataFrame itself appear to have the output column
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("ewma_fp", LongType())]
+    )
+    A, G = int(alpha_1e6), int(grid)
+    if not 0 < A <= G:
+        raise ValueError("alpha_1e6 must be in (0, grid]")
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = [int(v) for v in pdf[x_col]]
+        out = []
+        s = 0
+        for i, x in enumerate(xs):
+            s = x if i == 0 else (A * x + (G - A) * s) // G
+            out.append(s)
+        pdf["ewma_fp"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_kernel, schema=out_schema)
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    local_prune: bool = True,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not STRICTLY dominated —
+    keep row p unless some q has ``q.x > p.x`` AND ``q.y < p.y``
+    (maximize x, minimize y).  Comparisons only, so any ordered type
+    works and the result is engine-exact.
+
+    Plan shape: (1) an optional partition-local ``mapInPandas`` prune
+    that drops rows dominated WITHIN their partition — sound because a
+    within-partition witness is a global witness, and semantically a
+    no-op (the global pass recomputes dominance), so the output is
+    partition-count-invariant; (2) the global pass aggregates to the
+    distinct-``x`` level table and takes a running ``min(y)`` over
+    strictly-greater levels (one window over the LEVEL table, not the
+    data).  At 100 TB the local prune shrinks the level table to
+    near-skyline size (skylines of random data are O(log n) per
+    partition), so the single-partition level window is bounded — the
+    same pre-aggregate-then-window device as ``q_ratio_to_report``.
+    """
+    work = df
+    if local_prune:
+        import pandas as pd  # noqa: F401
+
+        def _prune(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                o = pdf.sort_values([x_col, y_col], ascending=[False, True],
+                                    kind="mergesort")
+                lvl = o.groupby(x_col, sort=False)[y_col].min()
+                dom = lvl.cummin().shift(1)
+                m = o[x_col].map(dom)
+                yield o[m.isna() | (m >= o[y_col])]
+
+        work = df.mapInPandas(_prune, schema=df.schema)
+    lvl = work.groupBy(x_col).agg(F.min(y_col).alias("_lvl_min"))
+    w = Window.orderBy(F.col(x_col).desc()).rowsBetween(Window.unboundedPreceding, -1)
+    dom = lvl.withColumn("_dom", F.min("_lvl_min").over(w))
+    return (
+        work.join(dom, x_col)
+        .filter(F.col("_dom").isNull() | (F.col("_dom") >= F.col(y_col)))
+        .drop("_lvl_min", "_dom")
+    )

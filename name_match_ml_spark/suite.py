@@ -2411,7 +2411,105 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over blocked pairs
+    (operators/linkage.py) — the principled superset of the reference's
+    hand-weighted scorer (main.py:25-90).  Integer log-odds weights on
+    a 1e6 grid make the score a sum of int64 literals (bit-exact in any
+    engine); the three-way match/possible/non-match rule drops the
+    non-match region before any downstream shuffle."""
+    from .operators.linkage import fs_score_pairs
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    s = table(spark, sf_dir, "supplier")
+    pairs = (
+        c.select("c_name", F.substring("c_name", -1, 1).alias("_bk"))
+        .join(s.select("s_name", F.substring("s_name", -1, 1).alias("_bk")), "_bk")
+        .drop("_bk")
+    )
+    return fs_score_pairs(
+        pairs, "c_name", "s_name", lev_max=8, upper=5_000_000, lower=-2_500_000
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user fixed-point EWMA of event values (alpha = 0.2 on a 1e6
+    integer grid, operators/analytics.py::ewma_fixed_point).  The
+    sequential recurrence runs per key under ONE Exchange; integer
+    floor at every step is what lets a recursive-CTE oracle replay it
+    bit-exactly — a float EWMA could not be hash-checked."""
+    from .operators.analytics import ewma_fixed_point
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("x"),
+    )
+    out = ewma_fixed_point(e, "user_id", ["ts", "event_id"], "x", alpha_1e6=200_000)
+    return out.select(
+        "user_id",
+        "event_id",
+        "ewma_fp",
+        (F.col("ewma_fp") / F.lit(1000000.0)).alias("ewma"),
+    )
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier of orders — maximize total price,
+    minimize order date; keep orders no other order strictly beats on
+    both (operators/analytics.py::skyline_2d).  Partition-local prune +
+    one window over the distinct-price LEVEL table, never the data."""
+    from .operators.analytics import skyline_2d
+
+    pts = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").cast("long").alias("order_epoch"),
+    )
+    sky = skyline_2d(pts, "o_totalprice", "order_epoch")
+    return sky.select("o_orderkey", "o_totalprice", "order_epoch")
+
+
+def q_schema_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (S10 surface): two snapshots with
+    different column sets merge by NAME with missing columns
+    null-filled (``unionByName(allowMissingColumns=True)``, the
+    DataFrame form of reading mixed-schema parquet with mergeSchema).
+    The oracle is DuckDB's UNION ALL BY NAME — identical semantics."""
+    d = table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+def q_string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg shape): per
+    nation, the sorted distinct market segments as one CSV string.
+    ``collect_set`` is order-nondeterministic in a distributed engine,
+    so ``array_sort`` before ``array_join`` is what makes the string
+    reproducible — the mirror of the oracle's ORDER BY inside
+    string_agg."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+        )
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "fs_linkage": q_fs_linkage,
+    "ewma_smooth": q_ewma_smooth,
+    "skyline_orders": q_skyline_orders,
+    "schema_union_evolve": q_schema_union_evolve,
+    "string_agg_segments": q_string_agg_segments,
     "ratio_to_report": q_ratio_to_report,
     "similarity_join_exact": q_similarity_join_exact,
     "sampled_quantiles": q_sampled_quantiles,
@@ -5003,4 +5101,78 @@ ORACLE_SQL["ratio_to_report"] = """
            ROUND(CAST(rev AS DOUBLE)
                  / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS revenue_share
     FROM per_nation
+"""
+
+
+ORACLE_SQL["fs_linkage"] = """
+    WITH cb AS (
+      SELECT c_name, substr(c_name, length(c_name), 1) AS bk
+      FROM customer WHERE c_custkey % 5 = 0),
+    sb AS (
+      SELECT s_name, substr(s_name, length(s_name), 1) AS bk FROM supplier),
+    scored AS (
+      SELECT c_name, s_name,
+             (CASE WHEN regexp_extract(c_name, '([0-9]+)$', 1)
+                        = regexp_extract(s_name, '([0-9]+)$', 1)
+                   THEN 6856462 ELSE -2994732 END
+            + CASE WHEN levenshtein(c_name, s_name) <= 8
+                   THEN 2890372 ELSE -2251292 END
+            + CASE WHEN substr(c_name, length(c_name) - 3, 4)
+                        = substr(s_name, length(s_name) - 3, 4)
+                   THEN 4442651 ELSE -1887070 END) AS score
+      FROM cb JOIN sb USING (bk))
+    SELECT c_name, s_name, score,
+           CASE WHEN score >= 5000000 THEN 'match' ELSE 'possible' END AS decision
+    FROM scored WHERE score >= -2500000
+"""
+
+
+ORACLE_SQL["ewma_smooth"] = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    ewma AS (
+      SELECT user_id, event_id, rn, x AS s FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.event_id, q.rn,
+             (200000 * q.x + 800000 * e.s) // 1000000 AS s
+      FROM ewma e JOIN seq q ON q.user_id = e.user_id AND q.rn = e.rn + 1)
+    SELECT user_id, event_id, s AS ewma_fp, s / 1000000.0 AS ewma FROM ewma
+"""
+
+
+ORACLE_SQL["skyline_orders"] = """
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+      FROM orders),
+    lvl AS (
+      SELECT o_totalprice, min(order_epoch) AS lm FROM pts GROUP BY 1),
+    runs AS (
+      SELECT o_totalprice,
+             min(lm) OVER (ORDER BY o_totalprice DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS dom
+      FROM lvl)
+    SELECT p.o_orderkey, p.o_totalprice, p.order_epoch
+    FROM pts p JOIN runs r USING (o_totalprice)
+    WHERE r.dom IS NULL OR r.dom >= p.order_epoch
+"""
+
+
+ORACLE_SQL["schema_union_evolve"] = """
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+ORACLE_SQL["string_agg_segments"] = """
+    SELECT n_name AS nation,
+           count(*) AS n_customers,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
 """
