@@ -125,6 +125,14 @@ EXTENDED = [
     "skyline_orders",
     "schema_union_evolve",
     "string_agg_segments",
+    # round 4d: runtime bloom filter, histogram, attribution,
+    # expectation gate, incremental agg maintenance, bounded BFS
+    "bloom_join_reduce",
+    "equi_width_histogram",
+    "attribution",
+    "expect_quarantine",
+    "agg_state_merge",
+    "bfs_reach",
 ]
 
 HEADLINE = [

@@ -50,6 +50,7 @@ __all__ = [
     "rollup_reaggregate",
     "ewma_fixed_point",
     "skyline_2d",
+    "attribution_last_touch",
 ]
 
 FP_SCALE = 1_000_000  # fixed-point grid for gap-fill values
@@ -471,4 +472,65 @@ def skyline_2d(
         work.join(dom, x_col)
         .filter(F.col("_dom").isNull() | (F.col("_dom") >= F.col(y_col)))
         .drop("_lvl_min", "_dom")
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+    window_s: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion event is
+    attributed to the latest ``touch_type`` event by the same user at
+    or before the conversion, provided it lands within ``window_s``
+    seconds; conversions with no qualifying touch keep NULLs
+    (unattributed — they must not be dropped).
+
+    Built on :func:`..operators.temporal.asof_join` (one union + one
+    ``last(ignorenulls)`` window over a single ``user_col`` Exchange —
+    never a per-conversion subquery).  Touches are first deduplicated
+    to one row per (user, ts) keeping the max event id, which makes
+    tie resolution deterministic — the as-of window's input order must
+    never decide a result.  The lookback bound is applied AFTER the
+    as-of carry as a null-out, so the window stays one pass.
+
+    Returns ``(conv_id, user, conv_ts, touch_id, touch_ts)`` with the
+    touch columns NULL when unattributed.
+    """
+    from .temporal import asof_join
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(id_col).alias("conv_id"),
+        F.col(user_col),
+        F.col(ts_col),
+    )
+    touch = (
+        events.filter(F.col(type_col) == touch_type)
+        .groupBy(user_col, ts_col)
+        .agg(F.max(id_col).alias("touch_id"))
+    )
+    j = asof_join(
+        conv,
+        touch,
+        on=user_col,
+        left_ts=ts_col,
+        right_ts=ts_col,
+        right_payload=["touch_id", ts_col],
+    )
+    in_window = (
+        F.col(f"{ts_col}_asof").isNotNull()
+        & (F.col(f"{ts_col}_asof") >= F.col(ts_col) - F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    return j.select(
+        "conv_id",
+        F.col(user_col),
+        F.col(ts_col).alias("conv_ts"),
+        F.when(in_window, F.col("touch_id_asof")).alias("touch_id"),
+        F.when(in_window, F.col(f"{ts_col}_asof")).alias("touch_ts"),
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_changes"]
+__all__ = ["apply_changes", "agg_state_of", "merge_agg_state"]
 
 OPS = ("U", "D")  # upsert, delete — inserts are upserts on absent keys
 
@@ -81,4 +81,67 @@ def apply_changes(
             .alias(c)
             for c in payload
         ],
+    )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine a persisted aggregate
+    STATE table with the aggregate of a new DELTA batch, producing the
+    state the full re-aggregation would have built — without rescanning
+    history.
+
+    Both inputs carry the same mergeable-state schema per key:
+    ``(n, sum_value, min_value, max_value)``.  Merge rules are the
+    standard commutative monoid: counts and decimal sums add, min/max
+    take least/greatest — so ``merge(agg(A), agg(B)) == agg(A ∪ B)``
+    exactly (decimal addition is associative; a double sum would drift
+    between the one-pass and incremental plans).  Derived measures
+    (mean = sum/n) are computed at read time, never stored.
+
+    Shape: one partial-combining aggregate over the delta (the only
+    scan of new data) + one full-outer equi-join against the state
+    table, which at 100 TB is keyed storage (bucketed by
+    ``sources/sinks.py::save_bucketed`` → exchange-free).  This is the
+    continuous-aggregate / materialized-view maintenance contract,
+    sibling of ``analytics.rollup_reaggregate`` (grain fan-in) and
+    ``apply_changes`` (row-level upsert).
+    """
+    merged = state.alias("s").join(
+        delta.alias("d"), on=key_cols, how="full_outer"
+    )
+    z = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        *key_cols,
+        (F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("s.sum_value"), z) + F.coalesce(F.col("d.sum_value"), z)
+        ).alias("sum_value"),
+        F.least(
+            F.coalesce(F.col("s.min_value"), F.col("d.min_value")),
+            F.coalesce(F.col("d.min_value"), F.col("s.min_value")),
+        ).alias("min_value"),
+        F.greatest(
+            F.coalesce(F.col("s.max_value"), F.col("d.max_value")),
+            F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
+        ).alias("max_value"),
+    )
+
+
+def agg_state_of(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The mergeable per-key aggregate state of a batch (the input
+    format of :func:`merge_agg_state`)."""
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sum_value"),
+        F.min(dec).alias("min_value"),
+        F.max(dec).alias("max_value"),
     )

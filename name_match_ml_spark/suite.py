@@ -2504,7 +2504,133 @@ def q_string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom semi-join reduction (plans/runtime_filter.py): a
+    selective customer predicate compresses to an 8 KiB literal bitset
+    probed MAP-SIDE on the orders scan, so the join Exchange carries
+    only (near-)matching fact rows.  The oracle is the PLAIN join —
+    hash equality proves false positives die in the real join and no
+    row is ever lost."""
+    from .plans.runtime_filter import bloom_reduce_join
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    )
+    joined = bloom_reduce_join(o, c, "o_custkey", "c_custkey")
+    return joined.select(
+        "o_orderkey", "o_custkey", "c_name", _dec("o_totalprice").cast("double").alias("totalprice")
+    )
+
+
+def q_equi_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals
+    (operators/profiling.py::equi_width_histogram): a 1-row min/max
+    stats pass (allowlisted 1-row broadcast) + one partial-combining
+    aggregate on the computed bin.  IEEE-identical bucket arithmetic in
+    both engines."""
+    from .operators.profiling import equi_width_histogram
+
+    return equi_width_histogram(
+        table(spark, sf_dir, "orders"), "o_totalprice", n_bins=20
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/analytics.py): purchases
+    attributed to the latest same-user click within 7 days via ONE
+    as-of carry — never a per-conversion subquery (the oracle's
+    LATERAL is the semantic spec, not the plan)."""
+    from .operators.analytics import attribution_last_touch
+
+    att = attribution_last_touch(
+        table(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_type="click",
+        window_s=7 * 86400,
+    )
+    return att.select(
+        "conv_id",
+        "user_id",
+        F.unix_timestamp("conv_ts").cast("long").alias("conv_ts_s"),
+        "touch_id",
+        F.unix_timestamp("touch_ts").cast("long").alias("touch_ts_s"),
+    )
+
+
+def q_expect_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation gate (operators/profiling.py::apply_expectations):
+    per-rule violation counts over orders plus the total quarantined
+    row count — the promotion-gate summary of a data contract.  Rules
+    are pure codegen predicates; the summary is one aggregate over the
+    exploded failed-rule names."""
+    from .operators.profiling import apply_expectations
+
+    o = table(spark, sf_dir, "orders")
+    rules = {
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "totalprice_below_cap": F.col("o_totalprice") < 450000.0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+    }
+    _, quarantine = apply_expectations(o, rules)
+    per_rule = (
+        quarantine.select(F.explode("violations").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_fail"))
+    )
+    total = quarantine.agg(F.count(F.lit(1)).alias("n_fail")).select(
+        F.lit("_total_quarantined").alias("rule"), "n_fail"
+    )
+    return per_rule.unionByName(total)
+
+
+def q_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/cdc.py): per-user
+    aggregate state over pre-cutoff events merged with the delta batch
+    of post-cutoff events.  The oracle aggregates ALL events directly —
+    hash equality proves merge(agg(A), agg(B)) == agg(A ∪ B) exactly
+    (decimal monoid)."""
+    from .operators.cdc import agg_state_of, merge_agg_state
+
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    state = agg_state_of(e.filter(F.col("ts") < cutoff), ["user_id"], "value")
+    delta = agg_state_of(e.filter(F.col("ts") >= cutoff), ["user_id"], "value")
+    m = merge_agg_state(state, delta, ["user_id"])
+    return m.select(
+        "user_id",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (operators/graph.py::bfs_hops): minimum hop
+    distance (≤3) from the seed set doc_id % 100 == 0 over the
+    exact-Jaccard near-dup graph — the blast-radius / label-spread
+    propagation query.  Layered frontier expansion, one equi-join per
+    round; the oracle is a depth-limited recursive CTE."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import bfs_hops
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    seeds = d.filter(F.col("doc_id") % 100 == 0).select(F.col("doc_id").alias("id"))
+    return bfs_hops(
+        pairs, seeds, max_hops=3, src_col="doc_a", dst_col="doc_b", seed_col="id"
+    ).select(F.col("id").alias("doc_id"), "hops")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bloom_join_reduce": q_bloom_join_reduce,
+    "equi_width_histogram": q_equi_width_histogram,
+    "attribution": q_attribution,
+    "expect_quarantine": q_expect_quarantine,
+    "agg_state_merge": q_agg_state_merge,
+    "bfs_reach": q_bfs_reach,
     "fs_linkage": q_fs_linkage,
     "ewma_smooth": q_ewma_smooth,
     "skyline_orders": q_skyline_orders,
@@ -5175,4 +5301,118 @@ ORACLE_SQL["string_agg_segments"] = """
            string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
+"""
+
+
+ORACLE_SQL["bloom_join_reduce"] = """
+    SELECT o_orderkey, o_custkey, c_name,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+"""
+
+
+ORACLE_SQL["equi_width_histogram"] = """
+    WITH stats AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+             CAST(max(o_totalprice) AS DOUBLE) AS mx
+      FROM orders),
+    binned AS (
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE least(19, CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)
+                                            / ((mx - mn) / 20.0)) AS INT))
+             END AS bin,
+             mn, mx, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders, stats)
+    SELECT bin,
+           mn + bin * ((mx - mn) / 20.0) AS lo,
+           mn + (bin + 1) * ((mx - mn) / 20.0) AS hi,
+           count(*) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+    FROM binned GROUP BY bin, mn, mx
+"""
+
+
+ORACLE_SQL["attribution"] = """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, ts, max(event_id) AS touch_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT c.conv_id, c.user_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS conv_ts_s,
+           CASE WHEN l.tts IS NOT NULL AND l.tts >= c.ts - INTERVAL 7 DAY
+                THEN l.touch_id END AS touch_id,
+           CASE WHEN l.tts IS NOT NULL AND l.tts >= c.ts - INTERVAL 7 DAY
+                THEN CAST(floor(epoch(l.tts)) AS BIGINT) END AS touch_ts_s
+    FROM conv c LEFT JOIN LATERAL (
+      SELECT t.touch_id, t.ts AS tts FROM t
+      WHERE t.user_id = c.user_id AND t.ts <= c.ts
+      ORDER BY t.ts DESC LIMIT 1) l ON TRUE
+"""
+
+
+ORACLE_SQL["expect_quarantine"] = """
+    WITH f AS (
+      SELECT
+        (o_totalprice IS NULL OR NOT (o_totalprice > 0)) AS v1,
+        (o_totalprice IS NULL OR NOT (o_totalprice < 450000.0)) AS v2,
+        (o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) AS v3,
+        (o_orderpriority IS NULL
+         OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v4
+      FROM orders),
+    per AS (
+      SELECT 'totalprice_positive' AS rule, count(*) FILTER (v1) AS n_fail FROM f
+      UNION ALL
+      SELECT 'totalprice_below_cap', count(*) FILTER (v2) FROM f
+      UNION ALL
+      SELECT 'status_known', count(*) FILTER (v3) FROM f
+      UNION ALL
+      SELECT 'priority_format', count(*) FILTER (v4) FROM f)
+    SELECT rule, n_fail FROM per WHERE n_fail > 0
+    UNION ALL
+    SELECT '_total_quarantined', count(*) FROM f WHERE v1 OR v2 OR v3 OR v4
+"""
+
+
+ORACLE_SQL["agg_state_merge"] = """
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY user_id
+"""
+
+
+ORACLE_SQL["bfs_reach"] = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    pairs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+    bfs AS (
+      SELECT doc_id, 0 AS hops FROM seeds
+      UNION
+      SELECT e.d AS doc_id, b.hops + 1 FROM bfs b
+      JOIN edges e ON e.s = b.doc_id WHERE b.hops < 3)
+    SELECT doc_id, min(hops) AS hops FROM bfs GROUP BY doc_id
 """

@@ -26,6 +26,8 @@ ALLOWED = {
     "bigram_logprob": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-total broadcast for the KL divergence denominator
     "source_divergence": {"BroadcastNestedLoopJoin"},
+    # 1-row min/max stats broadcast for the equi-width bin arithmetic
+    "equi_width_histogram": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -1,0 +1,193 @@
+"""Round-4d operator tests: Bloom runtime-filter join reduction,
+equi-width histogram, expectation gate, incremental aggregate-state
+merge, last-touch attribution, and bounded-depth BFS."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_match_ml_spark.operators.cdc import agg_state_of, merge_agg_state
+from name_match_ml_spark.operators.graph import bfs_hops
+from name_match_ml_spark.operators.profiling import (
+    apply_expectations,
+    equi_width_histogram,
+)
+from name_match_ml_spark.operators.analytics import attribution_last_touch
+from name_match_ml_spark.plans.runtime_filter import bloom_reduce_join
+
+
+# ------------------------------------------------------------- bloom reduce
+
+
+def test_bloom_join_equals_plain_join_even_tiny_filter(spark):
+    fact = spark.range(0, 2000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 2000, 37).select(F.col("id").alias("dk"))
+    expect = sorted(
+        r.fk for r in fact.join(dim, fact.fk == dim.dk).select("fk").collect()
+    )
+    # 64-bit filter: false-positive rate near 1 — result must STILL be exact
+    for m_bits in (64, 1 << 16):
+        got = sorted(
+            r.fk
+            for r in bloom_reduce_join(fact, dim, "fk", "dk", m_bits=m_bits)
+            .select("fk")
+            .collect()
+        )
+        assert got == expect, f"m_bits={m_bits}"
+
+
+def test_bloom_probe_filters_before_join_and_stays_codegen(spark):
+    fact = spark.range(0, 10_000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    out = bloom_reduce_join(fact, dim, "fk", "dk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the probe is a Filter on the fact side (shiftright bit test)
+    assert "shiftright" in plan
+    # with a 10-key dim the probe keeps almost nothing of the fact side
+    kept = fact.filter(
+        __import__(
+            "name_match_ml_spark.plans.runtime_filter", fromlist=["bloom_probe_column"]
+        ).bloom_probe_column(dim, "dk", "fk")
+    ).count()
+    assert kept < 200  # 10 true keys + false positives at ~2e-7
+
+
+def test_bloom_m_bits_must_be_word_aligned(spark):
+    dim = spark.range(3).select(F.col("id").alias("dk"))
+    with pytest.raises(ValueError):
+        bloom_reduce_join(dim, dim, "dk", "dk", m_bits=100)
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def test_histogram_bins_cover_all_rows_and_edges(spark):
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)], ["v"])
+    out = {r.bin: r for r in equi_width_histogram(df, "v", n_bins=10).collect()}
+    assert sum(r.n for r in out.values()) == 101
+    # max value closes into the last bin
+    assert out[9].n == 11  # 90..100
+    assert out[0].lo == 0.0 and abs(out[9].hi - 100.0) < 1e-9
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], ["v"])
+    rows = equi_width_histogram(df, "v", n_bins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 3
+    with pytest.raises(ValueError):
+        equi_width_histogram(df, "v", n_bins=0)
+
+
+# -------------------------------------------------------------- expectations
+
+
+def test_expectations_split_and_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -1.0, "O"), (3, 10.0, "X"), (4, None, "O")],
+        ["id", "price", "status"],
+    )
+    rules = {
+        "price_pos": F.col("price") > 0,
+        "status_ok": F.col("status").isin("O", "F"),
+    }
+    clean, quar = apply_expectations(df, rules)
+    assert sorted(r.id for r in clean.collect()) == [1]
+    got = {r.id: list(r.violations) for r in quar.collect()}
+    assert got == {2: ["price_pos"], 3: ["status_ok"], 4: ["price_pos"]}
+    with pytest.raises(ValueError):
+        apply_expectations(df, {})
+
+
+# ----------------------------------------------------------- agg state merge
+
+
+def test_agg_state_merge_equals_full_reaggregation(spark):
+    rows = [(i % 7, float(i) / 3) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "value"])
+    a = df.filter(F.col("value") < 50)
+    b = df.filter(F.col("value") >= 50)
+    merged = merge_agg_state(
+        agg_state_of(a, ["k"], "value"), agg_state_of(b, ["k"], "value"), ["k"]
+    )
+    direct = agg_state_of(df, ["k"], "value")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_agg_state_merge_disjoint_keys_pass_through(spark):
+    a = spark.createDataFrame([(1, 2.0)], ["k", "value"])
+    b = spark.createDataFrame([(2, 5.0)], ["k", "value"])
+    m = merge_agg_state(
+        agg_state_of(a, ["k"], "value"), agg_state_of(b, ["k"], "value"), ["k"]
+    )
+    got = {r.k: (r.n, float(r.sum_value)) for r in m.collect()}
+    assert got == {1: (1, 2.0), 2: (1, 5.0)}
+
+
+# -------------------------------------------------------------- attribution
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_attribution_window_and_ties(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1: click then purchase within window
+            (10, 1, _ts(100), "click"),
+            (11, 1, _ts(200), "purchase"),
+            # user 2: click too old (outside 1000 s window)
+            (20, 2, _ts(0), "click"),
+            (21, 2, _ts(2000), "purchase"),
+            # user 3: two clicks at the SAME ts — max event_id wins
+            (30, 3, _ts(50), "click"),
+            (31, 3, _ts(50), "click"),
+            (32, 3, _ts(60), "purchase"),
+            # user 4: click exactly AT purchase ts is visible
+            (40, 4, _ts(70), "click"),
+            (41, 4, _ts(70), "purchase"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    out = {
+        r.conv_id: r.touch_id
+        for r in attribution_last_touch(events, window_s=1000).collect()
+    }
+    assert out == {11: 10, 21: None, 32: 31, 41: 40}
+
+
+# ---------------------------------------------------------------------- BFS
+
+
+def test_bfs_chain_distances_and_depth_bound(spark):
+    # chain 0-1-2-3-4-5, seed at 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["doc_a", "doc_b"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {
+        r.id: r.hops
+        for r in bfs_hops(
+            pairs, seeds, max_hops=3, src_col="doc_a", dst_col="doc_b"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond depth -> absent
+
+
+def test_bfs_min_hops_on_cycle_and_multi_seed(spark):
+    # square 0-1-2-3-0 plus spur 2-9; seeds {0, 9}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (2, 9)], ["doc_a", "doc_b"]
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], ["id"])
+    got = {
+        r.id: r.hops
+        for r in bfs_hops(
+            pairs, seeds, max_hops=3, src_col="doc_a", dst_col="doc_b"
+        ).collect()
+    }
+    assert got == {0: 0, 9: 0, 1: 1, 3: 1, 2: 1}
