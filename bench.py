@@ -133,6 +133,9 @@ EXTENDED = [
     "expect_quarantine",
     "agg_state_merge",
     "bfs_reach",
+    "chi_square",
+    "calendar_dim",
+    "skew_profile",
 ]
 
 HEADLINE = [

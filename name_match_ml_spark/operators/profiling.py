@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "winsorize"]
+__all__ = ["profile_columns", "winsorize", "equi_width_histogram", "apply_expectations", "chi_square_independence"]
 
 
 def profile_columns(
@@ -234,3 +234,56 @@ def apply_expectations(
     clean = tagged.filter(F.size("violations") == 0).drop("violations")
     quarantine = tagged.filter(F.size("violations") > 0)
     return clean, quarantine
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, computed so the statistic hash-checks in any engine.
+
+    Per cell: ``x = n·observed − row_total·col_total`` (exact int64 —
+    the cross-multiplied form avoids fractional expected counts), and
+    the cell contribution ``(x·x/(row_total·col_total·n))`` is evaluated
+    in IEEE doubles whose inputs are exactly representable (< 2^53), so
+    every multiply/divide rounds identically everywhere — then floored
+    onto a 1e-9 grid (``term_grid``) making the SUM order-independent
+    (the ``source_divergence`` fixed-point device, with no
+    transcendentals at all).
+
+    Shape: one partial-combining count to the cell table (≤ |rows|·
+    |cols| rows), margins and the total via windows OVER THE CELL TABLE
+    — the raw data is scanned once and never windowed.
+
+    Returns per-cell rows ``(row_col, col_col, observed, term_grid)``
+    plus ``chi2_grid`` (the summed statistic on the grid), ``chi2``
+    (double, one division at the end) and ``dof`` replicated per row.
+    """
+    cells = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("observed"))
+    w_r = Window.partitionBy(row_col)
+    w_c = Window.partitionBy(col_col)
+    w_all = Window.partitionBy()
+    m = (
+        cells.withColumn("_rt", F.sum("observed").over(w_r))
+        .withColumn("_ct", F.sum("observed").over(w_c))
+        .withColumn("_n", F.sum("observed").over(w_all))
+        .withColumn("_nr", F.size(F.collect_set(row_col).over(w_all)))
+        .withColumn("_nc", F.size(F.collect_set(col_col).over(w_all)))
+    )
+    x = (F.col("_n") * F.col("observed") - F.col("_rt") * F.col("_ct")).cast("double")
+    den = (F.col("_rt") * F.col("_ct") * F.col("_n")).cast("double")
+    term = F.floor((x * x / den) * F.lit(float(grid))).cast("long")
+    out = m.withColumn("term_grid", term)
+    return out.select(
+        row_col,
+        col_col,
+        "observed",
+        "term_grid",
+        F.sum("term_grid").over(w_all).alias("chi2_grid"),
+        (F.sum("term_grid").over(w_all) / F.lit(float(grid))).alias("chi2"),
+        ((F.col("_nr") - 1) * (F.col("_nc") - 1)).alias("dof"),
+    )

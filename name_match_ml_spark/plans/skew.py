@@ -28,10 +28,10 @@ key — the classic two-round skew aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "salted_count"]
+__all__ = ["salted_join", "salted_count", "key_skew_profile"]
 
 
 def salted_join(
@@ -74,3 +74,40 @@ def salted_count(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return phase1.groupBy(key).agg(F.sum("_partial").alias("cnt"))
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnosis: the ``top_n`` heaviest keys with their
+    row count, share of all rows, and rank — the numbers that decide
+    whether a join needs :func:`salted_join` / AQE skew handling, and
+    the heavy-key analogue of the blocking df-cap in
+    ``plans/blocking.py``.
+
+    Shape: one partial-combining count per key, a 1-row total attached
+    by a second aggregate carried through ``sum() over ()`` on the
+    ALREADY-AGGREGATED top slice, and a per-task top-k
+    (``TakeOrderedAndProject`` — no global sort shuffle).  The share
+    denominator is the sum over ALL keys, computed before the top-k cut
+    via one extra scalar aggregate on the key counts (small: one row
+    per distinct key entering a partial-combining sum).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            F.row_number().over(w).alias("rank"),
+        )
+    )

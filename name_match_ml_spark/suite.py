@@ -2624,7 +2624,77 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "hops")
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of order status × priority
+    (operators/profiling.py::chi_square_independence): exact int64
+    cross-multiplied cell deviations, IEEE-identical double division,
+    contributions floored onto a 1e-9 grid so the summed statistic is
+    order-independent and hash-checkable — no transcendentals."""
+    from .operators.profiling import chi_square_independence
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return chi_square_independence(o, "status", "priority")
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension build + enrichment: generate every day of
+    1996 with warehouse attributes (dow/week/month/quarter/weekend) and
+    left-join the per-day order aggregates — zero-order days MUST
+    appear with zeros (the gap-preserving join every reporting layer
+    needs).  The day spine comes from ``sequence()`` — generated, not
+    scanned — and the join is broadcast (366 rows)."""
+    days = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1996-01-01").cast("date"), F.lit("1996-12-31").cast("date")
+                )
+            ).alias("day")
+        )
+    )
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    per_day = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("_rev"),
+    )
+    dow = F.dayofweek("day") - F.lit(1)  # 0 = Sunday, matching date_part('dow')
+    return (
+        F.broadcast(days)
+        .join(per_day, "day", "left")
+        .select(
+            "day",
+            dow.alias("dow"),
+            F.weekofyear("day").alias("week"),
+            F.month("day").alias("month"),
+            F.quarter("day").alias("quarter"),
+            dow.isin(0, 6).alias("is_weekend"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("_rev"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (plans/skew.py::key_skew_profile): the
+    10 heaviest o_custkey values with count, share of all rows, and
+    rank — the profile that decides between a plain, salted, or
+    AQE-skew join.  Per-task top-k; share denominator from one scalar
+    aggregate over the key counts."""
+    from .plans.skew import key_skew_profile
+
+    return key_skew_profile(table(spark, sf_dir, "orders"), "o_custkey", top_n=10)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "chi_square": q_chi_square,
+    "calendar_dim": q_calendar_dim,
+    "skew_profile": q_skew_profile,
     "bloom_join_reduce": q_bloom_join_reduce,
     "equi_width_histogram": q_equi_width_histogram,
     "attribution": q_attribution,
@@ -5415,4 +5485,69 @@ ORACLE_SQL["bfs_reach"] = """
       SELECT e.d AS doc_id, b.hops + 1 FROM bfs b
       JOIN edges e ON e.s = b.doc_id WHERE b.hops < 3)
     SELECT doc_id, min(hops) AS hops FROM bfs GROUP BY doc_id
+"""
+
+
+ORACLE_SQL["chi_square"] = """
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             count(*) AS observed
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT *,
+             SUM(observed) OVER (PARTITION BY status) AS rt,
+             SUM(observed) OVER (PARTITION BY priority) AS ct,
+             SUM(observed) OVER () AS n
+      FROM cells),
+    d AS (
+      SELECT count(DISTINCT status) AS nr, count(DISTINCT priority) AS nc
+      FROM cells),
+    t AS (
+      SELECT status, priority, observed,
+             CAST(floor(
+               (CAST(n * observed - rt * ct AS DOUBLE)
+                * CAST(n * observed - rt * ct AS DOUBLE)
+                / CAST(rt * ct * n AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               AS term_grid
+      FROM m)
+    SELECT t.status, t.priority, t.observed, t.term_grid,
+           SUM(term_grid) OVER () AS chi2_grid,
+           SUM(term_grid) OVER () / 1000000000.0 AS chi2,
+           (d.nr - 1) * (d.nc - 1) AS dof
+    FROM t, d
+"""
+
+
+ORACLE_SQL["calendar_dim"] = """
+    WITH days AS (
+      SELECT CAST(gs AS DATE) AS day
+      FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                           INTERVAL 1 DAY) t(gs)),
+    od AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+    SELECT d.day,
+           date_part('dow', d.day) AS dow,
+           weekofyear(d.day) AS week,
+           month(d.day) AS month,
+           quarter(d.day) AS quarter,
+           date_part('dow', d.day) IN (0, 6) AS is_weekend,
+           COALESCE(od.n, 0) AS n_orders,
+           CAST(COALESCE(od.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM days d LEFT JOIN od USING (day)
+"""
+
+
+ORACLE_SQL["skew_profile"] = """
+    WITH counts AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM counts),
+    top AS (
+      SELECT o_custkey, cnt FROM counts
+      ORDER BY cnt DESC, o_custkey LIMIT 10)
+    SELECT o_custkey, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rank
+    FROM top, tot
 """

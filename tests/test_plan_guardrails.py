@@ -28,6 +28,8 @@ ALLOWED = {
     "source_divergence": {"BroadcastNestedLoopJoin"},
     # 1-row min/max stats broadcast for the equi-width bin arithmetic
     "equi_width_histogram": {"BroadcastNestedLoopJoin"},
+    # 1-row total-count broadcast for the skew-share denominator
+    "skew_profile": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

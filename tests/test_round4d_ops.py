@@ -191,3 +191,55 @@ def test_bfs_min_hops_on_cycle_and_multi_seed(spark):
         ).collect()
     }
     assert got == {0: 0, 9: 0, 1: 1, 3: 1, 2: 1}
+
+
+# --------------------------------------------------------------- chi-square
+
+
+def test_chi_square_matches_scipy_free_reference(spark):
+    from name_match_ml_spark.operators.profiling import chi_square_independence
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 15 + [("b", "y")] * 45
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi_square_independence(df, "r", "c").collect()
+    # pure-Python chi2 over the same table
+    from collections import Counter
+
+    obs = Counter(rows)
+    n = len(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    expect = 0.0
+    for (r, c), o in obs.items():
+        e = rt[r] * ct[c] / n
+        expect += (o - e) ** 2 / e
+    got = out[0].chi2
+    assert abs(got - expect) < 1e-6
+    assert out[0].dof == 1
+    assert all(r.chi2_grid == out[0].chi2_grid for r in out)
+
+
+def test_chi_square_independent_columns_near_zero(spark):
+    rows = [(str(i % 2), str(i % 3)) for i in range(600)]
+    from name_match_ml_spark.operators.profiling import chi_square_independence
+
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi_square_independence(df, "r", "c").collect()
+    assert out[0].chi2 < 1e-6 and out[0].dof == 2
+
+
+# ------------------------------------------------------------- skew profile
+
+
+def test_key_skew_profile_ranks_and_shares(spark):
+    from name_match_ml_spark.plans.skew import key_skew_profile
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r.rank: r for r in key_skew_profile(df, "k", top_n=3).collect()}
+    assert [out[i].k for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1].cnt == 50 and abs(out[1].share - 0.5) < 1e-12
+    assert len(out) == 3  # key 4 cut by top_n
