@@ -136,6 +136,9 @@ EXTENDED = [
     "chi_square",
     "calendar_dim",
     "skew_profile",
+    "scd2_lookup",
+    "rolling_active_users",
+    "k_anonymity",
 ]
 
 HEADLINE = [

@@ -2691,7 +2691,95 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(table(spark, sf_dir, "orders"), "o_custkey", top_n=10)
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history: each
+    purchase is enriched with the user's regime (event_type run)
+    valid AT the purchase timestamp.  Because SCD2 intervals partition
+    time per key, 'the interval containing ts' equals 'the last
+    interval starting at or before ts' — so the lookup is ONE as-of
+    carry (operators/temporal.py::asof_join), never a per-row interval
+    scan; the oracle's LATERAL interval probe is the semantic spec,
+    not the plan.  Rare same-valid_from interval ties (two runs
+    starting on one timestamp, split by the event_id order key) are
+    pre-resolved to the highest version — the superseding run."""
+    from .operators.temporal import asof_join, scd2_intervals
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    iv = scd2_intervals(
+        e, key="user_id", order_by=["ts", "event_id"], attrs=["event_type"]
+    )
+    dim = (
+        iv.groupBy("user_id", F.col("valid_from").alias("vf"))
+        .agg(
+            F.max_by("event_type", "version").alias("regime"),
+            F.max("version").alias("version"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        purchases, dim, on="user_id", left_ts="ts", right_ts="vf",
+        right_payload=["regime", "version"],
+    )
+    return j.select(
+        "p_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_s"),
+        F.col("regime_asof").alias("regime"),
+        F.col("version_asof").alias("version"),
+    )
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct active users per observed hour (the
+    DAU-style engagement metric): user-hours dedupe first, then each
+    user-hour is exploded to the 24 window ends it can serve — a
+    bounded ×24 fan-out of the ALREADY-DEDUPED user-hour table, never
+    of raw events — and the count-distinct runs per window end.
+    Windows are reported only for hours that actually occur (semi-join
+    against observed hours), so no global min/max pass is needed."""
+    e = table(spark, sf_dir, "events")
+    uh = e.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long").alias("h_s"),
+    ).distinct()
+    hours = uh.select("h_s").distinct()
+    cover = uh.select(
+        "user_id", "h_s", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k")
+    ).select("user_id", (F.col("h_s") + F.col("k") * 3600).alias("hour_s"))
+    return (
+        cover.join(hours, cover.hour_s == hours.h_s, "left_semi")
+        .groupBy("hour_s")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: quasi-identifier combinations (status,
+    priority, order day) occurring fewer than k=5 times — the re-
+    identification risk gate a privacy-preserving release pipeline
+    runs before publishing.  One partial-combining aggregate plus a
+    post-aggregate filter; at 100 TB the combo table is the small
+    side."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 5)
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scd2_lookup": q_scd2_lookup,
+    "rolling_active_users": q_rolling_active_users,
+    "k_anonymity": q_k_anonymity,
     "chi_square": q_chi_square,
     "calendar_dim": q_calendar_dim,
     "skew_profile": q_skew_profile,
@@ -5550,4 +5638,59 @@ ORACLE_SQL["skew_profile"] = """
            CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
            row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rank
     FROM top, tot
+"""
+
+
+ORACLE_SQL["scd2_lookup"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS DISTINCT FROM event_type),
+    iv AS (
+      SELECT user_id, event_type AS regime, ts AS vf,
+             CAST(row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+      FROM runs),
+    ivd AS (
+      SELECT user_id, vf, arg_max(regime, version) AS regime,
+             max(version) AS version
+      FROM iv GROUP BY user_id, vf),
+    p AS (
+      SELECT event_id AS p_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.p_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+           l.regime, l.version
+    FROM p LEFT JOIN LATERAL (
+      SELECT regime, version FROM ivd
+      WHERE ivd.user_id = p.user_id AND ivd.vf <= p.ts
+      ORDER BY vf DESC LIMIT 1) l ON TRUE
+"""
+
+
+ORACLE_SQL["rolling_active_users"] = """
+    WITH uh AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h_s
+      FROM events),
+    hours AS (SELECT DISTINCT h_s FROM uh),
+    cover AS (
+      SELECT DISTINCT user_id, h_s + k * 3600 AS hour_s
+      FROM uh, range(0, 24) t(k))
+    SELECT hour_s, count(DISTINCT user_id) AS active_users
+    FROM cover JOIN hours ON hour_s = h_s
+    GROUP BY hour_s
+"""
+
+
+ORACLE_SQL["k_anonymity"] = """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(o_orderdate AS DATE) AS day, count(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
 """

@@ -243,3 +243,68 @@ def test_key_skew_profile_ranks_and_shares(spark):
     assert [out[i].k for i in (1, 2, 3)] == [1, 2, 3]
     assert out[1].cnt == 50 and abs(out[1].share - 0.5) < 1e-12
     assert len(out) == 3  # key 4 cut by top_n
+
+
+# ------------------------------------------------------- batch-13 semantics
+
+
+def test_rolling_active_users_synthetic(spark):
+    # hand-checkable: user A at hours 0 and 30, user B at hour 1
+    import datetime as _dt
+
+    def hts(h):
+        return _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=h)
+
+    events = spark.createDataFrame(
+        [(1, "A", hts(0)), (2, "A", hts(30)), (3, "B", hts(1))],
+        ["event_id", "user_id", "ts"],
+    )
+    uh = events.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long").alias("h_s"),
+    ).distinct()
+    hours = uh.select("h_s").distinct()
+    cover = uh.select(
+        "user_id", "h_s", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("k")
+    ).select("user_id", (F.col("h_s") + F.col("k") * 3600).alias("hour_s"))
+    out = {
+        r.hour_s: r.active_users
+        for r in cover.join(hours, cover.hour_s == hours.h_s, "left_semi")
+        .groupBy("hour_s")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .collect()
+    }
+    base = int(hts(0).timestamp())
+    # hour 0: only A; hour 1: A (from hour 0) + B; hour 30: only A
+    # (hour-0 and hour-1 visits are >24h old)
+    assert out[base] == 1
+    assert out[base + 3600] == 2
+    assert out[base + 30 * 3600] == 1
+    assert len(out) == 3  # only observed hours reported
+
+
+def test_scd2_lookup_same_ts_tie_uses_superseding_version(spark):
+    import datetime as _dt
+
+    from name_match_ml_spark.operators.temporal import asof_join, scd2_intervals
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    # user 1: type A at t0; B and C both at t1 (order by event_id);
+    # lookup at t1 must resolve to the C run (higher version)
+    t1 = t0 + _dt.timedelta(seconds=10)
+    e = spark.createDataFrame(
+        [(1, t0, 1, "A"), (1, t1, 2, "B"), (1, t1, 3, "C")],
+        ["user_id", "ts", "event_id", "event_type"],
+    )
+    iv = scd2_intervals(e, key="user_id", order_by=["ts", "event_id"], attrs=["event_type"])
+    dim = iv.groupBy("user_id", F.col("valid_from").alias("vf")).agg(
+        F.max_by("event_type", "version").alias("regime"),
+        F.max("version").alias("version"),
+    )
+    probe = spark.createDataFrame([(1, t1)], ["user_id", "ts"])
+    (row,) = asof_join(
+        probe, dim, on="user_id", left_ts="ts", right_ts="vf",
+        right_payload=["regime", "version"],
+    ).collect()
+    assert row.regime_asof == "C" and row.version_asof == 3
