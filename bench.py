@@ -139,6 +139,9 @@ EXTENDED = [
     "scd2_lookup",
     "rolling_active_users",
     "k_anonymity",
+    "seq_pattern",
+    "twap",
+    "survivorship",
 ]
 
 HEADLINE = [

@@ -51,6 +51,7 @@ __all__ = [
     "ewma_fixed_point",
     "skyline_2d",
     "attribution_last_touch",
+    "twap",
 ]
 
 FP_SCALE = 1_000_000  # fixed-point grid for gap-fill values
@@ -533,4 +534,51 @@ def attribution_last_touch(
         F.col(ts_col).alias("conv_ts"),
         F.when(in_window, F.col("touch_id_asof")).alias("touch_id"),
         F.when(in_window, F.col(f"{ts_col}_asof")).alias("touch_ts"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    cents: int = 100,
+) -> DataFrame:
+    """Time-weighted average (TWAP): per key group, each observation is
+    weighted by the seconds until the NEXT observation in the same
+    group; the group's last observation carries no weight (no duration
+    is observable for it).  The metric every pricing/metering pipeline
+    computes — a plain AVG over-weights bursts of rapid updates.
+
+    Determinism: values quantize to integer ``cents`` (one IEEE
+    multiply + floor, identical in any engine), durations are epoch-
+    second differences (int64), so numerator and denominator are pure
+    int64 sums — order-free — and the TWAP itself is ONE double
+    division at the end.  NULL when the group has a single observation
+    (zero total duration).
+
+    Shape: one ``key_cols`` Exchange for the lead window, then a
+    partial-combining aggregate.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    dur = F.lead(ts_s).over(w) - ts_s
+    cents_v = F.floor(F.col(value_col) * F.lit(float(cents))).cast("long")
+    weighted = df.select(
+        *keys,
+        (cents_v * F.coalesce(dur, F.lit(0))).alias("_num"),
+        F.coalesce(dur, F.lit(0)).alias("_den"),
+    )
+    return weighted.groupBy(*keys).agg(
+        F.sum("_num").alias("twap_num"),
+        F.sum("_den").alias("twap_den"),
+        F.when(
+            F.sum("_den") > 0,
+            F.sum("_num").cast("double")
+            / F.sum("_den").cast("double")
+            / F.lit(float(cents)),
+        ).alias("twap"),
     )

@@ -37,7 +37,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FS_WEIGHTS_1E6", "fs_score_pairs"]
+__all__ = ["FS_WEIGHTS_1E6", "fs_score_pairs", "survivorship_merge"]
 
 # log(m/u) / log((1-m)/(1-u)) on a 1e6 grid for (m, u):
 #   same_number (0.95, 0.001), lev_close (0.90, 0.05), suffix4 (0.85, 0.01)
@@ -100,3 +100,68 @@ def fs_score_pairs(
             ),
         )
     )
+
+
+def survivorship_merge(
+    df: DataFrame,
+    group_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Golden-record survivorship: collapse each linked entity group to
+    ONE record, choosing every field independently by its own rule —
+    the master-data-management step that follows record linkage (after
+    :func:`fs_score_pairs` + clustering decide WHICH records co-refer,
+    survivorship decides what the merged record SAYS).
+
+    Rules per field:
+
+    * ``"max"`` / ``"min"``        — extreme value (any ordered type);
+    * ``"longest_then_min"``       — longest string, ties to the
+      lexicographically smallest (fully deterministic);
+    * ``"mode_min"``               — most frequent value, ties to the
+      smallest (the ``mode_stats`` tie convention).
+
+    Every rule is expressed as an aggregate over ONE ``group_col``
+    Exchange — ``max_by`` over an order struct for the positional
+    rules; ``mode_min`` pre-counts per (group, value) with a
+    partial-combining aggregate and finishes with ``max_by`` over
+    ``(cnt, neg-rank)`` via a second small aggregate — never a window
+    over raw rows.  Adds ``n_members`` per group.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    mode_fields = [f for f, r in rules.items() if r == "mode_min"]
+    for field, rule in rules.items():
+        c = F.col(field)
+        if rule == "max":
+            aggs.append(F.max(c).alias(field))
+        elif rule == "min":
+            aggs.append(F.min(c).alias(field))
+        elif rule == "longest_then_min":
+            # max over (len asc would invert ties) — order struct:
+            # longest first, then lexicographically SMALLEST: max_by on
+            # (length, reversed-rank) is not expressible for strings, so
+            # use min_by over (neg length, value).
+            aggs.append(
+                F.min_by(c, F.struct((-F.length(c)).alias("nl"), c.alias("v"))).alias(
+                    field
+                )
+            )
+        elif rule == "mode_min":
+            continue  # second pass below
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r} for {field!r}")
+    golden = df.groupBy(group_col).agg(*aggs)
+    for field in mode_fields:
+        counts = (
+            df.groupBy(group_col, field)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        # most frequent, smallest value on ties: min_by over
+        # (-cnt, value) — one aggregate on the tiny counts table.
+        mode = counts.groupBy(group_col).agg(
+            F.min_by(
+                F.col(field), F.struct((-F.col("_cnt")).alias("nc"), F.col(field))
+            ).alias(field)
+        )
+        golden = golden.join(mode, group_col)
+    return golden

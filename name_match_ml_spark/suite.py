@@ -2776,7 +2776,79 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching: each user's
+    event stream collapses to an ordered initial string (deterministic
+    struct sort by ts, event_id) and the view→click→purchase pattern
+    ``v[^p]*c[^p]*p`` is counted with leftmost non-overlapping regex
+    semantics — identical in Java regex and RE2.  One user Exchange;
+    per-user strings are bounded by per-user history."""
+    e = table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    n = F.regexp_count(F.col("seq"), F.lit(r"v[^p]*c[^p]*p"))
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        n.alias("n_funnels"),
+        (n > 0).alias("converted"),
+    )
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (user, day)
+    (operators/analytics.py::twap): integer cents × epoch-second
+    durations summed as int64 (order-free), ONE double division at the
+    end; single-observation days yield NULL.  The metric a plain AVG
+    gets wrong under bursty updates."""
+    from .operators.analytics import twap
+
+    e = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return twap(e, ["user_id", "day"])
+
+
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/linkage.py::
+    survivorship_merge): entity groups collapse to one record with
+    per-FIELD rules — longest-then-smallest name, max balance,
+    most-frequent-then-smallest segment — the MDM merge step after
+    record linkage.  All rules are aggregates over one group Exchange;
+    the mode pre-counts on the tiny (group, value) table."""
+    from .operators.linkage import survivorship_merge
+
+    g = table(spark, sf_dir, "customer").withColumn(
+        "grp", F.col("c_custkey") % 200
+    )
+    return survivorship_merge(
+        g,
+        "grp",
+        {
+            "c_name": "longest_then_min",
+            "c_acctbal": "max",
+            "c_mktsegment": "mode_min",
+        },
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "seq_pattern": q_seq_pattern,
+    "twap": q_twap,
+    "survivorship": q_survivorship,
     "scd2_lookup": q_scd2_lookup,
     "rolling_active_users": q_rolling_active_users,
     "k_anonymity": q_k_anonymity,
@@ -5693,4 +5765,65 @@ ORACLE_SQL["k_anonymity"] = """
     FROM orders
     GROUP BY 1, 2, 3
     HAVING count(*) < 5
+"""
+
+
+ORACLE_SQL["seq_pattern"] = """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           length(seq) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+             AS n_funnels,
+           len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) > 0 AS converted
+    FROM seqs
+"""
+
+
+ORACLE_SQL["twap"] = """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100.0) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events),
+    d AS (
+      SELECT user_id, day, cents,
+             COALESCE(lead(ts_s) OVER (PARTITION BY user_id, day
+                                       ORDER BY ts, event_id) - ts_s, 0) AS dur
+      FROM base)
+    SELECT user_id, day,
+           SUM(cents * dur) AS twap_num,
+           SUM(dur) AS twap_den,
+           CASE WHEN SUM(dur) > 0
+                THEN CAST(SUM(cents * dur) AS DOUBLE)
+                     / CAST(SUM(dur) AS DOUBLE) / 100.0 END AS twap
+    FROM d GROUP BY user_id, day
+"""
+
+
+ORACLE_SQL["survivorship"] = """
+    WITH g AS (
+      SELECT c_custkey % 200 AS grp, c_name, c_acctbal, c_mktsegment
+      FROM customer),
+    base AS (
+      SELECT grp, count(*) AS n_members, max(c_acctbal) AS c_acctbal
+      FROM g GROUP BY grp),
+    nm AS (
+      SELECT grp, c_name FROM (
+        SELECT grp, c_name,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY length(c_name) DESC, c_name) AS rn
+        FROM g) WHERE rn = 1),
+    md AS (
+      SELECT grp, c_mktsegment FROM (
+        SELECT grp, c_mktsegment,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY cnt DESC, c_mktsegment) AS rn
+        FROM (SELECT grp, c_mktsegment, count(*) AS cnt
+              FROM g GROUP BY 1, 2)) WHERE rn = 1)
+    SELECT base.grp, base.n_members, nm.c_name, base.c_acctbal, md.c_mktsegment
+    FROM base JOIN nm USING (grp) JOIN md USING (grp)
 """

@@ -308,3 +308,67 @@ def test_scd2_lookup_same_ts_tie_uses_superseding_version(spark):
         right_payload=["regime", "version"],
     ).collect()
     assert row.regime_asof == "C" and row.version_asof == 3
+
+
+# ------------------------------------------------------- batch-14 operators
+
+
+def test_twap_weights_by_duration(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    from name_match_ml_spark.operators.analytics import twap
+
+    rows = [
+        # 10.00 held 30 s, then 20.00 held 10 s, last obs no weight
+        (1, t0, 1, 10.0),
+        (1, t0 + _dt.timedelta(seconds=30), 2, 20.0),
+        (1, t0 + _dt.timedelta(seconds=40), 3, 99.0),
+        # single observation -> NULL twap
+        (2, t0, 4, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    out = {r.user_id: r for r in twap(df, ["user_id"]).collect()}
+    assert out[1].twap_num == 1000 * 30 + 2000 * 10
+    assert out[1].twap_den == 40
+    assert abs(out[1].twap - (10.0 * 30 + 20.0 * 10) / 40) < 1e-9
+    assert out[2].twap is None and out[2].twap_den == 0
+
+
+def test_survivorship_field_rules_and_ties(spark):
+    from name_match_ml_spark.operators.linkage import survivorship_merge
+
+    rows = [
+        (1, "bb", 5.0, "S1"),
+        (1, "aaa", 9.0, "S2"),
+        (1, "ccc", 1.0, "S2"),
+        (2, "x", 2.0, "S9"),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "name", "bal", "seg"])
+    out = {
+        r.grp: r
+        for r in survivorship_merge(
+            df, "grp",
+            {"name": "longest_then_min", "bal": "max", "seg": "mode_min"},
+        ).collect()
+    }
+    # longest names are aaa/ccc (len 3); tie -> lexicographically smallest
+    assert out[1].name == "aaa"
+    assert out[1].bal == 9.0
+    assert out[1].seg == "S2"  # most frequent
+    assert out[1].n_members == 3
+    assert out[2].name == "x" and out[2].n_members == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        survivorship_merge(df, "grp", {"name": "nope"})
+
+
+def test_survivorship_mode_tie_breaks_to_smallest(spark):
+    from name_match_ml_spark.operators.linkage import survivorship_merge
+
+    df = spark.createDataFrame(
+        [(1, "B"), (1, "A"), (1, "C"), (1, "C"), (1, "A")], ["grp", "seg"]
+    )
+    (row,) = survivorship_merge(df, "grp", {"seg": "mode_min"}).collect()
+    assert row.seg == "A"  # A and C both count 2 -> smallest wins
