@@ -391,6 +391,10 @@ def bfs_hops(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        # checkpoint ONCE: every round joins sym, and without the cut the
+        # (potentially expensive) pair-generation lineage would re-execute
+        # per round — at max_hops=3 that tripled the dominant cost.
+        .localCheckpoint()
     )
     visited = seeds.select(F.col(seed_col).alias("id"), F.lit(0).alias("hops")).distinct()
     visited = visited.localCheckpoint()
