@@ -142,6 +142,9 @@ EXTENDED = [
     "seq_pattern",
     "twap",
     "survivorship",
+    "rand_projection",
+    "knn_label",
+    "ab_test",
 ]
 
 HEADLINE = [

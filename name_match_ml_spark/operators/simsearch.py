@@ -36,6 +36,9 @@ __all__ = [
     "quantized_cosine_topk",
     "fixed_point_centroids",
     "semantic_dedup",
+    "projection_signs",
+    "random_projection",
+    "random_projection_sql",
 ]
 
 _TOPK_CAND_SCHEMA = StructType(
@@ -678,3 +681,88 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+def projection_signs(n_planes: int, dim: int, *, seed: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 sign matrix for sparse random projection:
+    ``sign[j][i] = ±1`` from the md5 of ``"{seed}:{j}:{i}"`` — computed
+    ONCE in Python and baked into both the Spark plan and the oracle
+    SQL as literals (the ``functions/layout.py::zorder_sql`` device:
+    one source renders both sides, so the projection is definitionally
+    identical in any engine)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest(), 16) % 2
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    grid: int = 1_000_000,
+    seed: str = "rp",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Achlioptas-style ±1 random projection to ``n_planes`` integer
+    components — the dimensionality-reduction step ahead of clustering
+    or coarse ANN, 8× smaller than the input vector here.
+
+    Each component quantizes to ``floor(x * grid)`` int64 first, so the
+    ±1 dot products are pure integer sums — ORDER-FREE and bit-exact in
+    any engine (a float projection could never be hash-checked; the
+    ``pagerank``/``label_centroids`` fixed-point idiom).  Everything is
+    per-row codegen over literal sign arrays: zero shuffles, zero
+    Python, and the plan carries ``n_planes × dim`` int literals
+    (4 KiB at 8×64).
+
+    Returns the input's non-vector columns plus ``proj_0..proj_{n-1}``.
+    """
+    signs = projection_signs(n_planes, dim, seed=seed)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid))).cast("long"),
+    )
+    out_cols = [F.col(c) for c in emb.columns if c != vec_col]
+    qcol = "_q"
+    tmp = emb.withColumn(qcol, q)
+    for j, row in enumerate(signs):
+        sarr = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(F.col(qcol), sarr, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        tmp = tmp.withColumn(f"proj_{j}", proj)
+    return tmp.select(*[c for c in emb.columns if c != vec_col],
+                      *[f"proj_{j}" for j in range(n_planes)])
+
+
+def random_projection_sql(
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    grid: int = 1_000_000,
+    seed: str = "rp",
+    vec_col: str = "embedding",
+) -> list[str]:
+    """The SAME projection rendered as portable SQL expressions (one
+    per plane) — the oracle is generated from this, so the declared
+    query hash-checks the exact integer projection."""
+    signs = projection_signs(n_planes, dim, seed=seed)
+    exprs = []
+    for row in signs:
+        lits = "[" + ", ".join(str(s) for s in row) + "]"
+        exprs.append(
+            f"list_sum(list_transform(range(1, {dim} + 1), i -> "
+            f"({lits})[i] * CAST(floor(CAST({vec_col}[i] AS DOUBLE) * "
+            f"{float(grid)}) AS BIGINT)))"
+        )
+    return exprs

@@ -2845,7 +2845,93 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 random projection of 64-d embeddings to 8 integer components
+    (operators/simsearch.py::random_projection): components quantize to
+    a 1e6 grid first so the dot products are order-free int64 sums —
+    per-row codegen over literal sign arrays, zero shuffles; the oracle
+    SQL is GENERATED from the same sign source
+    (random_projection_sql), so the exact projection hash-checks."""
+    from .operators.simsearch import random_projection
+
+    return random_projection(table(spark, sf_dir, "embeddings"))
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification by majority vote: every 10th vector's 5
+    exact-cosine neighbors (the hash-checked cosine_topk path) vote
+    with their labels; ties break to the smallest label (the mode_min
+    convention).  Votes and the winner are aggregates over the tiny
+    (query, label) table."""
+    from .operators.simsearch import cosine_topk_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    knn = cosine_topk_exact(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        knn.join(F.broadcast(labels), knn.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min_by(
+            F.col("label"), F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+        ).alias("pred_label"),
+        F.max("cnt").alias("votes"),
+    )
+    truth = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample conversion A/B test: users split by user_id parity,
+    conversion = any purchase event; the pooled z² statistic is one
+    IEEE expression chain over exactly representable integer counts,
+    floored onto a 1e-9 grid (the chi_square device — deterministic,
+    no transcendentals).  One user-level aggregate + one 1-row final
+    aggregate."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 15
+        ).cast("int").alias("conv")
+    )
+    v = (F.col("user_id") % 2).alias("variant")
+    s = per_user.select(v, "conv").groupBy().agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    den = pp * (F.lit(1.0) - pp) * (
+        F.lit(1.0) / F.col("n0").cast("double")
+        + F.lit(1.0) / F.col("n1").cast("double")
+    )
+    z2 = F.when(den != 0, ((p0 - p1) * (p0 - p1)) / den)
+    return s.select(
+        "n0", "c0", "n1", "c1",
+        p0.alias("rate0"),
+        p1.alias("rate1"),
+        F.floor(z2 * F.lit(1000000000.0)).cast("long").alias("z2_grid"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rand_projection": q_rand_projection,
+    "knn_label": q_knn_label,
+    "ab_test": q_ab_test,
     "seq_pattern": q_seq_pattern,
     "twap": q_twap,
     "survivorship": q_survivorship,
@@ -5826,4 +5912,83 @@ ORACLE_SQL["survivorship"] = """
               FROM g GROUP BY 1, 2)) WHERE rn = 1)
     SELECT base.grp, base.n_members, nm.c_name, base.c_acctbal, md.c_mktsegment
     FROM base JOIN nm USING (grp) JOIN md USING (grp)
+"""
+
+
+def _rand_projection_oracle() -> str:
+    from .operators.simsearch import random_projection_sql
+
+    exprs = random_projection_sql()
+    cols = ",\n           ".join(
+        f"{e} AS proj_{j}" for j, e in enumerate(exprs)
+    )
+    return f"""
+    SELECT vec_id, label,
+           {cols}
+    FROM embeddings
+"""
+
+
+ORACLE_SQL["rand_projection"] = _rand_projection_oracle()
+
+
+ORACLE_SQL["knn_label"] = """
+    WITH knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6)
+                          DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 10 = 0)
+      WHERE rank <= 5),
+    votes AS (
+      SELECT k.query_id, e.label, count(*) AS cnt
+      FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, label AS pred_label, cnt AS votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, label) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT p.query_id, p.pred_label, p.votes,
+           t.label AS true_label,
+           p.pred_label = t.label AS correct
+    FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+"""
+
+
+ORACLE_SQL["ab_test"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT count(*) FILTER (user_id % 2 = 0) AS n0,
+             SUM(conv) FILTER (user_id % 2 = 0) AS c0,
+             count(*) FILTER (user_id % 2 = 1) AS n1,
+             SUM(conv) FILTER (user_id % 2 = 1) AS c1
+      FROM per_user)
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+           CAST(floor(CASE WHEN
+             (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+              * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) <> 0
+             THEN
+             ((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+               - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+              * (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                 - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+             / (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+             END * 1000000000.0) AS BIGINT) AS z2_grid
+    FROM s
 """

@@ -372,3 +372,77 @@ def test_survivorship_mode_tie_breaks_to_smallest(spark):
     )
     (row,) = survivorship_merge(df, "grp", {"seg": "mode_min"}).collect()
     assert row.seg == "A"  # A and C both count 2 -> smallest wins
+
+
+# ---------------------------------------------------- batch-15 operators
+
+
+def test_random_projection_matches_python_and_partition_free(spark):
+    import hashlib
+
+    from name_match_ml_spark.operators.simsearch import (
+        projection_signs,
+        random_projection,
+    )
+
+    import random as _random
+
+    rng = _random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: [r[f"proj_{j}"] for j in range(4)]
+        for r in random_projection(
+            df.repartition(7), n_planes=4, dim=8
+        ).collect()
+    }
+    signs = projection_signs(4, 8)
+    import math
+
+    for vid, vec in rows:
+        # createDataFrame infers array<double>, so quantization sees the
+        # exact double (the parquet FLOAT[] path upcasts exactly too)
+        q = [math.floor(x * 1e6) for x in vec]
+        expect = [sum(s * qq for s, qq in zip(signs[j], q)) for j in range(4)]
+        assert out[vid] == expect, vid
+
+
+def test_random_projection_sql_renders_same_signs(spark):
+    from name_match_ml_spark.operators.simsearch import (
+        projection_signs,
+        random_projection_sql,
+    )
+
+    exprs = random_projection_sql(n_planes=2, dim=4)
+    signs = projection_signs(2, 4)
+    for e, row in zip(exprs, signs):
+        lits = "[" + ", ".join(str(s) for s in row) + "]"
+        assert lits in e
+
+
+def test_knn_label_perfect_on_separated_clusters(spark):
+    from pyspark.sql import functions as _F
+
+    from name_match_ml_spark.operators.simsearch import cosine_topk_exact
+
+    # two well-separated clusters in 4-d
+    rows = []
+    for i in range(12):
+        base = [10.0, 0.0, 0.0, 1.0] if i % 2 == 0 else [0.0, 10.0, 1.0, 0.0]
+        rows.append((i, [b + (i % 5) * 0.01 for b in base], i % 2))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    queries = emb.filter(_F.col("vec_id") < 4)
+    knn = cosine_topk_exact(emb, queries, k=3)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        knn.join(labels, knn.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(_F.count(_F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        _F.min_by(
+            _F.col("label"), _F.struct((-_F.col("cnt")).alias("nc"), _F.col("label"))
+        ).alias("pred_label")
+    )
+    got = {r.query_id: r.pred_label for r in pred.collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1}
