@@ -267,3 +267,43 @@ def test_left_outer_interval_join_stream_equals_batch_minus_tail(
     # and the join is not vacuous: matched and NULL rows both streamed
     assert any(r[2] is not None for r in got)
     assert any(r[2] is None for r in got)
+
+
+def test_foreachbatch_incremental_agg_state_equals_batch(
+    spark, batch_events, tmp_path_factory
+):
+    """Incremental materialized-view maintenance as a STREAM: each
+    micro-batch aggregates to mergeable state and folds into the
+    running state table with operators/cdc.py::merge_agg_state; after
+    the drain the maintained state must equal the one-shot batch
+    aggregate — the streaming twin of the agg_state_merge declared
+    query.  Four single-file micro-batches force real merging."""
+    from name_match_ml_spark.operators.cdc import agg_state_of, merge_agg_state
+
+    d = str(tmp_path_factory.mktemp("mv_stream"))
+    batch_events.repartition(4).write.mode("overwrite").parquet(d)
+
+    state = {"df": None, "batches": 0}
+
+    def upsert(batch_df, _bid):
+        delta = agg_state_of(batch_df, ["user_id"], "value")
+        if state["df"] is None:
+            state["df"] = delta.localCheckpoint()
+        else:
+            state["df"] = merge_agg_state(
+                state["df"], delta, ["user_id"]
+            ).localCheckpoint()
+        state["batches"] += 1
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    q.stop()
+
+    assert state["batches"] >= 2, "expected multiple micro-batches"
+    expect = agg_state_of(batch_events, ["user_id"], "value")
+    assert _rows_set(state["df"].collect()) == _rows_set(expect.collect())
