@@ -145,6 +145,9 @@ EXTENDED = [
     "rand_projection",
     "knn_label",
     "ab_test",
+    "bm25_topk",
+    "trend_slope",
+    "dp_counts",
 ]
 
 HEADLINE = [

@@ -607,3 +607,80 @@ def source_kl_divergence(
             ),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Okapi BM25 ranking of documents for a fixed query-term list —
+    the classical IR scorer (Robertson–Spärck Jones idf with +1
+    smoothing; tf saturation k1; length normalization b).
+
+    Determinism: tf/df/dl are exact integers; avgdl is ONE double
+    division of exact operands; each term's contribution is a fixed
+    IEEE expression then FLOORED onto a 1e-9 grid, so the per-document
+    score is an int64 SUM of per-term grid values — summation-order
+    free (a raw double sum over query terms would depend on term
+    arrival order).  ``ln`` cross-engine stability has the
+    ``source_divergence`` precedent.
+
+    Scale shape: terms filter to the query list BEFORE the (doc, term)
+    aggregate, so only query-term postings shuffle; doc lengths ride
+    the same scan; N and avgdl are a 1-row broadcast (allowlisted
+    idiom); the final cut is a per-task top-k
+    (``TakeOrderedAndProject``), rank assigned over the ``top_n``
+    surviving rows only.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtf = (
+        words.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        qtf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    contrib = (
+        idf
+        * tfd
+        * (k1 + 1.0)
+        / (tfd + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    per_term = scored.select(
+        "doc_id", F.floor(contrib * F.lit(float(grid))).cast("long").alias("cg")
+    )
+    totals = per_term.groupBy("doc_id").agg(F.sum("cg").alias("score_grid"))
+    top = totals.orderBy(F.col("score_grid").desc(), F.col("doc_id").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("score_grid").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score_grid", F.row_number().over(w).alias("rank")
+    )

@@ -52,6 +52,7 @@ __all__ = [
     "skyline_2d",
     "attribution_last_touch",
     "twap",
+    "trend_slope",
 ]
 
 FP_SCALE = 1_000_000  # fixed-point grid for gap-fill values
@@ -581,4 +582,53 @@ def twap(
             / F.sum("_den").cast("double")
             / F.lit(float(cents)),
         ).alias("twap"),
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cents: int = 100,
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-key OLS trend slope of value over time (cents per HOUR on a
+    1e-9 grid) — the drift detector of a metrics warehouse.
+
+    Determinism by magnitude design: x = whole hours since the KEY's
+    own first observation (window min over one key Exchange), y =
+    integer cents; the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are then int64 sums SMALL ENOUGH to be exactly representable
+    as doubles (hours ≤ 10⁴, cents ≤ 10⁷ → every sum < 2^53), so the
+    closed-form slope ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` is one IEEE
+    expression over exact operands — bit-identical anywhere, then
+    floored onto the grid.  A raw epoch-seconds x would overflow both
+    int64 (Σx² at 10⁶ rows) and double exactness; anchoring per key is
+    what keeps the arithmetic exact.  NULL slope for keys with zero
+    x-variance (single hour).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys)
+    ts_s = F.unix_timestamp(F.col(ts_col)).cast("long")
+    # floor of a double division (not a bigint cast): CAST-to-int rounds
+    # in some engines but floor is floor everywhere
+    x = F.floor((ts_s - F.min(ts_s).over(w)) / F.lit(3600.0)).cast("long")
+    y = F.floor(F.col(value_col) * F.lit(float(cents))).cast("long")
+    base = df.select(*keys, x.alias("_x"), y.alias("_y"))
+    s = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = F.when(den != 0, num / den)
+    return s.select(
+        *keys,
+        "n",
+        F.floor(slope * F.lit(float(grid))).cast("long").alias("slope_grid"),
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "winsorize", "equi_width_histogram", "apply_expectations", "chi_square_independence"]
+__all__ = ["profile_columns", "winsorize", "equi_width_histogram", "apply_expectations", "chi_square_independence", "dp_noisy_counts"]
 
 
 def profile_columns(
@@ -286,4 +286,46 @@ def chi_square_independence(
         F.sum("term_grid").over(w_all).alias("chi2_grid"),
         (F.sum("term_grid").over(w_all) / F.lit(float(grid))).alias("chi2"),
         ((F.col("_nr") - 1) * (F.col("_nc") - 1)).alias("dof"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Differentially-private group counts: exact counts plus Laplace
+    (sensitivity 1 / ``epsilon``) noise drawn by INVERSE-CDF from a
+    seeded md5_60 uniform per group — so the "randomness" is a pure
+    function of (seed, group key) and the released values replay
+    bit-identically in any engine (the ``mixture_sample`` seeded-hash
+    device; a real deployment rotates the seed per release).
+
+    ``u ∈ (0, 1]`` from the 60-bit hash; noise = −sign(u−½)·ln(1−2|u−½|)/ε
+    with the log argument clamped at 1e-18 (the u→1 tail, probability
+    2⁻⁶⁰).  Output is floored onto a 1e-6 grid (`noisy_grid`) plus the
+    true count for reference — one partial-combining aggregate, one row
+    of codegen per group, no shuffle beyond the count itself.
+    """
+    cnt = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws(
+        ":", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    # divide by the POWER OF TWO 2^60 (exact in IEEE), not 2^60+1 — the
+    # division is then exact and u ∈ (0, 1] replays bit-identically
+    u = (h.cast("double") + 1.0) / float(1 << 60)
+    centered = u - 0.5
+    sign = F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    lap = -sign * F.log(
+        F.greatest(F.lit(1e-18), 1.0 - 2.0 * F.abs(centered))
+    ) / F.lit(float(epsilon))
+    noisy = F.col("n").cast("double") + lap
+    return cnt.select(
+        *group_cols,
+        "n",
+        F.floor(noisy * F.lit(float(grid))).cast("long").alias("noisy_grid"),
     )

@@ -2928,7 +2928,44 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {spark, join, window}
+    (functions/text.py::bm25_topk): per-term contributions floored onto
+    a 1e-9 grid then summed as int64 (order-free), postings filtered to
+    query terms before any aggregate, 1-row N/avgdl broadcast."""
+    from .functions.text import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    )
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (operators/analytics.py::trend_slope):
+    x anchored to each key's own first hour keeps all five sufficient
+    statistics exactly double-representable, so the closed-form slope
+    is one IEEE expression over exact operands — floored to a grid."""
+    from .operators.analytics import trend_slope
+
+    return trend_slope(table(spark, sf_dir, "events"), ["user_id"])
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-(lang, source) document counts
+    (operators/profiling.py::dp_noisy_counts): Laplace noise by
+    inverse-CDF from a seeded md5_60 uniform — the release replays
+    bit-identically, completing the privacy family with k_anonymity."""
+    from .operators.profiling import dp_noisy_counts
+
+    return dp_noisy_counts(
+        table(spark, sf_dir, "documents"), ["lang", "source"], epsilon=1.0
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_topk": q_bm25,
+    "trend_slope": q_trend_slope,
+    "dp_counts": q_dp_counts,
     "rand_projection": q_rand_projection,
     "knn_label": q_knn_label,
     "ab_test": q_ab_test,
@@ -5991,4 +6028,78 @@ ORACLE_SQL["ab_test"] = """
                 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
              END * 1000000000.0) AS BIGINT) AS z2_grid
     FROM s
+"""
+
+
+ORACLE_SQL["bm25_topk"] = """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    qtf AS (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    per_term AS (
+      SELECT q.doc_id,
+             CAST(floor(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * CAST(tf AS DOUBLE) * 2.2
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               * 1000000000.0) AS BIGINT) AS cg
+      FROM qtf q JOIN dfreq USING (term) JOIN dl d USING (doc_id), stats),
+    totals AS (SELECT doc_id, SUM(cg) AS score_grid FROM per_term GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, score_grid FROM totals
+      ORDER BY score_grid DESC, doc_id LIMIT 20)
+    SELECT doc_id, score_grid,
+           row_number() OVER (ORDER BY score_grid DESC, doc_id) AS rank
+    FROM top
+"""
+
+
+ORACLE_SQL["trend_slope"] = """
+    WITH base AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(floor(value * 100.0) AS BIGINT) AS y
+      FROM events),
+    anchored AS (
+      SELECT user_id, y,
+             CAST(floor((ts_s - min(ts_s) OVER (PARTITION BY user_id))
+                        / 3600.0) AS BIGINT) AS x
+      FROM base),
+    s AS (
+      SELECT user_id, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM anchored GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(floor(CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) END
+             * 1000000000.0) AS BIGINT) AS slope_grid
+    FROM s
+"""
+
+
+ORACLE_SQL["dp_counts"] = """
+    WITH cnt AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+    seeded AS (
+      SELECT lang, source, n,
+             (CAST(('0x' || substr(md5('dp:' || lang || ':' || source), 1, 15))
+                   ::BIGINT AS DOUBLE) + 1.0) / 1152921504606846976.0 AS u
+      FROM cnt)
+    SELECT lang, source, n,
+           CAST(floor(
+             (CAST(n AS DOUBLE)
+              + -(CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                * ln(greatest(1e-18, 1.0 - 2.0 * abs(u - 0.5))) / 1.0)
+             * 1000000.0) AS BIGINT) AS noisy_grid
+    FROM seeded
 """

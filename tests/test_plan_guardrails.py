@@ -30,6 +30,8 @@ ALLOWED = {
     "equi_width_histogram": {"BroadcastNestedLoopJoin"},
     # 1-row total-count broadcast for the skew-share denominator
     "skew_profile": {"BroadcastNestedLoopJoin"},
+    # 1-row N/avgdl stats broadcast for the BM25 length normalization
+    "bm25_topk": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -446,3 +446,67 @@ def test_knn_label_perfect_on_separated_clusters(spark):
     )
     got = {r.query_id: r.pred_label for r in pred.collect()}
     assert got == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------- batch-16 operators
+
+
+def test_bm25_ranks_more_relevant_doc_higher(spark):
+    from name_match_ml_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark other words here"),
+            (2, "spark other words here and more"),
+            (3, "nothing relevant at all in this one"),
+            (4, "spark join join window window window"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, ["spark", "join", "window"]).collect()}
+    # doc 4 matches all three terms -> highest; doc 3 matches none -> absent
+    assert out[4].rank == 1
+    assert 3 not in out
+    assert out[1].score_grid > out[2].score_grid  # tf saturation still orders
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_trend_slope_recovers_linear_signal(spark):
+    import datetime as _dt
+
+    from name_match_ml_spark.operators.analytics import trend_slope
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: value rises exactly 2.00 per hour; user 2: constant
+    for h in range(10):
+        rows.append((1, t0 + _dt.timedelta(hours=h), 10.0 + 2.0 * h))
+        rows.append((2, t0 + _dt.timedelta(hours=h), 7.0))
+    # user 3: single observation -> NULL slope
+    rows.append((3, t0, 1.0))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.user_id: r.slope_grid for r in trend_slope(df, ["user_id"]).collect()}
+    assert out[1] == 200 * 10**9  # 200 cents/hour on the 1e-9 grid
+    assert out[2] == 0
+    assert out[3] is None
+
+
+def test_dp_counts_deterministic_and_noise_bounded(spark):
+    from name_match_ml_spark.operators.profiling import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(chr(97 + i % 5), j) for i in range(5) for j in range(20)], ["g", "x"]
+    )
+    a = sorted(map(tuple, dp_noisy_counts(df, ["g"], epsilon=1.0).collect()))
+    b = sorted(map(tuple, dp_noisy_counts(df, ["g"], epsilon=1.0).collect()))
+    assert a == b  # seeded determinism
+    c = sorted(map(tuple, dp_noisy_counts(df, ["g"], seed="other").collect()))
+    assert a != c  # seed rotation changes the release
+    for _, n, noisy_grid in a:
+        assert n == 20
+        # Laplace(1) noise beyond 40 would be astronomically unlikely,
+        # and the clamp bounds the worst case at |ln(1e-18)| ~ 41.4
+        assert abs(noisy_grid / 1e6 - n) < 45
