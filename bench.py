@@ -148,6 +148,8 @@ EXTENDED = [
     "bm25_topk",
     "trend_slope",
     "dp_counts",
+    "rfm_segments",
+    "shortest_path",
 ]
 
 HEADLINE = [

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank", "triangles", "bfs_hops"]
+__all__ = ["connected_components", "pagerank", "triangles", "bfs_hops", "bellman_ford_k"]
 
 # Rounds used by the most recent connected_components call (label rounds
 # + star rounds); read by tests asserting the O(log n) bound.
@@ -410,3 +410,60 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("id")
     return visited
+
+
+def bellman_ford_k(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    k: int = 4,
+    src_col: str = "s",
+    dst_col: str = "d",
+    weight_col: str = "w",
+    seed_col: str = "id",
+) -> DataFrame:
+    """k-round Bellman–Ford over an undirected INTEGER-weighted edge
+    list: the minimum path cost from any seed using at most ``k``
+    edges — the weighted companion of :func:`bfs_hops` (similarity-
+    weighted contamination spread, trust propagation with per-hop
+    cost).
+
+    Integer weights make every candidate distance an exact int64 sum,
+    so the per-round ``min`` is deterministic in any engine and a
+    depth-limited recursive CTE replays it.  Per round: one frontier ⋈
+    edges equi-join + one partial-combining min; the edge list is
+    checkpointed ONCE (the :func:`bfs_hops` lineage lesson) and the
+    running dist table is checkpointed per round.  Unreachable nodes
+    are absent; ``k`` bounds both cost and state.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+            F.col(weight_col).alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d"),
+                F.col(weight_col).alias("w"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"), F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(k):
+        cand = (
+            dist.join(sym, dist.id == sym.s)
+            .select(F.col("d").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -2962,7 +2962,74 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (seconds before the
+    2024-02-01 anchor), Frequency (purchase count) and Monetary (cents)
+    quintiled with ntile(5) under unique total orders (metric, user_id)
+    — deterministic bucket boundaries in any engine — and concatenated
+    into the classic 3-digit segment code.  The global ntile windows
+    run over the PER-USER table (one row per user), the standard
+    practice; raw events never see a global window."""
+    e = table(spark, sf_dir, "events")
+    anchor = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(anchor) - F.unix_timestamp(F.max("ts"))
+            ).cast("long").alias("recency_s"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    w_m = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(w_r).alias("r_q"),
+        F.ntile(5).over(w_f).alias("f_q"),
+        F.ntile(5).over(w_m).alias("m_q"),
+    ).withColumn(
+        "segment",
+        F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"),
+    )
+
+
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-round Bellman–Ford (operators/graph.py::bellman_ford_k) over
+    the near-dup graph with integer dissimilarity weights
+    (1e6 − floor(jaccard·1e6)) from the doc_id % 100 seed set: minimum
+    path cost using ≤ 4 edges.  Integer weights keep every candidate
+    distance an exact int64 sum; the oracle is a depth-limited
+    recursive CTE over the same weighted edges."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import bellman_ford_k
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    weighted = pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.lit(1000000) - F.floor(F.col("jaccard") * F.lit(1000000.0))).cast(
+            "long"
+        ).alias("w"),
+    )
+    seeds = d.filter(F.col("doc_id") % 100 == 0).select(F.col("doc_id").alias("id"))
+    return bellman_ford_k(
+        weighted, seeds, k=4, src_col="doc_a", dst_col="doc_b"
+    ).select(F.col("id").alias("doc_id"), "dist")
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rfm_segments": q_rfm_segments,
+    "shortest_path": q_shortest_path,
     "bm25_topk": q_bm25,
     "trend_slope": q_trend_slope,
     "dp_counts": q_dp_counts,
@@ -6102,4 +6169,61 @@ ORACLE_SQL["dp_counts"] = """
                 * ln(greatest(1e-18, 1.0 - 2.0 * abs(u - 0.5))) / 1.0)
              * 1000000.0) AS BIGINT) AS noisy_grid
     FROM seeded
+"""
+
+
+ORACLE_SQL["rfm_segments"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+                  - floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+             count(*) AS frequency,
+             SUM(CAST(floor(value * 100.0) AS BIGINT)) AS monetary_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    q AS (
+      SELECT user_id, recency_s, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_s ASC, user_id ASC) AS r_q,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_q
+      FROM per_user)
+    SELECT user_id, recency_s, frequency, monetary_cents, r_q, f_q, m_q,
+           r_q * 100 + f_q * 10 + m_q AS segment
+    FROM q
+"""
+
+
+ORACLE_SQL["shortest_path"] = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    pairs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d,
+             1000000 - CAST(floor(
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+               * 1000000.0) AS BIGINT) AS w
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT s, d, w FROM pairs UNION SELECT d, s, w FROM pairs),
+    seeds AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+    bf AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS dist, 0 AS r FROM seeds
+      UNION
+      SELECT e.d AS doc_id, b.dist + e.w AS dist, b.r + 1 AS r
+      FROM bf b JOIN edges e ON e.s = b.doc_id WHERE b.r < 4)
+    SELECT doc_id, min(dist) AS dist FROM bf GROUP BY doc_id
 """

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from name_match_ml_spark.operators.cdc import agg_state_of, merge_agg_state
@@ -510,3 +511,40 @@ def test_dp_counts_deterministic_and_noise_bounded(spark):
         # Laplace(1) noise beyond 40 would be astronomically unlikely,
         # and the clamp bounds the worst case at |ln(1e-18)| ~ 41.4
         assert abs(noisy_grid / 1e6 - n) < 45
+
+
+# ---------------------------------------------------- batch-17 operators
+
+
+def test_bellman_ford_weighted_vs_hop_paths(spark):
+    from name_match_ml_spark.operators.graph import bellman_ford_k
+
+    # 0-1-2 cheap chain (1+1=2) vs direct 0-2 edge costing 10: the
+    # 2-edge path must win; node 9 only reachable in 3 edges
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 10), (2, 9, 5)], ["s", "d", "w"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {r.id: r.dist for r in bellman_ford_k(edges, seeds, k=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 9: 7}
+
+
+def test_bellman_ford_k_bounds_path_length(spark):
+    from name_match_ml_spark.operators.graph import bellman_ford_k
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], ["s", "d", "w"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    got = {r.id: r.dist for r in bellman_ford_k(edges, seeds, k=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # nodes >2 edges away absent
+
+
+def test_rfm_ntile_deterministic_quintiles(spark):
+    # 10 users with strictly ordered metrics -> ntile(5) = 2 per bucket
+    rows = [(u, float(u), u, float(u * 100)) for u in range(1, 11)]
+    df = spark.createDataFrame(rows, ["user_id", "recency_s", "frequency", "monetary_cents"])
+    w = Window.orderBy(F.col("recency_s").asc(), F.col("user_id").asc())
+    out = df.select("user_id", F.ntile(5).over(w).alias("q")).collect()
+    got = {r.user_id: r.q for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4, 9: 5, 10: 5}
