@@ -150,6 +150,9 @@ EXTENDED = [
     "dp_counts",
     "rfm_segments",
     "shortest_path",
+    "join_size_estimate",
+    "waiting_suppliers",
+    "idle_rich_customers",
 ]
 
 HEADLINE = [

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cms_term_counts"]
+__all__ = ["kmv_distinct", "cms_term_counts", "cms_join_size_estimate"]
 
 _M60 = float(1 << 60)
 
@@ -179,3 +179,78 @@ def cms_term_counts(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+def cms_join_size_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches —
+    the AGM/sketch device a cost-based optimizer uses to size a join
+    (and a skew detector: a huge estimate means heavy keys) WITHOUT
+    touching the other side: ``est_r = Σ_pos cmsL[r][pos]·cmsR[r][pos]``
+    per hash row, estimate = min over rows.  Collisions only ever ADD
+    cross terms, so the estimate is an upper bound that tightens with
+    ``width``; it equals the true size when no colliding key pair
+    exists.
+
+    Everything is integer arithmetic over md5_60 cells, so the
+    estimate — collisions included — replays bit-exactly in any engine
+    (the ``cms_term_counts`` contract).  Returns ONE row
+    ``(est_size, exact_size)``; ``exact_size`` comes from joining the
+    two per-key count tables (Σ cL[k]·cR[k]) for the oracle-checked
+    ground truth.
+
+    Scale: each side collapses to ≤ depth·width cells map-side; the
+    estimate join is sketch×sketch (bounded); the exact term is one
+    narrow count-table join — at 100 TB you'd drop the exact column
+    and keep the sketches, which is the point.
+    """
+    from ..operators.cleaning import _gram_hash
+
+    def cells_of(df: DataFrame, key: str) -> DataFrame:
+        k = F.col(key).cast("string")
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(r).alias("r"),
+                                F.pmod(
+                                    _gram_hash(
+                                        F.concat(F.lit(f"cms{r}:"), k), hash_fn
+                                    ),
+                                    F.lit(width),
+                                ).alias("pos"),
+                            )
+                            for r in range(depth)
+                        ]
+                    )
+                ).alias("c")
+            )
+            .groupBy("c.r", "c.pos")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca, cb = cells_of(left, left_key), cells_of(right, right_key)
+    est = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["r", "pos"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("s"))
+        .agg(F.min("s").alias("est_size"))
+    )
+    la = left.groupBy(F.col(left_key).alias("k")).agg(F.count(F.lit(1)).alias("ca"))
+    lb = right.groupBy(F.col(right_key).alias("k")).agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        la.join(lb, "k")
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("exact_size"))
+    )
+    return est.join(F.broadcast(exact))

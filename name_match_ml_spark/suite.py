@@ -3027,7 +3027,85 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "dist")
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join cardinality estimation
+    (functions/sketches.py::cms_join_size_estimate): the URGENT and
+    HIGH order partitions' self-join size on o_custkey estimated from
+    two 4×1024 count-min grids vs the exact count-table product — the
+    optimizer's join-sizing device, bit-replayable because every cell
+    is integer arithmetic over md5_60 positions."""
+    from .functions.sketches import cms_join_size_estimate
+
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    return cms_join_size_estimate(a, "o_custkey", b, "o_custkey")
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting analog over
+    this corpus's columns): suppliers with a RETURNED line ('R') in a
+    multi-supplier order where NO other supplier's line was returned —
+    the semi-join + anti-join pair over the SAME fact table that makes
+    Q21 the hardest relational shape.  Declared as raw SQL so
+    Catalyst's EXISTS/NOT-EXISTS decorrelation into left-semi and
+    left-anti hash joins is the feature under test.  Deterministic
+    top-10 by (count desc, name)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1
+        WHERE s_suppkey = l1.l_suppkey
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no orders SINCE 2000, grouped by market segment — an uncorrelated scalar
+    subquery (decorrelated to a 1-row aggregate) plus NOT EXISTS
+    (left-anti join).  The above-average predicate is CROSS-MULTIPLIED
+    (``bal·n > Σbal`` in exact decimals) so no engine compares against
+    a summation-order-dependent divided average — the
+    ``correlated_subquery`` device."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "join_size_estimate": q_join_size_estimate,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_rich_customers": q_idle_rich_customers,
     "rfm_segments": q_rfm_segments,
     "shortest_path": q_shortest_path,
     "bm25_topk": q_bm25,
@@ -6226,4 +6304,70 @@ ORACLE_SQL["shortest_path"] = """
       SELECT e.d AS doc_id, b.dist + e.w AS dist, b.r + 1 AS r
       FROM bf b JOIN edges e ON e.s = b.doc_id WHERE b.r < 4)
     SELECT doc_id, min(dist) AS dist FROM bf GROUP BY doc_id
+"""
+
+
+ORACLE_SQL["join_size_estimate"] = """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+    ca AS (
+      SELECT r, pos, count(*) AS cnt FROM (
+        SELECT t.r,
+               ('0x' || substr(md5('cms' || t.r || ':' || o_custkey::VARCHAR),
+                               1, 15))::BIGINT % 1024 AS pos
+        FROM a, range(0, 4) t(r)) GROUP BY r, pos),
+    cb AS (
+      SELECT r, pos, count(*) AS cnt FROM (
+        SELECT t.r,
+               ('0x' || substr(md5('cms' || t.r || ':' || o_custkey::VARCHAR),
+                               1, 15))::BIGINT % 1024 AS pos
+        FROM b, range(0, 4) t(r)) GROUP BY r, pos),
+    est AS (
+      SELECT min(s) AS est_size FROM (
+        SELECT ca.r, SUM(ca.cnt * cb.cnt) AS s
+        FROM ca JOIN cb ON ca.r = cb.r AND ca.pos = cb.pos
+        GROUP BY ca.r)),
+    exact AS (
+      SELECT COALESCE(SUM(la.ca * lb.cb), 0) AS exact_size
+      FROM (SELECT o_custkey AS k, count(*) AS ca FROM a GROUP BY 1) la
+      JOIN (SELECT o_custkey AS k, count(*) AS cb FROM b GROUP BY 1) lb
+        USING (k))
+    SELECT est_size, exact_size FROM est, exact
+"""
+
+
+ORACLE_SQL["waiting_suppliers"] = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1
+    WHERE s_suppkey = l1.l_suppkey
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
+
+
+ORACLE_SQL["idle_rich_customers"] = """
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
 """

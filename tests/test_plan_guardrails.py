@@ -32,6 +32,8 @@ ALLOWED = {
     "skew_profile": {"BroadcastNestedLoopJoin"},
     # 1-row N/avgdl stats broadcast for the BM25 length normalization
     "bm25_topk": {"BroadcastNestedLoopJoin"},
+    # 1-row est × 1-row exact join in the sketch estimator output
+    "join_size_estimate": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -548,3 +548,38 @@ def test_rfm_ntile_deterministic_quintiles(spark):
     out = df.select("user_id", F.ntile(5).over(w).alias("q")).collect()
     got = {r.user_id: r.q for r in out}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4, 9: 5, 10: 5}
+
+
+# ---------------------------------------------------- batch-18 operators
+
+
+def test_cms_join_size_upper_bound_and_exact_when_sparse(spark):
+    from name_match_ml_spark.functions.sketches import cms_join_size_estimate
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], ["k"])
+    # exact: 3*1 (k=1) + 1*2 (k=2) = 5
+    (row,) = cms_join_size_estimate(a, "k", b, "k").collect()
+    assert row.exact_size == 5
+    # CMS estimate never undercounts, and with 4 distinct keys in a
+    # 1024-wide grid collisions are absent -> exact
+    assert row.est_size == 5
+
+
+def test_cms_join_size_narrow_grid_overcounts_only(spark):
+    from name_match_ml_spark.functions.sketches import cms_join_size_estimate
+
+    a = spark.range(0, 200).selectExpr("id AS k")
+    b = spark.range(100, 300).selectExpr("id AS k")
+    (row,) = cms_join_size_estimate(a, "k", b, "k", width=16).collect()
+    assert row.exact_size == 100
+    assert row.est_size >= 100  # collisions only ever add
+
+
+def test_waiting_suppliers_plan_decorrelates_to_semi_and_anti(spark):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["waiting_suppliers"]
+    plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
