@@ -153,6 +153,8 @@ EXTENDED = [
     "join_size_estimate",
     "waiting_suppliers",
     "idle_rich_customers",
+    "multimodal_audio_resample",
+    "multimodal_image_tiles",
 ]
 
 HEADLINE = [

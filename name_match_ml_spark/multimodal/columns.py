@@ -303,3 +303,112 @@ def sample_video_frames(assets: DataFrame, *, every_n: int = 10) -> DataFrame:
             F.col("data"), (F.col("frame_idx") * chunk + 1).cast("int"), chunk
         ).alias("frame_data"),
     )
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak_i16", LongType()),
+    ]
+)
+
+
+def resample_audio(assets: DataFrame, *, factor: int = 4) -> DataFrame:
+    """REAL PCM16 decimation (numpy decode → keep every ``factor``-th
+    sample → re-encode little-endian → decode AGAIN for the features):
+    the downsampling step of an audio-preprocessing pipeline, with the
+    encode/decode ROUNDTRIP inside the kernel so the emitted features
+    witness the re-encoded payload, not the intermediate array.
+
+    Emits integer features only (count, Σ|s| as int64 — order-free —
+    and the peak int16 magnitude): the same decimal-tie-avoidance
+    contract as the ``multimodal_audio_features`` surface, making the
+    resample hash-checkable byte-for-byte in a SQL replay (sample 2k
+    of the payload is hex chars [4k, 4k+2) — kept iff k ≡ 0 mod
+    ``factor``).
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                raw = bytes(row["data"] or b"")
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                samples = np.frombuffer(raw, dtype="<i2") if raw else np.zeros(0, "<i2")
+                kept = samples[::factor]
+                reenc = kept.astype("<i2").tobytes()
+                again = np.frombuffer(reenc, dtype="<i2").astype(np.int64)
+                out.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "n_samples": len(again),
+                        "sum_abs": int(np.abs(again).sum()) if len(again) else 0,
+                        "peak_i16": int(np.abs(again).max()) if len(again) else 0,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_RESAMPLE_SCHEMA])
+
+    audio = assets.filter(F.col("meta.media_type") == "audio").select(
+        "asset_id", "data"
+    )
+    return audio.mapInPandas(kernel, AUDIO_RESAMPLE_SCHEMA)
+
+
+IMAGE_TILES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("tile_row", LongType()),
+        StructField("tile_col", LongType()),
+        StructField("n_pix", LongType()),
+        StructField("sum_rgb", LongType()),
+    ]
+)
+
+
+def image_tile_stats(assets: DataFrame, *, tiles: int = 2) -> DataFrame:
+    """REAL image tiling (the crop/patch step of a vision-data
+    pipeline): decode the PPM payload, split the raster into a
+    ``tiles × tiles`` grid (image dims here are multiples of 4, so the
+    grid divides evenly), and emit per-tile INTEGER statistics — pixel
+    count and the int64 sum of all channel bytes.  Integer-only
+    outputs make the real decode+tile hash-checkable (the
+    ``resample_audio`` contract applied to images).
+
+    One row per (asset, tile): 4× fan-out of the asset table at the
+    default grid, computed inside the same Arrow batch as the decode —
+    no per-tile Python round trips.
+    """
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = decode_image(bytes(row["data"]))
+                h, w = img.shape[0], img.shape[1]
+                th, tw = max(1, h // tiles), max(1, w // tiles)
+                for tr in range(tiles):
+                    for tc in range(tiles):
+                        r0, r1 = tr * th, (tr + 1) * th if tr < tiles - 1 else h
+                        c0, c1 = tc * tw, (tc + 1) * tw if tc < tiles - 1 else w
+                        tile = img[r0:r1, c0:c1]
+                        out.append(
+                            {
+                                "asset_id": row["asset_id"],
+                                "tile_row": tr,
+                                "tile_col": tc,
+                                "n_pix": int(tile.shape[0] * tile.shape[1]),
+                                "sum_rgb": int(tile.astype(np.int64).sum()),
+                            }
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_TILES_SCHEMA])
+
+    imgs = assets.filter(F.col("meta.media_type") == "image").select(
+        "asset_id", "data"
+    )
+    return imgs.mapInPandas(kernel, IMAGE_TILES_SCHEMA)

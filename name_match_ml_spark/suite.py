@@ -3102,7 +3102,32 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 decimation by 4 with an in-kernel encode/decode roundtrip
+    (multimodal/columns.py::resample_audio): integer features over the
+    RE-ENCODED payload (count, order-free Σ|s|, int16 peak), replayed
+    in DuckDB by keeping hex sample k iff k ≡ 0 (mod 4)."""
+    from .multimodal.columns import resample_audio, synthesize_media_assets
+
+    d = table(spark, sf_dir, "documents")
+    return resample_audio(synthesize_media_assets(d), factor=4)
+
+
+def q_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 image tiling over REAL PPM decodes
+    (multimodal/columns.py::image_tile_stats): per-tile pixel count and
+    int64 channel-byte sum — integer-only outputs make the decode+crop
+    path hash-checkable; the oracle reconstructs each tile from the
+    synthesis recipe with row/col arithmetic over the raster index."""
+    from .multimodal.columns import image_tile_stats, synthesize_media_assets
+
+    d = table(spark, sf_dir, "documents")
+    return image_tile_stats(synthesize_media_assets(d), tiles=2)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_image_tiles": q_multimodal_image_tiles,
+    "multimodal_audio_resample": q_multimodal_audio_resample,
     "join_size_estimate": q_join_size_estimate,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_rich_customers": q_idle_rich_customers,
@@ -6370,4 +6395,58 @@ ORACLE_SQL["idle_rich_customers"] = """
         WHERE o.o_custkey = c.c_custkey
           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
+"""
+
+
+ORACLE_SQL["multimodal_audio_resample"] = """
+    WITH aud AS (
+      SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id % 3 = 1),
+    s0 AS (SELECT asset_id, hx, unnest(range((nb // 2)::BIGINT)) AS k FROM aud),
+    kept AS (SELECT asset_id, hx, k FROM s0 WHERE k % 4 = 0),
+    smp AS (
+      SELECT asset_id,
+             ('0x' || substr(hx, (4*k + 1)::INT, 2))::INT
+             + 256 * ('0x' || substr(hx, (4*k + 3)::INT, 2))::INT AS u
+      FROM kept),
+    sgn AS (
+      SELECT asset_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM smp)
+    SELECT asset_id,
+           count(*)::BIGINT AS n_samples,
+           SUM(abs(s))::BIGINT AS sum_abs,
+           max(abs(s))::BIGINT AS peak_i16
+    FROM sgn GROUP BY asset_id
+"""
+
+
+ORACLE_SQL["multimodal_image_tiles"] = """
+    WITH imgs AS (
+      SELECT doc_id AS asset_id,
+             ((doc_id % 8 + 4) * 4)::INT AS w,
+             ((doc_id % 6 + 3) * 4)::INT AS h,
+             coalesce(nullif(regexp_replace(text, '[^ -~]', '', 'g'), ''),
+                      'spark') AS src
+      FROM documents WHERE doc_id % 3 = 0),
+    sized AS (
+      SELECT asset_id, w, h, (w*h*3)::INT AS n_pix,
+             substr(repeat(src, (w*h*3 / length(src))::INT + 1), 1,
+                    (w*h*3)::INT) AS raster
+      FROM imgs),
+    px0 AS (
+      SELECT asset_id, w, h, raster, unnest(range((n_pix / 3)::BIGINT)) AS p
+      FROM sized),
+    px AS (
+      SELECT asset_id,
+             (p // w) // (h // 2) AS tile_row,
+             (p % w) // (w // 2) AS tile_col,
+             ascii(substr(raster, (3*p + 1)::INT, 1))
+             + ascii(substr(raster, (3*p + 2)::INT, 1))
+             + ascii(substr(raster, (3*p + 3)::INT, 1)) AS rgb
+      FROM px0)
+    SELECT asset_id, tile_row, tile_col,
+           count(*)::BIGINT AS n_pix,
+           SUM(rgb)::BIGINT AS sum_rgb
+    FROM px GROUP BY asset_id, tile_row, tile_col
 """

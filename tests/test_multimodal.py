@@ -122,3 +122,44 @@ def test_sample_video_frames(assets):
         for r in frames:
             if r.asset_id == aid:
                 assert len(bytes(r.frame_data)) >= 1
+
+
+def test_resample_audio_factor1_is_identity_and_counts(spark, assets):
+    from name_match_ml_spark.multimodal.columns import audio_features, resample_audio
+
+    full = {r.asset_id: r.n_samples for r in audio_features(assets).collect()}
+    r1 = {r.asset_id: r for r in resample_audio(assets, factor=1).collect()}
+    r4 = {r.asset_id: r for r in resample_audio(assets, factor=4).collect()}
+    for aid, n in full.items():
+        assert r1[aid].n_samples == n
+        assert r4[aid].n_samples == (n + 3) // 4  # ceil: indices 0,4,8,...
+        assert r4[aid].peak_i16 <= r1[aid].peak_i16
+        assert r4[aid].sum_abs <= r1[aid].sum_abs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_audio(assets, factor=0)
+
+
+def test_image_tiles_partition_the_image_exactly(spark, assets):
+    from name_match_ml_spark.multimodal.columns import (
+        image_features,
+        image_tile_stats,
+    )
+    import collections
+
+    feats = {r.asset_id: r for r in image_features(assets).collect()}
+    tiles = image_tile_stats(assets, tiles=2).collect()
+    per_asset = collections.defaultdict(lambda: [0, 0, 0])
+    for t in tiles:
+        per_asset[t.asset_id][0] += t.n_pix
+        per_asset[t.asset_id][1] += t.sum_rgb
+        per_asset[t.asset_id][2] += 1
+    for aid, (n_pix, sum_rgb, n_tiles) in per_asset.items():
+        f = feats[aid]
+        assert n_tiles == 4
+        assert n_pix == f.width * f.height  # tiles partition all pixels
+        # tile channel sums reassemble the full-image per-channel means
+        # (mean_rgb is the [r, g, b] list of 6-dp channel means)
+        expect_sum = round(sum(f.mean_rgb) * n_pix)
+        assert abs(sum_rgb - expect_sum) <= 1
