@@ -155,6 +155,7 @@ EXTENDED = [
     "idle_rich_customers",
     "multimodal_audio_resample",
     "multimodal_image_tiles",
+    "table_digest",
 ]
 
 HEADLINE = [

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns", "winsorize", "equi_width_histogram", "apply_expectations", "chi_square_independence", "dp_noisy_counts"]
+__all__ = ["profile_columns", "winsorize", "equi_width_histogram", "apply_expectations", "chi_square_independence", "dp_noisy_counts", "table_digest"]
 
 
 def profile_columns(
@@ -328,4 +328,49 @@ def dp_noisy_counts(
         *group_cols,
         "n",
         F.floor(noisy * F.lit(float(grid))).cast("long").alias("noisy_grid"),
+    )
+
+
+def table_digest(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Order-free cross-engine table fingerprint: one row
+    ``(n_rows, digest)`` where ``digest`` is the int64 SUM of a 60-bit
+    hash of each row's canonical string (``concat_ws('|', cols)`` with
+    NULLs rendered as a sentinel) — the data-integrity device for
+    verifying a migration/replication/engine-port moved every row
+    (this repo's whole oracle methodology, packaged as an operator).
+
+    Summing hashes (not hashing a sorted concatenation) is what makes
+    the digest partition- and order-free, computable map-side with one
+    scalar aggregate, and incremental: digest(A ∪ B) = digest(A) +
+    digest(B) mod 2^64, so per-partition digests of a snapshot fold
+    into the table digest without re-reading (the ``merge_agg_state``
+    monoid contract applied to integrity).  A row hash can overflow
+    int64 only by wrapping — sums are taken as DECIMAL(38,0) then
+    folded mod 2^64 back to the int64 domain for a stable surface.
+
+    md5_60 replays in any engine; ``xxhash64`` is the codegen scale
+    default (same pluggable contract as ``operators/cleaning.py``).
+    Collision note: a 60-bit hash over N rows has ~N²/2^61 pair
+    collision probability — fine for integrity checks, not for
+    adversarial settings.
+    """
+    from ..operators.cleaning import _gram_hash
+
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+    )
+    h = _gram_hash(canon, hash_fn).cast("decimal(38,0)")
+    # 2^64 / 2^63 exceed Long — ship them as DECIMAL literals via expr
+    two64 = F.expr("CAST(18446744073709551616 AS DECIMAL(38,0))")
+    two63 = F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))")
+    folded = F.pmod(F.sum(h), two64)
+    signed = F.when(folded >= two63, folded - two64).otherwise(folded)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        signed.cast("long").alias("digest"),
     )

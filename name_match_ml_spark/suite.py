@@ -3125,7 +3125,31 @@ def q_multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tile_stats(synthesize_media_assets(d), tiles=2)
 
 
+def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free table fingerprint of orders
+    (operators/profiling.py::table_digest): int64 sum (mod 2^64) of a
+    60-bit row hash over the canonical projection — the integrity
+    check for verifying a migration or engine port moved every row,
+    i.e. this repo's oracle methodology packaged as an operator.
+    Map-side, one scalar aggregate, digests of shards FOLD (the
+    decimal-sum monoid)."""
+    from .operators.profiling import table_digest
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.unix_timestamp("o_orderdate").cast("long").alias("od_s"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    return table_digest(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "od_s", "cents"]
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "table_digest": q_table_digest,
     "multimodal_image_tiles": q_multimodal_image_tiles,
     "multimodal_audio_resample": q_multimodal_audio_resample,
     "join_size_estimate": q_join_size_estimate,
@@ -6449,4 +6473,32 @@ ORACLE_SQL["multimodal_image_tiles"] = """
            count(*)::BIGINT AS n_pix,
            SUM(rgb)::BIGINT AS sum_rgb
     FROM px GROUP BY asset_id, tile_row, tile_col
+"""
+
+
+ORACLE_SQL["table_digest"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_s,
+             CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders),
+    h AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+               COALESCE(o_orderstatus, chr(0) || 'null'),
+               COALESCE(o_orderpriority, chr(0) || 'null'),
+               COALESCE(CAST(od_s AS VARCHAR), chr(0) || 'null'),
+               COALESCE(CAST(cents AS VARCHAR), chr(0) || 'null'))),
+             1, 15))::BIGINT AS hv
+      FROM o),
+    s AS (
+      SELECT count(*) AS n_rows,
+             SUM(hv::HUGEINT) % 18446744073709551616::HUGEINT AS m
+      FROM h)
+    SELECT n_rows,
+           CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                     THEN m - 18446744073709551616::HUGEINT
+                     ELSE m END AS BIGINT) AS digest
+    FROM s
 """

@@ -583,3 +583,31 @@ def test_waiting_suppliers_plan_decorrelates_to_semi_and_anti(spark):
     plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------- digest
+
+
+def test_table_digest_order_free_and_incremental(spark):
+    from name_match_ml_spark.operators.profiling import table_digest
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 13}") for i in range(997)], ["k", "s"]
+    )
+    (full,) = table_digest(df, ["k", "s"]).collect()
+    (shuffled,) = table_digest(df.repartition(17).orderBy(F.rand(7)), ["k", "s"]).collect()
+    assert (full.n_rows, full.digest) == (shuffled.n_rows, shuffled.digest)
+    # incremental: shard digests fold (mod 2^64) into the table digest
+    (a,) = table_digest(df.filter(F.col("k") < 500), ["k", "s"]).collect()
+    (b,) = table_digest(df.filter(F.col("k") >= 500), ["k", "s"]).collect()
+    two64 = 1 << 64
+    fold = (a.digest % two64 + b.digest % two64) % two64
+    if fold >= 1 << 63:
+        fold -= two64
+    assert fold == full.digest and a.n_rows + b.n_rows == full.n_rows
+    # sensitivity: one changed row changes the digest
+    df2 = spark.createDataFrame(
+        [(i, f"s{i % 13}" if i != 42 else "CHANGED") for i in range(997)], ["k", "s"]
+    )
+    (d2,) = table_digest(df2, ["k", "s"]).collect()
+    assert d2.digest != full.digest
