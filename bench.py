@@ -285,31 +285,52 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": runs_per_query,
-                "agg": "min",
-                # load_1m observed around each query's BEST run, and the
-                # max/min spread across its runs: spread near 1.0 means a
-                # trustworthy reading, spread >2 means the host was noisy
-                # even after retries.
-                "query_load_1m": query_load,
-                "query_spread": query_spread,
-                # post-r1 queries, outside the pinned comparability set
-                "extended_queries": extended,
-                # Machine-load context: r1 showed readings inflate 2-3x
-                # under concurrent load; compare rounds with similar load.
-                "load_1m_start": round(load_start[0], 2),
-                "load_1m_end": round(os.getloadavg()[0], 2),
-            }
-        )
+    # The driver captures only the LAST ~2000 chars of stdout and parses a
+    # JSON line out of it (BENCH_r04.json: "parsed": null once the line,
+    # grown by 100+ extended queries, overflowed that window).  So stdout
+    # gets a COMPACT line — pinned headline set + summary scalars, always
+    # well under the window — and the full per-query detail (extended
+    # timings, per-query load/spread) goes to BENCH_FULL_local.json.
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": runs_per_query,
+        "agg": "min",
+        "extended_total": round(sum(extended.values()), 3),
+        "extended_count": len(extended),
+        # Machine-load context: r1 showed readings inflate 2-3x under
+        # concurrent load; compare rounds with similar load.
+        "load_1m_start": round(load_start[0], 2),
+        "load_1m_end": round(os.getloadavg()[0], 2),
+    }
+    full = dict(compact)
+    full.update(
+        {
+            # load_1m observed around each query's BEST run, and the
+            # max/min spread across its runs: spread near 1.0 means a
+            # trustworthy reading, spread >2 means the host was noisy
+            # even after retries.
+            "query_load_1m": query_load,
+            "query_spread": query_spread,
+            # post-r1 queries, outside the pinned comparability set
+            "extended_queries": extended,
+        }
     )
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"),
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    line = json.dumps(compact)
+    # Hard guard: never emit a final line the driver's tail window can clip.
+    if len(line) > 1900:
+        compact["queries"] = {"total_only": compact["value"]}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

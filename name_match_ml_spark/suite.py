@@ -3409,8 +3409,9 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_custkey, o_orderkey,
                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-                     ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                     CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                             ORDER BY o_totalprice DESC, o_orderkey)
+                          AS INTEGER) AS rk
               FROM orders)
         WHERE rk <= 3
     """,
@@ -3684,7 +3685,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_partkey,
                UPPER(p_name) AS name_upper,
                SUBSTRING(p_name, 1, 5) AS name_prefix,
-               LENGTH(p_name) AS name_len,
+               CAST(LENGTH(p_name) AS INTEGER) AS name_len,
                CAST(REGEXP_EXTRACT(p_brand, '#(\\d+)', 1) AS INT) AS brand_num,
                CONCAT_WS('|', p_type, p_brand) AS type_brand,
                REPLACE(p_name, ' ', '_') AS name_snake
@@ -3847,7 +3848,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY l_returnflag
     """,
     "label_centroids": """
-        SELECT label, u.u.dim AS dim,
+        SELECT label, CAST(u.u.dim AS INTEGER) AS dim,
                round(sum(u.u.fx)::DOUBLE / (count(*) * 1048576), 6) AS centroid
         FROM (
           SELECT label,
@@ -3914,9 +3915,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "text_stats": """
         SELECT doc_id, lang,
-               LENGTH(text) AS n_chars_computed,
+               CAST(LENGTH(text) AS INTEGER) AS n_chars_computed,
                CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
-               LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER)
+                 AS n_spaces
         FROM documents
     """,
     "doc_lang_profile": """
@@ -4077,11 +4079,11 @@ ORACLE_SQL: dict[str, str] = {
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                               CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-                 ROW_NUMBER() OVER (
+                 CAST(ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                                          CAST(c.embedding AS DOUBLE[])), 6)
-                            DESC, c.vec_id) AS rank
+                            DESC, c.vec_id) AS INTEGER) AS rank
           FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
           WHERE q.vec_id % 10 = 0)
         WHERE rank <= 5
@@ -4125,8 +4127,9 @@ ORACLE_SQL: dict[str, str] = {
                  + 0.2 * (CASE WHEN COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
                                     / CAST(n_words_g AS DOUBLE) BETWEEN 2 AND 12
                                THEN 1.0 ELSE 0.3 END), 6) AS quality,
-               len(words) AS ws_tokens,
-               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS bpe_pretokens
+               CAST(len(words) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))
+                    AS INTEGER) AS bpe_pretokens
         FROM scored
     """,
     "doc_fingerprint": """
@@ -4325,8 +4328,9 @@ def _lsh_oracle_sql(k: int = 5, dim: int = 64, nbits: int = 6, n_tables: int = 1
       FROM cand),
     ranked AS (
       SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
       FROM scored)
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
@@ -4863,7 +4867,7 @@ ORACLE_SQL["quantized_cosine_topk"] = """
     r AS (
       SELECT query_id, neighbor_id, qcos,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY qcos DESC, neighbor_id) AS rank
+                                ORDER BY qcos DESC, neighbor_id)::INTEGER AS rank
       FROM p)
     SELECT query_id, neighbor_id, qcos, rank FROM r WHERE rank <= 5
 """
@@ -5474,7 +5478,7 @@ ORACLE_SQL["hierarchical_rollup"] = """
 # receipt/commit dates or ship modes — Q9/Q7 adapt accordingly).
 ORACLE_SQL["volume_shipping"] = """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           year(l_shipdate) AS l_year,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
                 AS DOUBLE) AS revenue
@@ -5492,7 +5496,7 @@ ORACLE_SQL["volume_shipping"] = """
 """
 
 ORACLE_SQL["product_profit"] = """
-    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
                 AS DOUBLE) AS profit
@@ -5687,7 +5691,10 @@ def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = Fals
       FROM x{r} WHERE NOT dropped)""")
 
     if final:
-        tail = f"SELECT wid, freq, pos, sym FROM seqs{n_merges}"
+        tail = (
+            f"SELECT wid, freq, CAST(pos AS INTEGER) AS pos, sym"
+            f" FROM seqs{n_merges}"
+        )
     else:
         tail = "\n    UNION ALL ".join(
             f"SELECT {r} AS round, a AS sym_a, b AS sym_b, cnt::BIGINT AS pair_count FROM b{r}"
@@ -5770,12 +5777,14 @@ ORACLE_SQL["similarity_join_exact"] = """
     sb AS (
       SELECT s_name, substr(s_name, length(s_name), 1) AS bk FROM supplier),
     scored AS (
-      SELECT c_name, s_name, levenshtein(c_name, s_name) AS distance
+      SELECT c_name, s_name,
+             CAST(levenshtein(c_name, s_name) AS INTEGER) AS distance
       FROM cb JOIN sb USING (bk)),
     ranked AS (
       SELECT c_name, s_name, distance,
-             row_number() OVER (PARTITION BY c_name
-                                ORDER BY distance, s_name) AS rank
+             CAST(row_number() OVER (PARTITION BY c_name
+                                     ORDER BY distance, s_name)
+                  AS INTEGER) AS rank
       FROM scored)
     SELECT c_name, s_name, distance, rank FROM ranked WHERE rank <= 3
 """
@@ -5815,7 +5824,7 @@ ORACLE_SQL["fs_linkage"] = """
                    THEN 2890372 ELSE -2251292 END
             + CASE WHEN substr(c_name, length(c_name) - 3, 4)
                         = substr(s_name, length(s_name) - 3, 4)
-                   THEN 4442651 ELSE -1887070 END) AS score
+                   THEN 4442651 ELSE -1887070 END)::BIGINT AS score
       FROM cb JOIN sb USING (bk))
     SELECT c_name, s_name, score,
            CASE WHEN score >= 5000000 THEN 'match' ELSE 'possible' END AS decision
@@ -5894,7 +5903,7 @@ ORACLE_SQL["equi_width_histogram"] = """
              END AS bin,
              mn, mx, CAST(o_totalprice AS DOUBLE) AS v
       FROM orders, stats)
-    SELECT bin,
+    SELECT CAST(bin AS INTEGER) AS bin,
            mn + bin * ((mx - mn) / 20.0) AS lo,
            mn + (bin + 1) * ((mx - mn) / 20.0) AS hi,
            count(*) AS n,
@@ -6011,9 +6020,9 @@ ORACLE_SQL["chi_square"] = """
                AS term_grid
       FROM m)
     SELECT t.status, t.priority, t.observed, t.term_grid,
-           SUM(term_grid) OVER () AS chi2_grid,
+           CAST(SUM(term_grid) OVER () AS BIGINT) AS chi2_grid,
            SUM(term_grid) OVER () / 1000000000.0 AS chi2,
-           (d.nr - 1) * (d.nc - 1) AS dof
+           CAST((d.nr - 1) * (d.nc - 1) AS INTEGER) AS dof
     FROM t, d
 """
 
@@ -6028,10 +6037,10 @@ ORACLE_SQL["calendar_dim"] = """
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
     SELECT d.day,
-           date_part('dow', d.day) AS dow,
-           weekofyear(d.day) AS week,
-           month(d.day) AS month,
-           quarter(d.day) AS quarter,
+           CAST(date_part('dow', d.day) AS INTEGER) AS dow,
+           CAST(weekofyear(d.day) AS INTEGER) AS week,
+           CAST(month(d.day) AS INTEGER) AS month,
+           CAST(quarter(d.day) AS INTEGER) AS quarter,
            date_part('dow', d.day) IN (0, 6) AS is_weekend,
            COALESCE(od.n, 0) AS n_orders,
            CAST(COALESCE(od.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -6048,7 +6057,8 @@ ORACLE_SQL["skew_profile"] = """
       ORDER BY cnt DESC, o_custkey LIMIT 10)
     SELECT o_custkey, cnt,
            CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-           row_number() OVER (ORDER BY cnt DESC, o_custkey) AS rank
+           CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey)
+                AS INTEGER) AS rank
     FROM top, tot
 """
 
@@ -6115,8 +6125,8 @@ ORACLE_SQL["seq_pattern"] = """
                         ORDER BY ts, event_id) AS seq
       FROM events GROUP BY user_id)
     SELECT user_id,
-           length(seq) AS n_events,
-           CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+           CAST(length(seq) AS INTEGER) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS INTEGER)
              AS n_funnels,
            len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) > 0 AS converted
     FROM seqs
@@ -6135,8 +6145,8 @@ ORACLE_SQL["twap"] = """
                                        ORDER BY ts, event_id) - ts_s, 0) AS dur
       FROM base)
     SELECT user_id, day,
-           SUM(cents * dur) AS twap_num,
-           SUM(dur) AS twap_den,
+           CAST(SUM(cents * dur) AS BIGINT) AS twap_num,
+           CAST(SUM(dur) AS BIGINT) AS twap_den,
            CASE WHEN SUM(dur) > 0
                 THEN CAST(SUM(cents * dur) AS DOUBLE)
                      / CAST(SUM(dur) AS DOUBLE) / 100.0 END AS twap
@@ -6174,7 +6184,7 @@ def _rand_projection_oracle() -> str:
 
     exprs = random_projection_sql()
     cols = ",\n           ".join(
-        f"{e} AS proj_{j}" for j, e in enumerate(exprs)
+        f"CAST({e} AS BIGINT) AS proj_{j}" for j, e in enumerate(exprs)
     )
     return f"""
     SELECT vec_id, label,
@@ -6224,9 +6234,9 @@ ORACLE_SQL["ab_test"] = """
       FROM events GROUP BY user_id),
     s AS (
       SELECT count(*) FILTER (user_id % 2 = 0) AS n0,
-             SUM(conv) FILTER (user_id % 2 = 0) AS c0,
+             CAST(SUM(conv) FILTER (user_id % 2 = 0) AS BIGINT) AS c0,
              count(*) FILTER (user_id % 2 = 1) AS n1,
-             SUM(conv) FILTER (user_id % 2 = 1) AS c1
+             CAST(SUM(conv) FILTER (user_id % 2 = 1) AS BIGINT) AS c1
       FROM per_user)
     SELECT n0, c0, n1, c1,
            CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
@@ -6270,12 +6280,14 @@ ORACLE_SQL["bm25_topk"] = """
                            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
                * 1000000000.0) AS BIGINT) AS cg
       FROM qtf q JOIN dfreq USING (term) JOIN dl d USING (doc_id), stats),
-    totals AS (SELECT doc_id, SUM(cg) AS score_grid FROM per_term GROUP BY doc_id),
+    totals AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS score_grid
+               FROM per_term GROUP BY doc_id),
     top AS (
       SELECT doc_id, score_grid FROM totals
       ORDER BY score_grid DESC, doc_id LIMIT 20)
     SELECT doc_id, score_grid,
-           row_number() OVER (ORDER BY score_grid DESC, doc_id) AS rank
+           CAST(row_number() OVER (ORDER BY score_grid DESC, doc_id)
+                AS INTEGER) AS rank
     FROM top
 """
 
@@ -6328,16 +6340,17 @@ ORACLE_SQL["rfm_segments"] = """
              CAST(floor(epoch(TIMESTAMP '2024-02-01 00:00:00'))
                   - floor(epoch(max(ts))) AS BIGINT) AS recency_s,
              count(*) AS frequency,
-             SUM(CAST(floor(value * 100.0) AS BIGINT)) AS monetary_cents
+             CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
     q AS (
       SELECT user_id, recency_s, frequency, monetary_cents,
-             ntile(5) OVER (ORDER BY recency_s ASC, user_id ASC) AS r_q,
-             ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
-             ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_q
+             ntile(5) OVER (ORDER BY recency_s ASC, user_id ASC)::INTEGER AS r_q,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)::INTEGER AS f_q,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC)::INTEGER AS m_q
       FROM per_user)
     SELECT user_id, recency_s, frequency, monetary_cents, r_q, f_q, m_q,
-           r_q * 100 + f_q * 10 + m_q AS segment
+           CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS segment
     FROM q
 """
 
@@ -6395,12 +6408,12 @@ ORACLE_SQL["join_size_estimate"] = """
                                1, 15))::BIGINT % 1024 AS pos
         FROM b, range(0, 4) t(r)) GROUP BY r, pos),
     est AS (
-      SELECT min(s) AS est_size FROM (
+      SELECT CAST(min(s) AS BIGINT) AS est_size FROM (
         SELECT ca.r, SUM(ca.cnt * cb.cnt) AS s
         FROM ca JOIN cb ON ca.r = cb.r AND ca.pos = cb.pos
         GROUP BY ca.r)),
     exact AS (
-      SELECT COALESCE(SUM(la.ca * lb.cb), 0) AS exact_size
+      SELECT CAST(COALESCE(SUM(la.ca * lb.cb), 0) AS BIGINT) AS exact_size
       FROM (SELECT o_custkey AS k, count(*) AS ca FROM a GROUP BY 1) la
       JOIN (SELECT o_custkey AS k, count(*) AS cb FROM b GROUP BY 1) lb
         USING (k))

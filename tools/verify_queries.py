@@ -24,6 +24,8 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools.audit_types import canon_duck, canon_spark  # noqa: E402
+
 
 def _canon(value):
     if isinstance(value, float):
@@ -96,12 +98,19 @@ def main() -> int:
             scols = sdf.columns
             rec["spark_rows"] = len(srows)
             if name in oracles:
+                rel2 = duck.sql(oracles[name])
+                dtypes = {c: canon_duck(str(t)) for c, t in zip(rel2.columns, rel2.types)}
+                stypes = {c: canon_spark(t) for c, t in sdf.dtypes}
                 rel = duck.execute(oracles[name])
                 dcols = [d[0] for d in rel.description]
                 drows = rel.fetchall()
                 rec["oracle_rows"] = len(drows)
                 rec["rows_match"] = len(srows) == len(drows)
-                rec["schema_match"] = sorted(scols) == sorted(dcols)
+                # Driver lesson (CORRECTNESS_r04): its value-hash is
+                # dtype-sensitive — a DuckDB HUGEINT vs Spark bigint
+                # mismatches even with identical values.  Schema match is
+                # therefore names AND canonical column types.
+                rec["schema_match"] = sorted(scols) == sorted(dcols) and stypes == dtypes
                 if rec["rows_match"] and rec["schema_match"]:
                     rec["hash_match"] = _rows_canonical(scols, srows) == _rows_canonical(
                         dcols, drows
