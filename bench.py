@@ -157,6 +157,13 @@ EXTENDED = [
     "multimodal_image_tiles",
     "table_digest",
     "copurchase_pairs",
+    # round 5: Hilbert layout key, sweep-line concurrency, sketch-accuracy
+    # audit, feature scaling, kNN confusion metrics
+    "hilbert_layout",
+    "interval_concurrency",
+    "minhash_est_audit",
+    "feature_minmax",
+    "ml_confusion",
 ]
 
 HEADLINE = [

@@ -53,6 +53,7 @@ __all__ = [
     "attribution_last_touch",
     "twap",
     "trend_slope",
+    "interval_concurrency",
 ]
 
 FP_SCALE = 1_000_000  # fixed-point grid for gap-fill values
@@ -637,4 +638,64 @@ def trend_slope(
         *keys,
         "n",
         F.floor(slope * F.lit(float(grid))).cast("long").alias("slope_grid"),
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    part_col: str,
+    *,
+    start_col: str = "start_s",
+    dur_col: str = "dur_s",
+) -> DataFrame:
+    """Sweep-line concurrency per partition: how many intervals
+    ``[start, start + dur)`` are active at once — peak and time-weighted
+    average — the capacity question behind session counting, connection
+    pools, bed/slot occupancy.  End-EXCLUSIVE: an interval ending at
+    ``t`` and one starting at ``t`` never overlap.
+
+    Sweep: each interval contributes ``(+1, start)`` and
+    ``(-1, start + dur)``; deltas are SUMMED PER DISTINCT TIMESTAMP
+    first (one aggregate — this both bounds the window input to distinct
+    times and makes end-exclusivity automatic, since the net delta at
+    ``t`` applies the endings and startings together), then one running
+    sum per partition yields the concurrency on ``[t, next_t)``.
+
+    Determinism/exactness: starts and durations are int64 seconds; the
+    running sum, peak, and the occupancy integral
+    ``Σ conc·(next_t - t)`` are exact integer arithmetic;
+    ``avg_concurrency`` is ONE double division (integral/span).
+
+    Shape: one ``(part, t)`` aggregate, one ``part`` Exchange for the
+    running-sum window, one final ``part`` aggregate.  Concurrency per
+    partition key (a day, a tenant) keeps window partitions bounded at
+    100 TB — a GLOBAL sweep would serialize on one task; bucket the
+    timeline and carry per-bucket offsets (the curriculum_order device)
+    if an unpartitioned sweep is ever needed.
+    """
+    start = F.col(start_col).cast("long")
+    end = start + F.col(dur_col).cast("long")
+    deltas = df.select(
+        F.col(part_col), start.alias("_t"), F.lit(1).cast("long").alias("_d")
+    ).unionAll(
+        df.select(F.col(part_col), end.alias("_t"), F.lit(-1).cast("long").alias("_d"))
+    )
+    net = deltas.groupBy(part_col, "_t").agg(F.sum("_d").alias("_nd"))
+    w = Window.partitionBy(part_col).orderBy("_t")
+    swept = net.select(
+        F.col(part_col),
+        F.col("_t"),
+        F.sum("_nd").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_conc"),
+        (F.lead("_t").over(w) - F.col("_t")).alias("_gap"),
+    )
+    return swept.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.max("_conc").alias("max_concurrent"),
+        F.sum(F.col("_conc") * F.coalesce(F.col("_gap"), F.lit(0))).alias("busy_s"),
+        (F.max("_t") - F.min("_t")).alias("span_s"),
+        F.when(
+            (F.max("_t") - F.min("_t")) > 0,
+            F.sum(F.col("_conc") * F.coalesce(F.col("_gap"), F.lit(0))).cast("double")
+            / (F.max("_t") - F.min("_t")).cast("double"),
+        ).alias("avg_concurrency"),
     )

@@ -2869,8 +2869,12 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 10 == 0)
     knn = cosine_topk_exact(emb, queries, k=5)
     labels = emb.select("vec_id", "label")
+    # No broadcast hint: labels is a corpus-sized projection (every
+    # vector's label) — at 100 TB the hint is an executor OOM.  The
+    # equi-join on vec_id shuffles correctly and AQE broadcasts it
+    # whenever it is genuinely small.
     votes = (
-        knn.join(F.broadcast(labels), knn.neighbor_id == labels.vec_id)
+        knn.join(labels, knn.neighbor_id == labels.vec_id)
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -3170,7 +3174,148 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert-curve layout key over two event dimensions
+    (functions/layout.py::with_hilbert_key) — the no-jump alternative to
+    zorder_key for the same save_sorted_layout clustering: a Hilbert
+    range is a few compact rectangles, so zone maps prune range
+    predicates on either dimension with fewer false row groups.  The
+    oracle replays the identical quadrant walk from hilbert_sql_2d
+    (generated from the same loop), so the exact key — rotations and
+    all — is hash-checked."""
+    from .functions.layout import with_hilbert_key
+
+    e = table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(64))
+    y = F.least(F.greatest(F.floor("value"), F.lit(0)), F.lit(63))
+    return with_hilbert_key(e, x, y, bits=6).select("event_id", "hx", "hy", "hkey")
+
+
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency per day
+    (operators/analytics.py::interval_concurrency): peak and
+    time-weighted average number of simultaneously-active sessions,
+    each event opening an interval of 60·(1 + event_id mod 30) seconds.
+    Deltas collapse per distinct timestamp before ONE per-day running
+    sum; peak/integral are exact int64, the average is one IEEE
+    division."""
+    from .operators.analytics import interval_concurrency
+
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.unix_timestamp("ts").cast("long").alias("start_s"),
+        (F.lit(60) * (F.lit(1) + F.col("event_id") % 30)).cast("long").alias("dur_s"),
+    )
+    return interval_concurrency(e, "day")
+
+
+def q_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy audit
+    (operators/dedup.py::minhash_estimate_audit): for every true
+    near-dup pair, the 16-permutation signature estimate of Jaccard
+    next to the exact shingle Jaccard, both on an integer 1e-9 grid.
+    Signatures use md5_60 per-permutation hashes, so the oracle
+    computes IDENTICAL signatures and the match counts hash-check —
+    the measure-don't-guess gate before trusting num_perm at 100 TB."""
+    from .operators.dedup import minhash_estimate_audit
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_estimate_audit(d, num_perm=16, threshold=0.3)
+
+
+def q_feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling of embeddings (ML feature
+    prep): components quantize to a 1e6 integer grid (float32→double
+    widening is exact, one IEEE multiply + floor), per-dim min/max are
+    exact integer aggregates over one dim-keyed Exchange, and the
+    scaled value is an integer floor division onto a 1e-6 grid.  The
+    64-row stats table joins back broadcast — bounded by the embedding
+    DIMENSION by construction, never by corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "_v"))
+        .select(
+            "vec_id", "dim", F.floor(F.col("_v").cast("double") * 1e6).cast("long").alias("q")
+        )
+    )
+    stats = q.groupBy("dim").agg(F.min("q").alias("_mn"), F.max("q").alias("_mx"))
+    return (
+        q.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            "q",
+            F.when(F.col("_mx") > F.col("_mn"), F.expr("((q - _mn) * 1000000) DIV (_mx - _mn)"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("scaled_grid"),
+        )
+    )
+
+
+def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 from the kNN classifier's
+    hash-checked predictions (q_knn_label): TP/FP/FN are exact integer
+    counts over the confusion matrix; the metric grids are integer
+    floor divisions on a 1e-9 grid (f1 from the grids themselves, so
+    every output is int64).  Closes the ML-evaluation loop as a
+    hash-checked query (ml_train_eval's RF metrics stay rows-only —
+    training is not SQL-replayable; this classifier is)."""
+    res = q_knn_label(spark, sf_dir)
+    cm = res.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+    per_true = cm.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").alias("n_true"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), F.col("n")).otherwise(0)).alias(
+            "tp"
+        ),
+    )
+    per_pred = cm.groupBy(F.col("pred_label").alias("label")).agg(F.sum("n").alias("n_pred"))
+    joined = (
+        per_true.join(per_pred, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            (F.coalesce(F.col("n_pred"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias(
+                "fp"
+            ),
+            (F.coalesce(F.col("n_true"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0))).alias(
+                "fn"
+            ),
+        )
+    )
+    m = joined.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000000) DIV (tp + fp) END").alias(
+            "prec_grid"
+        ),
+        F.expr("CASE WHEN tp + fn > 0 THEN (tp * 1000000000) DIV (tp + fn) END").alias(
+            "rec_grid"
+        ),
+    )
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        "prec_grid",
+        "rec_grid",
+        F.expr(
+            "CASE WHEN prec_grid IS NOT NULL AND rec_grid IS NOT NULL"
+            " AND prec_grid + rec_grid > 0"
+            " THEN (2 * prec_grid * rec_grid) DIV (prec_grid + rec_grid) END"
+        ).alias("f1_grid"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hilbert_layout": q_hilbert_layout,
+    "interval_concurrency": q_interval_concurrency,
+    "minhash_est_audit": q_minhash_est_audit,
+    "feature_minmax": q_feature_minmax,
+    "ml_confusion": q_ml_confusion,
     "copurchase_pairs": q_copurchase_pairs,
     "table_digest": q_table_digest,
     "multimodal_image_tiles": q_multimodal_image_tiles,
@@ -6550,4 +6695,180 @@ ORACLE_SQL["copurchase_pairs"] = """
     FROM pairs GROUP BY pk_a, pk_b
     ORDER BY support DESC, pk_a, pk_b
     LIMIT 20
+"""
+
+
+def _hilbert_oracle() -> str:
+    from .functions.layout import hilbert_sql_2d
+
+    return hilbert_sql_2d(
+        "user_id % 64",
+        "least(greatest(CAST(floor(value) AS BIGINT), 0), 63)",
+        "events",
+        bits=6,
+        carry="event_id",
+    )
+
+
+ORACLE_SQL["hilbert_layout"] = _hilbert_oracle()
+
+
+ORACLE_SQL["interval_concurrency"] = """
+    WITH iv AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+             CAST(60 * (1 + event_id % 30) AS BIGINT) AS dur_s
+      FROM events),
+    deltas AS (
+      SELECT day, start_s AS t, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT day, start_s + dur_s AS t, CAST(-1 AS BIGINT) AS d FROM iv),
+    net AS (
+      SELECT day, t, CAST(SUM(d) AS BIGINT) AS nd FROM deltas GROUP BY day, t),
+    swept AS (
+      SELECT day, t,
+             CAST(SUM(nd) OVER (PARTITION BY day ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS conc,
+             lead(t) OVER (PARTITION BY day ORDER BY t) - t AS gap
+      FROM net)
+    SELECT day,
+           count(*) AS n_times,
+           CAST(max(conc) AS BIGINT) AS max_concurrent,
+           CAST(SUM(conc * COALESCE(gap, 0)) AS BIGINT) AS busy_s,
+           CAST(max(t) - min(t) AS BIGINT) AS span_s,
+           CASE WHEN max(t) - min(t) > 0
+                THEN CAST(SUM(conc * COALESCE(gap, 0)) AS DOUBLE)
+                     / CAST(max(t) - min(t) AS DOUBLE) END AS avg_concurrency
+    FROM swept GROUP BY day
+"""
+
+
+def _minhash_audit_oracle(num_perm: int = 16, threshold: float = 0.3) -> str:
+    mh_cols = ",\n             ".join(
+        "list_min(list_transform(shingles, s ->"
+        f" ('0x' || substr(md5('mh{j}:' || s), 1, 15))::BIGINT)) AS mh{j}"
+        for j in range(num_perm)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(num_perm)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base WHERE len(words) > 0),
+    sized AS (
+      SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS n,
+             {mh_cols}
+      FROM sh),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+             a.n + b.n
+               - CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni,
+             CAST({match_sum} AS BIGINT) AS n_match
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= {threshold} * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+              >= {threshold})
+    SELECT doc_a, doc_b, inter, uni, n_match,
+           CAST((n_match * 1000000000) // {num_perm} AS BIGINT) AS est_grid,
+           CAST((inter * 1000000000) // uni AS BIGINT) AS exact_grid,
+           CAST(abs((n_match * 1000000000) // {num_perm}
+                    - (inter * 1000000000) // uni) AS BIGINT) AS err_grid
+    FROM p
+"""
+
+
+ORACLE_SQL["minhash_est_audit"] = _minhash_audit_oracle()
+
+
+ORACLE_SQL["feature_minmax"] = """
+    WITH q AS (
+      SELECT vec_id, CAST(u.dim AS INTEGER) AS dim, u.q AS q
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(range(len(embedding)),
+                   i -> {'dim': i,
+                         'q': CAST(floor(embedding[i + 1]::DOUBLE * 1000000.0)
+                                   AS BIGINT)})) AS u
+        FROM embeddings)),
+    stats AS (
+      SELECT dim, CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx
+      FROM q GROUP BY dim)
+    SELECT q.vec_id, q.dim, q.q,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(((q.q - s.mn) * 1000000) // (s.mx - s.mn) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS scaled_grid
+    FROM q JOIN stats s USING (dim)
+"""
+
+
+ORACLE_SQL["ml_confusion"] = """
+    WITH knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6)
+                          DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 10 = 0)
+      WHERE rank <= 5),
+    votes AS (
+      SELECT k.query_id, e.label, count(*) AS cnt
+      FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT query_id, label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, label) AS rn
+        FROM votes) WHERE rn = 1),
+    res AS (
+      SELECT p.pred_label, t.label AS true_label
+      FROM pred p JOIN embeddings t ON t.vec_id = p.query_id),
+    cm AS (
+      SELECT true_label, pred_label, count(*) AS n
+      FROM res GROUP BY 1, 2),
+    per_true AS (
+      SELECT true_label AS label,
+             CAST(SUM(n) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN pred_label = true_label THEN n ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM cm GROUP BY 1),
+    per_pred AS (
+      SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS n_pred
+      FROM cm GROUP BY 1),
+    j AS (
+      SELECT COALESCE(pt.label, pp.label) AS label,
+             COALESCE(pt.tp, 0) AS tp,
+             COALESCE(pp.n_pred, 0) - COALESCE(pt.tp, 0) AS fp,
+             COALESCE(pt.n_true, 0) - COALESCE(pt.tp, 0) AS fn
+      FROM per_true pt FULL OUTER JOIN per_pred pp ON pt.label = pp.label),
+    m AS (
+      SELECT label, tp, fp, fn,
+             CASE WHEN tp + fp > 0
+                  THEN CAST((tp * 1000000000) // (tp + fp) AS BIGINT) END AS prec_grid,
+             CASE WHEN tp + fn > 0
+                  THEN CAST((tp * 1000000000) // (tp + fn) AS BIGINT) END AS rec_grid
+      FROM j)
+    SELECT label, tp, fp, fn, prec_grid, rec_grid,
+           CASE WHEN prec_grid IS NOT NULL AND rec_grid IS NOT NULL
+                     AND prec_grid + rec_grid > 0
+                THEN CAST((2 * prec_grid * rec_grid) // (prec_grid + rec_grid)
+                          AS BIGINT) END AS f1_grid
+    FROM m
 """

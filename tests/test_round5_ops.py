@@ -1,0 +1,160 @@
+"""Round-5 operators: Hilbert layout key, sweep-line interval
+concurrency, MinHash estimate audit, min-max feature scaling, kNN
+confusion metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _xy2d_ref(bits: int, x: int, y: int) -> int:
+    """Reference Hilbert xy→d (the classic iterative formulation)."""
+    side = 1 << bits
+    d = 0
+    s = side // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = side - 1 - x
+                y = side - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_on_full_grid(spark):
+    from name_match_ml_spark.functions.layout import with_hilbert_key
+
+    bits = 4
+    side = 1 << bits
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(side) for y in range(side)], ["x", "y"]
+    )
+    rows = (
+        with_hilbert_key(pts, F.col("x"), F.col("y"), bits=bits)
+        .select("x", "y", "hkey")
+        .collect()
+    )
+    assert len(rows) == side * side
+    for r in rows:
+        assert r.hkey == _xy2d_ref(bits, r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_is_a_bijection_with_unit_steps(spark):
+    """The defining curve property: d ↦ (x, y) is a bijection onto the
+    grid and CONSECUTIVE d are grid-adjacent (Manhattan distance 1) —
+    this is exactly why Hilbert ranges beat Morton ranges for layout."""
+    from name_match_ml_spark.functions.layout import with_hilbert_key
+
+    bits = 4
+    side = 1 << bits
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(side) for y in range(side)], ["x", "y"]
+    )
+    rows = (
+        with_hilbert_key(pts, F.col("x"), F.col("y"), bits=bits)
+        .select("x", "y", "hkey")
+        .collect()
+    )
+    by_d = {r.hkey: (r.x, r.y) for r in rows}
+    assert sorted(by_d) == list(range(side * side))
+    for d in range(1, side * side):
+        (x0, y0), (x1, y1) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, (d, by_d[d - 1], by_d[d])
+
+
+def test_interval_concurrency_hand_case(spark):
+    from name_match_ml_spark.operators.analytics import interval_concurrency
+
+    # day 1: [0,10), [5,15), [10,20) — the touch at t=10 must NOT
+    # overlap (end-exclusive): peak is 2, not 3.
+    rows = [
+        ("d1", 0, 10),
+        ("d1", 5, 10),
+        ("d1", 10, 10),
+        # day 2: nested [0,100) ⊃ [10,20) ⊃ [12,13): peak 3
+        ("d2", 0, 100),
+        ("d2", 10, 10),
+        ("d2", 12, 1),
+    ]
+    df = spark.createDataFrame(rows, ["day", "start_s", "dur_s"])
+    out = {r.day: r for r in interval_concurrency(df, "day").collect()}
+    assert out["d1"].max_concurrent == 2
+    # occupancy: conc 1 on [0,5), 2 on [5,10), 2 on [10,15), 1 on [15,20)
+    assert out["d1"].busy_s == 1 * 5 + 2 * 5 + 2 * 5 + 1 * 5
+    assert out["d1"].span_s == 20
+    assert out["d2"].max_concurrent == 3
+    assert out["d2"].busy_s == 100 + 10 + 1  # each interval's length once
+    assert out["d2"].avg_concurrency == pytest.approx(111 / 100.0)
+
+
+def test_minhash_audit_identical_docs_and_error_bound(spark):
+    from name_match_ml_spark.operators.dedup import minhash_estimate_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),  # near dup
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_a, r.doc_b): r for r in minhash_estimate_audit(docs, num_perm=16).collect()}
+    dup = out[(1, 2)]
+    assert dup.n_match == 16
+    assert dup.est_grid == 1_000_000_000
+    assert dup.exact_grid == 1_000_000_000
+    assert dup.err_grid == 0
+    near = out[(1, 3)]
+    assert near.exact_grid < 1_000_000_000
+    # 16 perms ⇒ stderr ≈ sqrt(J(1-J)/16) ≤ 0.125; 4 sigma bound
+    assert near.err_grid <= 500_000_000
+
+
+def test_minhash_audit_est_matches_signature_fraction(spark):
+    """est_grid is BY CONSTRUCTION n_match/num_perm on the grid — pin
+    the arithmetic (integer floor division, no floats)."""
+    from name_match_ml_spark.operators.dedup import minhash_estimate_audit
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    for r in minhash_estimate_audit(docs, num_perm=16, threshold=0.3).collect():
+        assert r.est_grid == (r.n_match * 1_000_000_000) // 16
+        assert r.exact_grid == (r.inter * 1_000_000_000) // r.uni
+        assert r.err_grid == abs(r.est_grid - r.exact_grid)
+
+
+def test_feature_minmax_range_and_extremes(spark):
+    from name_match_ml_spark.suite import q_feature_minmax
+
+    out = q_feature_minmax(spark, SF_DIR)
+    agg = out.groupBy("dim").agg(
+        F.min("scaled_grid").alias("lo"),
+        F.max("scaled_grid").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in agg.collect():
+        assert r.lo == 0  # the min element maps to exactly 0
+        assert r.hi == 1_000_000  # the max element maps to exactly 1e6
+        assert r.n > 0
+
+
+def test_ml_confusion_sums_consistent(spark):
+    from name_match_ml_spark.suite import q_knn_label, q_ml_confusion
+
+    preds = q_knn_label(spark, SF_DIR).collect()
+    m = {r.label: r for r in q_ml_confusion(spark, SF_DIR).collect()}
+    n_correct = sum(1 for p in preds if p.correct)
+    assert sum(r.tp for r in m.values()) == n_correct
+    assert sum(r.tp + r.fn for r in m.values()) == len(preds)
+    assert sum(r.tp + r.fp for r in m.values()) == len(preds)
+    for r in m.values():
+        if r.prec_grid is not None:
+            assert 0 <= r.prec_grid <= 1_000_000_000
+        if r.f1_grid is not None:
+            assert r.f1_grid <= max(r.prec_grid, r.rec_grid)
