@@ -164,6 +164,14 @@ EXTENDED = [
     "minhash_est_audit",
     "feature_minmax",
     "ml_confusion",
+    # round 5 second batch: TPC-H Q8/Q10/Q19/Q20 shapes, CUSUM
+    # change-point, modularity of the dedup clustering
+    "market_share",
+    "returned_revenue",
+    "bracket_predicate",
+    "part_promotion",
+    "cusum_changepoint",
+    "graph_modularity",
 ]
 
 HEADLINE = [

@@ -3310,7 +3310,249 @@ def q_ml_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of ECONOMY-part
+    revenue sold to ASIA customers, by year.  Both sums decimal-exact
+    (promo_revenue device), ONE double division per year; the share
+    nation is a CASE over the supplier-side nation join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .filter(F.col("p_type") == "ECONOMY")
+        .filter(F.year("o_orderdate").between(1995, 1996))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("_nat"),
+            F.sum(rev).alias("_tot"),
+        )
+        .select(
+            "o_year",
+            (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returns (l_returnflag = 'R') in 1995, with nation.  Revenue is
+    decimal-exact; the cut is deterministic (revenue_cents desc,
+    custkey) via per-task top-k; the final double cast is display
+    only — ordering happens on exact cents."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # explicit floor: decimal→long CAST truncates in Spark but ROUNDS
+        # in DuckDB — floor is floor everywhere (the sum has scale 4, so
+        # ×100 leaves a .50 residue exactly on half-cent boundaries)
+        .agg(F.floor(F.sum(rev) * 100).cast("long").alias("revenue_cents"))
+    )
+    return per_cust.orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+def q_bracket_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-AND bracket predicate
+    (three brand/size/quantity brackets).  The disjunction references
+    BOTH join sides, so Catalyst splits it: per-side implied filters
+    (quantity ranges, brand IN-list) push into the scans and the
+    residual OR evaluates on the join output — the plan-shape this
+    query exists to exercise.  One decimal-exact aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of their
+    all-time SMALL-part quantity during 1995 — the nested
+    grouped-HAVING semi-join (no partsupp table in this corpus, so
+    availqty becomes the supplier's own shipment history).  The
+    above-uniform-share predicate is CROSS-MULTIPLIED on exact
+    integer quantities (6·q95 > q_all, i.e. a 1995 share above 1/6 —
+    well over the ~1/7 a uniform spread across this corpus's ship
+    years would give) — no division anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    per_supp = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(F.year("l_shipdate") == 1995, qty).otherwise(0)).alias("q95"),
+            F.sum(qty).alias("q_all"),
+        )
+        .filter(F.lit(6) * F.col("q95") > F.col("q_all"))
+    )
+    return (
+        s.join(per_supp, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the 1996 daily order-count
+    series: the classic statistic S_i = Σ_{j<=i}(x_j - mean) localized
+    where the level shifts — kept EXACT by cross-multiplying the mean
+    away (s_scaled_i = n·C_i − i·T with C the prefix sum, T the total,
+    n the day count: = n·S_i, same argmax).  The change-point is the
+    earliest day attaining max |s_scaled|.  Windows run over the
+    PRE-AGGREGATED daily table (≤ 366 rows) — raw orders are touched
+    by one partial-combining aggregate only."""
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.sum("x").over(wall).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    scored = cum.select(
+        "day",
+        "x",
+        (F.col("n") * F.col("c") - F.col("i") * F.col("t")).alias("s_scaled"),
+    )
+    with_mx = scored.withColumn("_mx", F.max(F.abs("s_scaled")).over(wall))
+    peak = with_mx.withColumn(
+        "_pday",
+        F.min(F.when(F.abs("s_scaled") == F.col("_mx"), F.col("day"))).over(wall),
+    )
+    return peak.select(
+        "day",
+        "x",
+        "s_scaled",
+        (F.col("day") == F.col("_pday")).alias("is_changepoint"),
+    )
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-dup graph's connected-component
+    partition: Q = [4m·Σe_c − Σd_c²] / 4m² over communities c (e_c =
+    intra-community edges — ALL edges, since CC communities never split
+    an edge; d_c = community degree sum).  Numerator and denominator
+    are exact int64; Q itself is one IEEE division.  The quality score
+    that says whether dedup clusters are tight groups or one smeared
+    blob.  All aggregates run over the (small) pair stream, never the
+    corpus."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    deg = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    node_comm = comp.join(deg, "id")
+    per_comm = node_comm.groupBy("cluster_id").agg(F.sum("deg").alias("d_c"))
+    stats = per_comm.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).alias("_sum_d2"),
+        (F.sum("d_c") / F.lit(2)).cast("long").alias("m_edges"),
+    )
+    return stats.select(
+        "m_edges",
+        "n_communities",
+        (F.lit(4) * F.col("m_edges") * F.col("m_edges") - F.col("_sum_d2")).alias(
+            "q_num"
+        ),
+        (F.lit(4) * F.col("m_edges") * F.col("m_edges")).alias("q_den"),
+        F.when(
+            F.col("m_edges") > 0,
+            (F.lit(4) * F.col("m_edges") * F.col("m_edges") - F.col("_sum_d2")).cast(
+                "double"
+            )
+            / (F.lit(4) * F.col("m_edges") * F.col("m_edges")).cast("double"),
+        ).alias("modularity"),
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "market_share": q_market_share,
+    "returned_revenue": q_returned_revenue,
+    "bracket_predicate": q_bracket_predicate,
+    "part_promotion": q_part_promotion,
+    "cusum_changepoint": q_cusum_changepoint,
+    "graph_modularity": q_graph_modularity,
     "hilbert_layout": q_hilbert_layout,
     "interval_concurrency": q_interval_concurrency,
     "minhash_est_audit": q_minhash_est_audit,
@@ -6871,4 +7113,159 @@ ORACLE_SQL["ml_confusion"] = """
                 THEN CAST((2 * prec_grid * rec_grid) // (prec_grid + rec_grid)
                           AS BIGINT) END AS f1_grid
     FROM m
+"""
+
+
+ORACLE_SQL["market_share"] = """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey = c_custkey
+      JOIN supplier  ON l_suppkey = s_suppkey
+      JOIN part      ON l_partkey = p_partkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region    ON n2.n_regionkey = r_regionkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        AND year(o_orderdate) BETWEEN 1995 AND 1996)
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+"""
+
+
+ORACLE_SQL["returned_revenue"] = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                      * 100) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R' AND year(o_orderdate) = 1995
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+"""
+
+
+ORACLE_SQL["bracket_predicate"] = """
+    SELECT count(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
+ORACLE_SQL["part_promotion"] = """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+                           THEN CAST(floor(l_quantity) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS q95,
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS q_all
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'SMALL'
+      GROUP BY l_suppkey
+      HAVING 6 * CAST(SUM(CASE WHEN year(l_shipdate) = 1995
+                               THEN CAST(floor(l_quantity) AS BIGINT)
+                               ELSE 0 END) AS BIGINT)
+             > CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT))
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM per_supp)
+"""
+
+
+ORACLE_SQL["cusum_changepoint"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS x
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+    cum AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(x) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS c,
+             CAST(SUM(x) OVER () AS BIGINT) AS t,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily),
+    scored AS (
+      SELECT day, x, CAST(n * c - i * t AS BIGINT) AS s_scaled FROM cum),
+    mx AS (
+      SELECT day, x, s_scaled,
+             max(abs(s_scaled)) OVER () AS _mx
+      FROM scored),
+    pk AS (
+      SELECT day, x, s_scaled,
+             min(CASE WHEN abs(s_scaled) = _mx THEN day END) OVER () AS _pday
+      FROM mx)
+    SELECT day, x, s_scaled, day = _pday AS is_changepoint FROM pk
+"""
+
+
+ORACLE_SQL["graph_modularity"] = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    pairs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT s AS id FROM pairs UNION ALL SELECT d AS id FROM pairs)
+      GROUP BY id),
+    per_comm AS (
+      SELECT c.cluster_id, CAST(SUM(g.deg) AS BIGINT) AS d_c
+      FROM comp c JOIN deg g USING (id) GROUP BY c.cluster_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(SUM(d_c * d_c) AS BIGINT) AS sum_d2,
+             CAST(SUM(d_c) // 2 AS BIGINT) AS m_edges
+      FROM per_comm)
+    SELECT m_edges, n_communities,
+           CAST(4 * m_edges * m_edges - sum_d2 AS BIGINT) AS q_num,
+           CAST(4 * m_edges * m_edges AS BIGINT) AS q_den,
+           CASE WHEN m_edges > 0
+                THEN CAST(4 * m_edges * m_edges - sum_d2 AS DOUBLE)
+                     / CAST(4 * m_edges * m_edges AS DOUBLE) END AS modularity
+    FROM stats
 """

@@ -158,3 +158,48 @@ def test_ml_confusion_sums_consistent(spark):
             assert 0 <= r.prec_grid <= 1_000_000_000
         if r.f1_grid is not None:
             assert r.f1_grid <= max(r.prec_grid, r.rec_grid)
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    """Plant a mean shift at a known day: CUSUM's |S| argmax must land
+    on the boundary of the two regimes."""
+    from pyspark.sql import Window
+
+    # 30 days at level 10, then 30 days at level 30
+    rows = [(f"2024-01-{d:02d}" if d <= 31 else f"2024-02-{d-31:02d}",
+             10 if d <= 30 else 30) for d in range(1, 61)]
+    df = spark.createDataFrame(rows, ["day_s", "x"]).select(
+        F.to_date("day_s").alias("day"), "x"
+    )
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    cum = df.select(
+        "day", "x",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.sum("x").over(wall).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select("day", "x", (F.col("n") * F.col("c") - F.col("i") * F.col("t")).alias("s"))
+    rows_out = cum.collect()
+    peak = max(rows_out, key=lambda r: (abs(r.s), ))
+    # regime boundary: last day of the low regime (2024-01-30)
+    assert str(peak.day) == "2024-01-30"
+
+
+def test_graph_modularity_bounds_and_identity(spark):
+    from name_match_ml_spark.suite import q_graph_modularity
+
+    r = q_graph_modularity(spark, SF_DIR).first()
+    assert r.q_den == 4 * r.m_edges * r.m_edges
+    assert r.q_num <= r.q_den
+    # Newman modularity of any partition lies in [-0.5, 1]
+    assert -0.5 <= r.modularity <= 1.0
+    # CC communities contain ALL their edges: Q = 1 - sum(d_c^2)/4m^2 < 1
+    assert r.modularity < 1.0
+
+
+def test_market_share_within_unit_interval(spark):
+    from name_match_ml_spark.suite import q_market_share
+
+    for r in q_market_share(spark, SF_DIR).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
