@@ -172,6 +172,9 @@ EXTENDED = [
     "part_promotion",
     "cusum_changepoint",
     "graph_modularity",
+    # round 5 third batch: robust median/MAD outliers, association lift
+    "robust_outliers",
+    "copurchase_lift",
 ]
 
 HEADLINE = [

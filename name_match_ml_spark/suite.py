@@ -3546,7 +3546,107 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per event type — the
+    robust-statistics twin of zscore_outliers (one extreme value moves
+    the mean and floods a z-score monitor; the median/MAD gate doesn't
+    budge).  Exact arithmetic end to end: values on the 1e6 grid, each
+    median is the LOWER median picked by row_number (no interpolation
+    — sort-based, so the per-group exact median scales as one Exchange
+    + sort, the shape approx_percentile avoids only by giving up
+    determinism), and the 3·1.4826·MAD fence is CROSS-MULTIPLIED on a
+    1e4 grid (|v−med|·10⁴ > mad·44478) so no division or float fence
+    appears anywhere."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type")
+    med = (
+        e.select(
+            "event_type",
+            "v",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wt).alias("_n"),
+        )
+        .filter(F.col("_rn") == ((F.col("_n") + 1) / 2).cast("long"))
+        .select("event_type", F.col("v").alias("med"))
+    )
+    dev = e.join(med, "event_type").select(
+        "event_type", "v", "med", F.abs(F.col("v") - F.col("med")).alias("adev")
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev")
+    mad = (
+        dev.select(
+            "event_type",
+            "adev",
+            F.row_number().over(wd).alias("_rn"),
+            F.count(F.lit(1)).over(wt).alias("_n"),
+        )
+        .filter(F.col("_rn") == ((F.col("_n") + 1) / 2).cast("long"))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med_fp"),
+            F.min("mad").alias("mad_fp"),
+            F.sum(
+                F.when(F.col("adev") * 10000 > F.col("mad") * 44478, 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for the top co-purchased part pairs:
+    lift = P(a,b) / (P(a)·P(b)) = support_ab·N / (supp_a·supp_b),
+    computed as ONE integer floor division on a 1e6 grid (all counts
+    exact int64 — no probabilities ever materialize as floats).  The
+    market-basket step after copurchase_pairs: support says a pair is
+    frequent, lift says it is SURPRISING.  Item supports join back on
+    the part key (narrow, AQE-broadcastable); N is a 1-row broadcast."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    supp = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("supp")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    sa = supp.select(F.col("pk").alias("pk_a"), F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("pk").alias("pk_b"), F.col("supp").alias("supp_b"))
+    scored = (
+        pairs.join(sa, "pk_a")
+        .join(sb, "pk_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk_a",
+            "pk_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            F.expr("(support * n_orders * 1000000) DIV (supp_a * supp_b)").alias(
+                "lift_grid"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_grid").desc(), F.col("pk_a").asc(), F.col("pk_b").asc()
+    ).limit(20)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "robust_outliers": q_robust_outliers,
+    "copurchase_lift": q_copurchase_lift,
     "market_share": q_market_share,
     "returned_revenue": q_returned_revenue,
     "bracket_predicate": q_bracket_predicate,
@@ -7268,4 +7368,63 @@ ORACLE_SQL["graph_modularity"] = """
                 THEN CAST(4 * m_edges * m_edges - sum_d2 AS DOUBLE)
                      / CAST(4 * m_edges * m_edges AS DOUBLE) END AS modularity
     FROM stats
+"""
+
+
+ORACLE_SQL["robust_outliers"] = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    med AS (
+      SELECT event_type, v AS med FROM r WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT e.event_type, e.v, m.med, abs(e.v - m.med) AS adev
+      FROM e JOIN med m USING (event_type)),
+    rd AS (
+      SELECT event_type, adev,
+             row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type, adev AS mad FROM rd WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           count(*) AS n,
+           CAST(min(d.med) AS BIGINT) AS med_fp,
+           CAST(min(m.mad) AS BIGINT) AS mad_fp,
+           CAST(SUM(CASE WHEN d.adev * 10000 > m.mad * 44478
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+ORACLE_SQL["copurchase_lift"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+    supp AS (
+      SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS supp
+      FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT pk_a, pk_b, support, sa.supp AS supp_a, sb.supp AS supp_b,
+           CAST((support * n_orders * 1000000) // (sa.supp * sb.supp)
+                AS BIGINT) AS lift_grid
+    FROM pairs
+    JOIN supp sa ON sa.pk = pk_a
+    JOIN supp sb ON sb.pk = pk_b
+    CROSS JOIN n_orders
+    ORDER BY lift_grid DESC, pk_a, pk_b
+    LIMIT 20
 """

@@ -34,6 +34,8 @@ ALLOWED = {
     "bm25_topk": {"BroadcastNestedLoopJoin"},
     # 1-row est × 1-row exact join in the sketch estimator output
     "join_size_estimate": {"BroadcastNestedLoopJoin"},
+    # 1-row basket-count broadcast for the lift denominator
+    "copurchase_lift": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -203,3 +203,42 @@ def test_market_share_within_unit_interval(spark):
 
     for r in q_market_share(spark, SF_DIR).collect():
         assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_robust_outliers_resists_one_extreme(spark):
+    """The reason median/MAD exists: ONE extreme value must not move
+    the fence (a z-score monitor's mean/std both move)."""
+    from name_match_ml_spark.suite import q_robust_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 12, 1000000]]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    import name_match_ml_spark.suite as suite_mod
+
+    # drive the same logic through a temp table shim
+    e = df.select("event_type", F.floor(F.col("value") * 1000000).cast("long").alias("v"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type")
+    med = (
+        e.select("event_type", "v", F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(wt).alias("n"))
+        .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select("event_type", F.col("v").alias("med"))
+    ).first()
+    assert med.med == 11_000_000  # the median ignores the 1e6 spike
+    out = q_robust_outliers(spark, "/root/testdata/sf0.001").collect()
+    for r in out:
+        assert 0 <= r.n_outliers <= r.n
+        assert r.mad_fp >= 0
+
+
+def test_copurchase_lift_identities(spark):
+    from name_match_ml_spark.suite import q_copurchase_lift
+
+    rows = q_copurchase_lift(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        # support can never exceed either item's support
+        assert r.support <= min(r.supp_a, r.supp_b)
+        assert r.lift_grid >= 0
