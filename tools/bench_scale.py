@@ -41,6 +41,11 @@ DEFAULT_QUERIES = [
     "scd2_history", "dq_profile", "apply_cdc", "kmv_distinct",
     "label_centroids", "window_distribution", "salted_join", "cms_term_counts", "winsorize", "zorder_key",
     "grouped_udaf", "enrich_events",
+    # round-5 batches
+    "hilbert_layout", "interval_concurrency", "minhash_est_audit",
+    "feature_minmax", "ml_confusion", "market_share", "returned_revenue",
+    "bracket_predicate", "part_promotion", "cusum_changepoint",
+    "graph_modularity", "robust_outliers", "copurchase_lift",
 ]
 
 NOTES = {
@@ -69,6 +74,18 @@ NOTES = {
     "corpus_diff": "one full-outer join; overhead-dominated at this scale",
     "bloom_decontaminate": "map-side Arrow probe of a fixed bitset; scan-bound",
     "stratified_sample": "WindowGroupLimit partial top-n; output fixed per stratum",
+    "hilbert_layout": "pure per-row int64 codegen; scan-bound",
+    "feature_minmax": "explode + dim-keyed agg; dims fixed, rows scale linearly",
+    "minhash_est_audit": (
+        "pair work tracks the true duplicate count (pair source is the "
+        "blocked exact-Jaccard join); signature projection is scan-bound"
+    ),
+    "cusum_changepoint": (
+        "one partial-combining daily aggregate; windows only over the "
+        "<=366-row daily table, so window cost is scale-invariant"
+    ),
+    "graph_modularity": "CC + aggregates over the pair stream, never the corpus",
+    "copurchase_lift": "order-keyed self-join; fan-out bounded by basket sizes",
 }
 
 
