@@ -175,6 +175,7 @@ EXTENDED = [
     # round 5 third batch: robust median/MAD outliers, association lift
     "robust_outliers",
     "copurchase_lift",
+    "kmv_overlap",
 ]
 
 HEADLINE = [

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "cms_term_counts", "cms_join_size_estimate"]
+__all__ = ["kmv_distinct", "kmv_overlap", "cms_term_counts", "cms_join_size_estimate"]
 
 _M60 = float(1 << 60)
 
@@ -254,3 +254,81 @@ def cms_join_size_estimate(
         .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0)).alias("exact_size"))
     )
     return est.join(F.broadcast(exact))
+
+
+def kmv_overlap(
+    a_df: DataFrame,
+    a_col: str,
+    b_df: DataFrame,
+    b_col: str,
+    *,
+    k: int = 256,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Cross-table audience overlap from two KMV bottom-k sketches —
+    Jaccard and intersection-size estimates for two key domains (which
+    customers also appear in the event stream?) without ever joining
+    the raw tables: each side contributes only its ``k`` smallest
+    distinct 60-bit key hashes.
+
+    With ``M`` = the k smallest hashes of the UNION of the two
+    sketches, ``θ`` = max(M), ``y = |M ∩ S_A ∩ S_B|`` and ``m = |M|``:
+
+        Ĵ          = y/m                       (classic KMV Jaccard)
+        |A∪B|^     = m if m < k (sketch exact) else (k-1)·2⁶⁰/θ
+        |A∩B|^     = Ĵ·|A∪B|^ = (y·|A∪B|^) DIV m
+
+    Determinism: every element of ``M`` that belongs to A is
+    necessarily in S_A (its hash is ≤ θ ≤ θ_A), so the estimator is a
+    pure function of the data and the md5_60 hash — the estimate,
+    sampling error included, replays bit-identically in any engine.
+    ``est_union`` folds one IEEE multiply+divide through floor (the
+    sketches.py device); everything else is exact int64.
+
+    Scale notes: bottom-k per side is ``TakeOrderedAndProject`` (per-
+    task partial top-k, no global sort shuffle and no single-task
+    window); all joins/aggregates downstream touch ≤ 2k rows.  The
+    final 1-row × 1-row combine is an allowlisted broadcast nested
+    loop (join_size_estimate's shape).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from ..operators.cleaning import _gram_hash
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        h = _gram_hash(F.col(col).cast("string"), hash_fn)
+        if hash_fn == "xxhash64":
+            h = F.shiftrightunsigned(h, 4)
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(h.alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(k)
+        )
+
+    sa, sb = sketch(a_df, a_col), sketch(b_df, b_col)
+    m_union = sa.union(sb).distinct().orderBy("_h").limit(k)
+    both = m_union.join(sa, "_h", "left_semi").join(sb, "_h", "left_semi")
+    m_stats = m_union.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.max("_h").alias("theta"),
+    )
+    y_stats = both.agg(F.count(F.lit(1)).cast("long").alias("y"))
+    est_union = F.when(F.col("m") < k, F.col("m")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(float(_M60)) / F.col("theta").cast("double")
+        ).cast("long")
+    )
+    return (
+        m_stats.crossJoin(F.broadcast(y_stats))
+        .withColumn("est_union", est_union)
+        .select(
+            "m",
+            "theta",
+            "y",
+            F.expr("(y * 1000000000) DIV m").alias("jaccard_grid"),
+            "est_union",
+            F.expr("(y * est_union) DIV m").alias("est_inter"),
+        )
+    )

@@ -3644,7 +3644,23 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table audience overlap (functions/sketches.py::kmv_overlap):
+    which order-placing customers also appear in the event stream,
+    estimated from two k=64 bottom-k sketches — Jaccard and
+    intersection-size estimates WITHOUT joining the raw tables.  The
+    estimate (sampling error included) is a pure function of the data
+    + md5_60, so it hash-checks bit-for-bit; everything downstream of
+    the two TakeOrdered sketches touches at most 2k rows."""
+    from .functions.sketches import kmv_overlap
+
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    return kmv_overlap(o, "o_custkey", e, "user_id", k=64)
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kmv_overlap": q_kmv_overlap,
     "robust_outliers": q_robust_outliers,
     "copurchase_lift": q_copurchase_lift,
     "market_share": q_market_share,
@@ -7427,4 +7443,36 @@ ORACLE_SQL["copurchase_lift"] = """
     CROSS JOIN n_orders
     ORDER BY lift_grid DESC, pk_a, pk_b
     LIMIT 20
+"""
+
+
+ORACLE_SQL["kmv_overlap"] = """
+    WITH sa AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+      ORDER BY h LIMIT 64),
+    sb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+      ORDER BY h LIMIT 64),
+    mu AS (
+      SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+      ORDER BY h LIMIT 64),
+    ms AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, CAST(max(h) AS BIGINT) AS theta FROM mu),
+    ys AS (
+      SELECT CAST(count(*) AS BIGINT) AS y FROM mu
+      WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+    est AS (
+      SELECT m, theta, y,
+             CASE WHEN m < 64 THEN m
+                  ELSE CAST(floor(63.0 * 1152921504606846976.0
+                                  / CAST(theta AS DOUBLE)) AS BIGINT)
+             END AS est_union
+      FROM ms, ys)
+    SELECT m, theta, y,
+           CAST((y * 1000000000) // m AS BIGINT) AS jaccard_grid,
+           est_union,
+           CAST((y * est_union) // m AS BIGINT) AS est_inter
+    FROM est
 """

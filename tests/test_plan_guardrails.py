@@ -36,6 +36,8 @@ ALLOWED = {
     "join_size_estimate": {"BroadcastNestedLoopJoin"},
     # 1-row basket-count broadcast for the lift denominator
     "copurchase_lift": {"BroadcastNestedLoopJoin"},
+    # 1-row sketch-stats x 1-row overlap-count combine
+    "kmv_overlap": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

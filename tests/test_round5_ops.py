@@ -242,3 +242,32 @@ def test_copurchase_lift_identities(spark):
         # support can never exceed either item's support
         assert r.support <= min(r.supp_a, r.supp_b)
         assert r.lift_grid >= 0
+
+
+def test_kmv_overlap_exact_when_small(spark):
+    """With both domains smaller than k the sketch IS the exact sets:
+    jaccard and intersection estimates must equal the true values."""
+    from name_match_ml_spark.functions.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(30)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], ["k"])
+    r = kmv_overlap(a, "k", b, "k", k=256).first()
+    # |A|=30, |B|=30, inter=10, union=50
+    assert r.m == 50
+    assert r.y == 10
+    assert r.est_union == 50
+    assert r.est_inter == 10
+    assert r.jaccard_grid == (10 * 1_000_000_000) // 50
+
+
+def test_kmv_overlap_estimator_within_error(spark):
+    """Estimator path (union > k): within ~5 standard errors of truth."""
+    from name_match_ml_spark.functions.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["k"])
+    r = kmv_overlap(a, "k", b, "k", k=256).first()
+    assert r.m == 256
+    # true union 3000, inter 1000; stderr ~ union/sqrt(k-2) ~ 188
+    assert abs(r.est_union - 3000) < 5 * 200
+    assert abs(r.est_inter - 1000) < 5 * 300

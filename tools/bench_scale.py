@@ -46,6 +46,7 @@ DEFAULT_QUERIES = [
     "feature_minmax", "ml_confusion", "market_share", "returned_revenue",
     "bracket_predicate", "part_promotion", "cusum_changepoint",
     "graph_modularity", "robust_outliers", "copurchase_lift",
+    "kmv_overlap",
 ]
 
 NOTES = {
