@@ -234,28 +234,40 @@ def ngram_jaccard_pairs(
 _BITMAP_MAX_VOCAB = 16384
 _BITMAP_CHUNK_ROWS = 1024  # best of {512, 1024, 2048, 4096} on local[32]
 
-_JACCARD_PAIR_SCHEMA = StructType(
-    [
-        StructField("doc_a", LongType()),
-        StructField("doc_b", LongType()),
-        StructField("jaccard", DoubleType()),
-    ]
-)
+def _bitmap_set_pairs(
+    base: DataFrame, threshold: float, measure: str = "jaccard"
+) -> DataFrame:
+    """Exact set-overlap pairs ≥ t via blocked indicator-matrix products
+    (the ``"bitmap"`` strategy of :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs`; same chunk-pair blocking as
+    :func:`embedding_near_dup`).
 
-
-def _bitmap_jaccard_pairs(base: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard ≥ t via blocked indicator-matrix products (the
-    ``"bitmap"`` strategy of :func:`ngram_jaccard_pairs`; same chunk-pair
-    blocking as :func:`embedding_near_dup`).
+    ``measure="jaccard"`` scores ``|A∩B| / |A∪B|``;
+    ``measure="containment"`` scores the max directional containment
+    ``|A∩B| / min(|A|,|B|)``.  Both share the identical intersection
+    GEMM — only the (elementwise) denominator differs, so containment
+    gets the BLAS path for free.  That matters more for containment
+    than for Jaccard: the countjoin alternative has NO sound length
+    prune for containment (a tiny doc may be fully contained in a huge
+    one), so it pays the full Σdf(s)² join fan-out that Jaccard's
+    ``min ≥ t·max`` prefilter cuts away.
 
     Eager at plan build: one distinct-shingle collect (V ≤
     ``_BITMAP_MAX_VOCAB`` longs — broadcast like a hash-join build side)
     and one count for chunk sizing.  Each block task reconstructs its
     rows' indicator matrices with one vectorized ``searchsorted`` against
     the broadcast vocabulary and computes |A∩B| for every pair in the
-    block with one float32 GEMM; Jaccard is then exact integer arithmetic
-    in float64 — bit-identical to the countjoin path's
-    ``inter/(n_a+n_b-inter)``."""
+    block with one float32 GEMM; the score is then exact integer
+    arithmetic in float64 — bit-identical to the countjoin paths'
+    ``inter/(n_a+n_b-inter)`` resp. ``inter/least(n_a,n_b)``.
+
+    The in-kernel prefilter keeps a 1e-6 slack under ``threshold`` so
+    callers that round before filtering (containment rounds to 6 dp)
+    make the boundary call on the rounded value, identically to their
+    countjoin plan."""
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
+    score_col = "jaccard" if measure == "jaccard" else "containment"
     spark = base.sparkSession
     vocab = np.sort(
         np.array(
@@ -291,29 +303,40 @@ def _bitmap_jaccard_pairs(base: DataFrame, threshold: float) -> DataFrame:
         a = pdf[pdf["side"] == "a"]
         b = a if diagonal else pdf[pdf["side"] == "b"]
         if not len(a) or not len(b):
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+            return pd.DataFrame({"doc_a": [], "doc_b": [], score_col: []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", score_col: "float64"}
             )
         ida = a["doc_id"].to_numpy(dtype=np.int64)
         idb = b["doc_id"].to_numpy(dtype=np.int64)
         A, na = indicator(a["sh"], voc)
         B, nb = (A, na) if diagonal else indicator(b["sh"], voc)
         inter = A @ B.T  # exact set-intersection counts in float32
-        union = na[:, None] + nb[None, :] - inter
+        if measure == "jaccard":
+            denom = na[:, None] + nb[None, :] - inter
+        else:
+            denom = np.minimum(na[:, None], nb[None, :]).astype(np.float32)
         with np.errstate(invalid="ignore", divide="ignore"):
-            J = inter.astype(np.float64) / union
-        i, j = np.nonzero(J >= threshold)
+            J = inter.astype(np.float64) / denom
+        i, j = np.nonzero(J >= threshold - 1e-6)
         keep = ida[i] < idb[j] if diagonal else ida[i] != idb[j]
         i, j = i[keep], j[keep]
         lo = np.minimum(ida[i], idb[j])
         hi = np.maximum(ida[i], idb[j])
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "jaccard": J[i, j]})
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, score_col: J[i, j]})
 
-    return (
-        side_a.unionByName(side_b)
-        .groupBy("pid")
-        .applyInPandas(score_block, _JACCARD_PAIR_SCHEMA)
-        .filter(F.col("jaccard") >= threshold)
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType()),
+            StructField("doc_b", LongType()),
+            StructField(score_col, DoubleType()),
+        ]
+    )
+    return side_a.unionByName(side_b).groupBy("pid").applyInPandas(score_block, out_schema)
+
+
+def _bitmap_jaccard_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    return _bitmap_set_pairs(base, threshold, "jaccard").filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -877,6 +900,8 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     shingle_n: int = 3,
+    strategy: str = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """ALL pairs whose max directional shingle CONTAINMENT
     ``|A∩B| / min(|A|, |B|)`` meets ``threshold`` — the asymmetric
@@ -888,22 +913,61 @@ def ngram_containment_pairs(
     (and is what the MinHash variant in Broder's original resemblance
     paper sketches alongside resemblance).
 
-    Plan (countjoin shape, exact): explode distinct shingle hashes,
-    narrow self-equi-join on the hash, ``groupBy(pair).count()`` is the
-    intersection (map-side partial agg collapses before the wire), one
-    integer division at the end.  Unlike Jaccard there is NO sound
-    length-ratio prune for containment (a tiny doc may be fully contained
-    in a huge one), so the join carries every co-occurring pair — this
-    operator is the oracle-exact baseline; at 100 TB the sketch path is
-    MinHash with the containment estimator, and stop-shingles above a df
-    cap are dropped the way :mod:`..plans.blocking` caps hot keys.
+    Strategies (both exact; ``"auto"`` picks from one stats aggregate
+    over the staged shingle table, same probe as the Jaccard operator):
+
+    * ``"countjoin"`` — explode distinct shingle hashes, narrow
+      self-equi-join on the hash, ``groupBy(pair).count()`` is the
+      intersection (map-side partial agg collapses before the wire), one
+      integer division at the end.  Unlike Jaccard there is NO sound
+      length-ratio prune for containment (a tiny doc may be fully
+      contained in a huge one), so the join carries EVERY co-occurring
+      pair — the full Σ_s df(s)² fan-out that Jaccard's ``min ≥ t·max``
+      prefilter cuts away.  Right on sparse web-scale vocabularies where
+      df(s) ≈ 1.
+    * ``"bitmap"`` — the chunk-pair indicator-GEMM of
+      :func:`_bitmap_set_pairs` with the containment denominator: on
+      dense small vocabularies (V ≤ ~16k) the missing prune makes this
+      the clear winner — |A∩B| for a whole block of pairs is one BLAS
+      call instead of Σdf² shuffled join rows (measured 8.7 s → ~3 s on
+      the sf0.1 documents corpus, where Jaccard's pruned countjoin and
+      bitmap tie).
+
+    This operator is the oracle-exact baseline; at 100 TB the sketch
+    path is :func:`minhash_containment_pairs`, and stop-shingles above
+    a df cap are dropped the way :mod:`..plans.blocking` caps hot keys.
 
     Returns ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b`` and
     containment rounded to 6 dp (a single integer-operand division —
-    bit-stable across engines).
+    bit-stable across engines; both strategies produce bit-identical
+    scores, so the rounded boundary filter agrees).
     """
     base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    base = stage(base, "doc_id", enabled=materialize)
     tok = base.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
+
+    if strategy == "auto":
+        row = (
+            tok.groupBy("h")
+            .count()
+            .select(F.count(F.lit(1)).alias("v"), F.avg("count").alias("m"))
+            .first()
+        )
+        m, v = (row["m"] or 0.0), (row["v"] or 0)
+        # Lower density bar than Jaccard's auto: with no length prune the
+        # countjoin pays full Σdf², so the GEMM wins as soon as shingles
+        # repeat at all and the vocabulary fits a block task.
+        strategy = "bitmap" if (v <= _BITMAP_MAX_VOCAB and m >= 4) else "countjoin"
+
+    if strategy == "bitmap":
+        return (
+            _bitmap_set_pairs(base, threshold, "containment")
+            .withColumn("containment", F.round("containment", 6))
+            .filter(F.col("containment") >= threshold)
+        )
+    if strategy != "countjoin":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     a = tok.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "h")
     b = tok.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "h")
     return (

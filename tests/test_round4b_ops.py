@@ -197,6 +197,29 @@ def test_containment_symmetric_output_contract(spark):
     assert r.doc_a < r.doc_b and (r.doc_a, r.doc_b) == (2, 5) and r.containment == 1.0
 
 
+def test_containment_strategies_bit_identical(spark):
+    """countjoin and bitmap produce the SAME rounded scores on a corpus
+    with subset quotes, disjoint docs, and partial overlaps — the bitmap
+    GEMM is exact integer arithmetic (counts ≤ 2^24 in float32), so the
+    6-dp boundary filter must agree bit for bit."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(0, 40, 3)
+    ] + [(100 + i, " ".join(f"w{j}" for j in range(i, i + 4))) for i in range(0, 40, 6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for strat in ("countjoin", "bitmap", "auto"):
+        got[strat] = sorted(
+            map(
+                tuple,
+                ngram_containment_pairs(
+                    df, threshold=0.4, shingle_n=2, strategy=strat
+                ).collect(),
+            )
+        )
+    assert got["countjoin"] == got["bitmap"] == got["auto"]
+    assert len(got["countjoin"]) > 0  # the quotes must actually collide
+
+
 # --------------------------------------------- KMV containment sketch
 
 
