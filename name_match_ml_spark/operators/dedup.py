@@ -75,6 +75,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     strategy: str = "auto",
     materialize: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ALL pairs with word-``shingle_n``-gram-shingle Jaccard ≥ ``threshold``
     — exact and lossless (requires ``threshold > 0``), via one of two
@@ -127,11 +128,17 @@ def ngram_jaccard_pairs(
     arrays for the few deduped candidates; hot shingles/prefixes are
     split by AQE skew-join; 64-bit ``xxhash64`` shingle hashing makes
     cross-doc collisions ~2⁻⁶⁴ per pair.  At extreme scale the standard
-    *approximate* knob — dropping stop-shingles with df above a cap — is
-    deliberately not applied here: this operator is the oracle-exact
-    baseline (``minhash_lsh_pairs`` is the sketch-based path).
+    *approximate* knob is ``max_shingle_df``: shingles whose document
+    frequency exceeds the cap (boilerplate n-grams — the Σdf² pair
+    bombs) are dropped from every doc's shingle SET before any strategy
+    runs, and sizes are recomputed over the surviving shingles, so the
+    result is exact Jaccard over the capped universe (the same move
+    :mod:`..plans.blocking` makes on hot join keys).  Default ``None``
+    keeps this operator the oracle-exact baseline
+    (``minhash_lsh_pairs`` is the sketch-based path).
     """
     base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    base = _cap_shingle_df(base, max_shingle_df)
     base = stage(base, "doc_id", enabled=materialize)
     tok = base.select(
         "doc_id",
@@ -384,6 +391,34 @@ def _staged_shingle_hashes(
         .filter(F.size("_w") > 0)
         .select("doc_id", _shingles(F.col("_w"), shingle_n).alias("_sh"))
         .select("doc_id", F.transform("_sh", lambda s: _gram_hash(s, hash_fn)).alias("sh"))
+    )
+
+
+def _cap_shingle_df(base: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop stop-shingles with document frequency above ``max_shingle_df``
+    from every doc's shingle set (``None`` = no-op).  A shingle with df=d
+    feeds d² rows into every pair-counting join — boilerplate n-grams
+    ("terms of service", markup fragments) are the pair bombs at corpus
+    scale, and capping them is the standard approximate knob (the
+    set-universe restriction; sizes are recomputed so downstream scores
+    are exact over the capped universe).  Docs whose shingles are ALL
+    stop-shingles drop out entirely — they carry no discriminative
+    content.  The df table is NOT broadcast (it grows with the corpus);
+    the left-semi join on the 64-bit hash is narrow and AQE broadcasts
+    it when genuinely small."""
+    if max_shingle_df is None:
+        return base
+    tok = base.select("doc_id", F.explode("sh").alias("h"))
+    keep = (
+        tok.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("h")
+    )
+    return (
+        tok.join(keep, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("sh"))
     )
 
 
@@ -902,6 +937,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     strategy: str = "auto",
     materialize: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ALL pairs whose max directional shingle CONTAINMENT
     ``|A∩B| / min(|A|, |B|)`` meets ``threshold`` — the asymmetric
@@ -933,9 +969,13 @@ def ngram_containment_pairs(
       the sf0.1 documents corpus, where Jaccard's pruned countjoin and
       bitmap tie).
 
-    This operator is the oracle-exact baseline; at 100 TB the sketch
-    path is :func:`minhash_containment_pairs`, and stop-shingles above
-    a df cap are dropped the way :mod:`..plans.blocking` caps hot keys.
+    With default ``max_shingle_df=None`` this operator is the
+    oracle-exact baseline; at 100 TB the sketch path is
+    :func:`minhash_containment_pairs`, and ``max_shingle_df`` drops
+    stop-shingles above a df cap the way :mod:`..plans.blocking` caps
+    hot keys (see :func:`_cap_shingle_df` — containment especially
+    needs it, since boilerplate fragments both blow up the join AND
+    create spurious full-containment of tiny boilerplate-only docs).
 
     Returns ``(doc_a, doc_b, containment)`` with ``doc_a < doc_b`` and
     containment rounded to 6 dp (a single integer-operand division —
@@ -943,6 +983,7 @@ def ngram_containment_pairs(
     scores, so the rounded boundary filter agrees).
     """
     base = _staged_shingle_hashes(docs, text_col, id_col, shingle_n)
+    base = _cap_shingle_df(base, max_shingle_df)
     base = stage(base, "doc_id", enabled=materialize)
     tok = base.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
 

@@ -220,6 +220,42 @@ def test_containment_strategies_bit_identical(spark):
     assert len(got["countjoin"]) > 0  # the quotes must actually collide
 
 
+def test_max_shingle_df_drops_boilerplate_pairs(spark):
+    """The stop-shingle cap (the 100 TB pair-bomb knob): docs that match
+    only through ubiquitous boilerplate stop matching once shingles with
+    df > cap are dropped; genuine duplicates still match; an
+    all-boilerplate doc drops out of the universe entirely."""
+    boiler = "this document is provided under standard terms of service"
+    rows = [
+        (0, f"alpha beta gamma {boiler}"),
+        (1, f"alpha beta gamma {boiler}"),  # true duplicate of 0
+        (2, f"zeta eta theta {boiler}"),
+        (3, boiler),  # boilerplate-only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.5, shingle_n=2).collect()
+    }
+    assert (0, 2) in uncapped and (0, 3) in uncapped  # boilerplate smear
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, shingle_n=2, max_shingle_df=3
+        ).collect()
+    }
+    assert capped == {(0, 1)}  # only the true duplicate survives
+
+    cont_capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_containment_pairs(
+            df, threshold=0.5, shingle_n=2, max_shingle_df=3
+        ).collect()
+    }
+    assert cont_capped == {(0, 1)}
+
+
 # --------------------------------------------- KMV containment sketch
 
 
