@@ -176,6 +176,9 @@ EXTENDED = [
     "robust_outliers",
     "copurchase_lift",
     "kmv_overlap",
+    # round 5 fourth batch: k-core cohesion gate, linear multi-touch
+    "k_core",
+    "multi_touch",
 ]
 
 HEADLINE = [

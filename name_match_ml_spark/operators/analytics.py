@@ -51,6 +51,7 @@ __all__ = [
     "ewma_fixed_point",
     "skyline_2d",
     "attribution_last_touch",
+    "attribution_linear",
     "twap",
     "trend_slope",
     "interval_concurrency",
@@ -698,4 +699,93 @@ def interval_concurrency(
             F.sum(F.col("_conc") * F.coalesce(F.col("_gap"), F.lit(0))).cast("double")
             / (F.max("_t") - F.min("_t")).cast("double"),
         ).alias("avg_concurrency"),
+    )
+
+
+def attribution_linear(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    window_s: int = 7 * 86400,
+    credit_scale: int = 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: every touch is assigned to the
+    same user's NEXT conversion at-or-after it within ``window_s``
+    seconds, and each conversion's credit is split equally over its
+    attributed touches — the multi-channel companion of
+    :func:`attribution_last_touch` (which crowns a single winning
+    touch; a media-mix view needs every contributing channel credited).
+
+    Exact arithmetic: each touch earns ``credit_scale div n`` micro
+    credits (integer floor division, ``n`` = the conversion's touch
+    count), so per-channel sums are int64 and order-free — engine
+    bit-replayable, no float shares.
+
+    Plan: ONE window over a single ``user_col`` Exchange computes each
+    event's next conversion — events are traversed in descending
+    (ts, is_conv, id) order so a ``last(ignorenulls)`` running carry
+    always holds the earliest at-or-after conversion, with equal-ts
+    conversions resolved to the smallest conversion id (deterministic
+    ties; a touch AT the conversion timestamp attributes).  The
+    lookback is a post-filter on the carried timestamp; per-conversion
+    counts and per-channel totals are two partial-combining aggregates.
+    Never a per-conversion subquery: the oracle's LATERAL is the
+    semantic spec, not the plan.
+
+    Returns ``(channel, touches, credit_micro)``.
+    """
+    ev = events.filter(
+        (F.col(type_col) == conversion_type) | F.col(type_col).isin(*touch_types)
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+        F.col(id_col).alias("_id"),
+        (F.col(type_col) == conversion_type).alias("_is_conv"),
+    )
+    # Descending traversal: at equal ts, conversions come FIRST (so the
+    # carry is visible to same-ts touches), ordered by id DESC so the
+    # last conversion carried — the one same-ts touches see — is the
+    # MINIMUM conversion id.
+    w = (
+        Window.partitionBy("_u")
+        .orderBy(F.col("_ts").desc(), F.col("_is_conv").desc(), F.col("_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "_u",
+        "_ts",
+        "_ty",
+        "_is_conv",
+        F.last(
+            F.when(F.col("_is_conv"), F.struct("_ts", "_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("_conv"),
+    )
+    # Microsecond-exact lookback: timestamps compare directly (the
+    # corpus carries sub-second parts, so a seconds-truncated diff
+    # would flip boundary touches vs an exact-arithmetic replay).
+    att = carried.filter(
+        ~F.col("_is_conv")
+        & F.col("_conv").isNotNull()
+        & (
+            F.col("_conv")["_ts"]
+            <= F.col("_ts") + F.expr(f"INTERVAL {int(window_s)} SECOND")
+        )
+    ).select(F.col("_ty").alias("channel"), F.col("_conv")["_id"].alias("_conv_id"))
+    per_conv = att.groupBy("_conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        att.join(per_conv, "_conv_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.sum(F.expr(f"{credit_scale} div _n")).alias("credit_micro"),
+        )
+        .orderBy("channel")
     )

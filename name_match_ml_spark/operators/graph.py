@@ -42,7 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank", "triangles", "bfs_hops", "bellman_ford_k"]
+__all__ = [
+    "connected_components",
+    "pagerank",
+    "triangles",
+    "bfs_hops",
+    "bellman_ford_k",
+    "k_core",
+]
 
 # Rounds used by the most recent connected_components call (label rounds
 # + star rounds); read by tests asserting the O(log n) bound.
@@ -467,3 +474,65 @@ def bellman_ford_k(
             .localCheckpoint()
         )
     return dist
+
+
+def k_core(
+    pairs: DataFrame,
+    *,
+    k: int = 2,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of the undirected pair graph: the (unique) maximal
+    subgraph in which every node has degree ≥ k, as ``(id, core_deg)``
+    rows with ``core_deg`` = the node's degree INSIDE the core.
+
+    Cohesion gate on near-dup graphs, one notch stronger than
+    :func:`triangles`: a node in the 2-core sits on a cycle of mutual
+    matches (safe to collapse transitively), while tree-shaped match
+    chains — the classic false-merge hazard — peel away entirely.
+    Standard iterative peeling (Matula–Beck): repeatedly delete every
+    node of degree < k; the fixpoint is order-independent, so the
+    result is engine-replayable (the oracle unrolls the same rounds as
+    chained CTEs).
+
+    Plan per round: one degree aggregate (partial-combining count over
+    long node ids) + two anti equi-joins removing edges incident to
+    peeled nodes, then ``localCheckpoint`` (module convention — the
+    lineage cut) and one emptiness probe on the peeled-node set as the
+    convergence action.  Everything shuffled is longs.  Round count is
+    bounded by the longest peel chain — near-dup graphs are shallow
+    (cliques peel in one round); ``max_iter`` guards pathological
+    chains, where each round still only costs edges-that-remain.
+    """
+    global last_rounds
+    last_rounds = 0
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        last_rounds += 1
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .localCheckpoint()
+        )
+        bad = deg.filter(F.col("core_deg") < k).select("n")
+        if bad.limit(1).count() == 0:
+            return deg.select(F.col("n").alias("id"), "core_deg")
+        e = (
+            e.join(bad.select(F.col("n").alias("u")), "u", "left_anti")
+            .join(bad.select(F.col("n").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

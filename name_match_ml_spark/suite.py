@@ -3659,7 +3659,40 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(o, "o_custkey", e, "user_id", k=64)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph (operators/graph.py::k_core) —
+    nodes on a CYCLE of mutual matches with their in-core degree.  The
+    cohesion gate one notch above doc_triangles: tree-shaped match
+    chains (the false-merge hazard for transitive clustering) peel
+    away; the oracle unrolls the same order-independent peeling as
+    chained CTEs."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import k_core
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    return k_core(pairs, k=2).orderBy("id")
+
+
+def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution per channel
+    (operators/analytics.py::attribution_linear): clicks AND views are
+    assigned to the same user's next purchase within 7 days (one
+    descending-order window carry over a single user Exchange — never
+    a per-conversion subquery), each conversion's credit split as
+    exact integer micro-credits ``1e6 div n``.  The oracle's LATERAL
+    nearest-conversion lookup is the semantic spec."""
+    from .operators.analytics import attribution_linear
+
+    e = table(spark, sf_dir, "events")
+    return attribution_linear(
+        e, conversion_type="purchase", touch_types=("click", "view"), window_s=7 * 86400
+    )
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "k_core": q_k_core,
+    "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
     "robust_outliers": q_robust_outliers,
     "copurchase_lift": q_copurchase_lift,
@@ -7475,4 +7508,88 @@ ORACLE_SQL["kmv_overlap"] = """
            est_union,
            CAST((y * est_union) // m AS BIGINT) AS est_inter
     FROM est
+"""
+
+
+def _k_core_sql(k: int = 2, rounds: int = 24) -> str:
+    """Generated k-core oracle: the SAME near-dup pair derivation as the
+    graph_modularity oracle, then ``rounds`` unrolled peel iterations as
+    chained CTEs — each round recomputes degrees and drops edges
+    incident to any node of degree < k.  Peeling is order-independent
+    with a unique fixpoint, so a fixed unroll deep enough to converge
+    replays the Spark loop exactly (near-dup components are shallow;
+    pytest asserts the Spark side converges well under ``rounds``)."""
+    parts = [
+        """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    e0 AS MATERIALIZED (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5)"""
+    ]
+    for i in range(rounds):
+        # MATERIALIZED is load-bearing: each round references the prior
+        # round three times (the edge scan + the two NOT IN probes), so
+        # an inlining planner would expand the chain exponentially.
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT n, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i})
+      GROUP BY n),
+    e{i + 1} AS MATERIALIZED (
+      SELECT u, v FROM e{i}
+      WHERE u NOT IN (SELECT n FROM d{i} WHERE c < {k})
+        AND v NOT IN (SELECT n FROM d{i} WHERE c < {k}))"""
+        )
+    parts.append(
+        f""",
+    dfinal AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds})
+      GROUP BY n)
+    SELECT n AS id, c AS core_deg FROM dfinal ORDER BY id"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL["k_core"] = _k_core_sql(k=2, rounds=24)
+
+
+ORACLE_SQL["multi_touch"] = """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS touch_id, user_id, event_type AS channel, ts
+      FROM events WHERE event_type IN ('click', 'view')),
+    att AS (
+      SELECT t.channel, l.conv_id
+      FROM t JOIN LATERAL (
+        SELECT c.conv_id FROM conv c
+        WHERE c.user_id = t.user_id AND c.ts >= t.ts
+          AND c.ts <= t.ts + INTERVAL 604800 SECOND
+        ORDER BY c.ts ASC, c.conv_id ASC LIMIT 1) l ON TRUE),
+    n AS (SELECT conv_id, count(*) AS n_t FROM att GROUP BY conv_id)
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(sum(1000000 // n_t) AS BIGINT) AS credit_micro
+    FROM att JOIN n USING (conv_id)
+    GROUP BY channel ORDER BY channel
 """

@@ -271,3 +271,117 @@ def test_kmv_overlap_estimator_within_error(spark):
     # true union 3000, inter 1000; stderr ~ union/sqrt(k-2) ~ 188
     assert abs(r.est_union - 3000) < 5 * 200
     assert abs(r.est_inter - 1000) < 5 * 300
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_k_core_clique_survives_chain_peels(spark):
+    """A triangle+pendant and a 5-chain: the triangle is the whole
+    2-core (pendant and chain peel away); core degrees are the degrees
+    INSIDE the core, not in the input graph."""
+    edges = [
+        (1, 2), (2, 3), (1, 3),   # triangle: the 2-core
+        (3, 9),                    # pendant off the triangle
+        (10, 11), (11, 12), (12, 13), (13, 14),  # chain: peels entirely
+    ]
+    from name_match_ml_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {(r.id, r.core_deg) for r in k_core(df, k=2).collect()}
+    assert out == {(1, 2), (2, 2), (3, 2)}  # node 3's pendant edge gone
+
+
+def test_k_core_k3_and_empty(spark):
+    """k=3 on a 4-clique minus one edge is empty (every peel cascades);
+    on the full 4-clique it is the clique itself."""
+    from name_match_ml_spark.operators.graph import k_core
+
+    full = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df_full = spark.createDataFrame(full, ["doc_a", "doc_b"])
+    assert {(r.id, r.core_deg) for r in k_core(df_full, k=3).collect()} == {
+        (0, 3), (1, 3), (2, 3), (3, 3)
+    }
+    df_miss = spark.createDataFrame([e for e in full if e != (2, 3)], ["doc_a", "doc_b"])
+    assert k_core(df_miss, k=3).count() == 0
+
+
+def test_k_core_rounds_bounded_on_long_chain(spark):
+    """Peeling a 2k-long chain burns one round per two endpoints — the
+    round counter exposes it; the near-dup default (shallow graphs)
+    converges in ≤ 3 rounds, which is what the 24-round oracle unroll
+    relies on."""
+    from name_match_ml_spark.operators import graph
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    assert graph.k_core(df, k=2).count() == 0
+    assert graph.last_rounds <= 8  # ceil(12/2) peels + the fixpoint probe
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["doc_a", "doc_b"])
+    graph.k_core(tri, k=2)
+    assert graph.last_rounds <= 2
+
+
+# ------------------------------------------------- multi-touch attribution
+
+
+def test_attribution_linear_splits_credit_exactly(spark):
+    """Two touches before one purchase split 1e6 as 500000 each; a
+    touch AFTER the last purchase earns nothing; a touch outside the
+    lookback earns nothing."""
+    import datetime as dt
+
+    from name_match_ml_spark.operators.analytics import attribution_linear
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ev(eid, ts_off_s, user, ty):
+        return (eid, t0 + dt.timedelta(seconds=ts_off_s), user, ty, 0.0, "{}")
+
+    rows = [
+        ev(1, -3600, 7, "click"),
+        ev(2, -1800, 7, "view"),
+        ev(3, 0, 7, "purchase"),
+        ev(4, 100, 7, "click"),              # after the only purchase
+        ev(5, -8 * 86400, 9, "view"),        # outside 7-day lookback
+        ev(6, 0, 9, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.channel: (r.touches, r.credit_micro) for r in attribution_linear(df).collect()}
+    assert out == {"click": (1, 500000), "view": (1, 500000)}
+
+
+def test_attribution_linear_same_ts_and_next_conversion(spark):
+    """A touch AT the conversion timestamp attributes to it (min conv id
+    on ties), and a touch between two purchases credits only the next
+    one — the three-way split floors to 333333 micro each."""
+    import datetime as dt
+
+    from name_match_ml_spark.operators.analytics import attribution_linear
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ev(eid, ts_off_s, user, ty):
+        return (eid, t0 + dt.timedelta(seconds=ts_off_s), user, ty, 0.0, "{}")
+
+    rows = [
+        ev(1, 0, 5, "click"),      # at conv ts -> attributes to conv 2
+        ev(2, 0, 5, "purchase"),
+        ev(3, 10, 5, "view"),      # between conv 2 and conv 6 -> conv 6
+        ev(4, 20, 5, "click"),
+        ev(5, 30, 5, "view"),
+        ev(6, 40, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.channel: (r.touches, r.credit_micro) for r in attribution_linear(df).collect()}
+    # conv 2: {click 1} alone -> 1000000; conv 6: {view 3, click 4, view 5}
+    # -> 333333 each (floor)
+    assert out == {
+        "click": (2, 1000000 + 333333),
+        "view": (2, 2 * 333333),
+    }
