@@ -176,9 +176,11 @@ EXTENDED = [
     "robust_outliers",
     "copurchase_lift",
     "kmv_overlap",
-    # round 5 fourth batch: k-core cohesion gate, linear multi-touch
+    # round 5 fourth batch: k-core cohesion gate, linear multi-touch,
+    # per-node clustering coefficient
     "k_core",
     "multi_touch",
+    "clustering_coeff",
 ]
 
 HEADLINE = [

@@ -3674,6 +3674,54 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(pairs, k=2).orderBy("id")
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per near-dup-graph node: triangles
+    through the node over deg·(deg−1)/2 possible wedges, floored onto a
+    1e6 integer grid (2e6·tri div deg·(deg−1) — exact, order-free).
+    The per-NODE refinement of graph_modularity's global score: a low
+    coefficient on a high-degree node is the smeared-hub signature that
+    says transitive merging is unsafe there.  Reuses the hash-checked
+    degree-oriented triangle enumeration; one explode + two
+    partial-combining aggregates + one narrow left join on top."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import triangles
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    tri = triangles(pairs)
+    tn = (
+        tri.select(
+            F.explode(F.array("node_a", "node_b", "node_c")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("tri_n"))
+    )
+    e = pairs.select(
+        F.least("doc_a", "doc_b").alias("u"), F.greatest("doc_a", "doc_b").alias("v")
+    ).dropDuplicates(["u", "v"])
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.join(tn, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("tri_n", F.lit(0).cast("long")).alias("tri_n"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(2000000 * COALESCE(tri_n, 0)) div (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("coeff_grid"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution per channel
     (operators/analytics.py::attribution_linear): clicks AND views are
@@ -3692,6 +3740,7 @@ def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_core": q_k_core,
+    "clustering_coeff": q_clustering_coeff,
     "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
     "robust_outliers": q_robust_outliers,
@@ -7592,4 +7641,50 @@ ORACLE_SQL["multi_touch"] = """
            CAST(sum(1000000 // n_t) AS BIGINT) AS credit_micro
     FROM att JOIN n USING (conv_id)
     GROUP BY channel ORDER BY channel
+"""
+
+
+ORACLE_SQL["clustering_coeff"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    e AS MATERIALIZED (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    tri AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    tn AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS tri_n FROM (
+        SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY n),
+    deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      GROUP BY n)
+    SELECT deg.n AS id, deg.deg,
+           CAST(COALESCE(tn.tri_n, 0) AS BIGINT) AS tri_n,
+           CAST(CASE WHEN deg.deg >= 2
+                THEN (2000000 * COALESCE(tn.tri_n, 0)) // (deg.deg * (deg.deg - 1))
+                ELSE 0 END AS BIGINT) AS coeff_grid
+    FROM deg LEFT JOIN tn ON tn.n = deg.n
+    ORDER BY id
 """

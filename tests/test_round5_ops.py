@@ -385,3 +385,48 @@ def test_attribution_linear_same_ts_and_next_conversion(spark):
         "click": (2, 1000000 + 333333),
         "view": (2, 2 * 333333),
     }
+
+
+def test_clustering_coeff_triangle_vs_hub(spark):
+    """A closed triangle scores 1e6 (every wedge closed); a 4-star hub
+    scores 0 with deg 4 (no wedge closed); leaves score 0 by the
+    deg<2 convention.  Exercises the suite query's exact grid."""
+    import pyspark.sql.functions as SF
+
+    from name_match_ml_spark.operators.graph import triangles
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 20), (10, 21), (10, 22), (10, 23)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    tri = triangles(pairs)
+    tn = (
+        tri.select(SF.explode(SF.array("node_a", "node_b", "node_c")).alias("id"))
+        .groupBy("id")
+        .agg(SF.count(SF.lit(1)).alias("tri_n"))
+    )
+    e = pairs.select(
+        SF.least("doc_a", "doc_b").alias("u"), SF.greatest("doc_a", "doc_b").alias("v")
+    ).dropDuplicates(["u", "v"])
+    deg = (
+        e.select(SF.col("u").alias("id"))
+        .unionAll(e.select(SF.col("v").alias("id")))
+        .groupBy("id")
+        .agg(SF.count(SF.lit(1)).alias("deg"))
+    )
+    out = {
+        r.id: (r.deg, r.coeff)
+        for r in deg.join(tn, "id", "left")
+        .select(
+            "id",
+            "deg",
+            SF.when(
+                SF.col("deg") >= 2,
+                SF.expr("(2000000 * COALESCE(tri_n, 0)) div (deg * (deg - 1))"),
+            )
+            .otherwise(SF.lit(0).cast("long"))
+            .alias("coeff"),
+        )
+        .collect()
+    }
+    assert out[1] == (2, 1000000) and out[2] == (2, 1000000) and out[3] == (2, 1000000)
+    assert out[10] == (4, 0)
+    assert out[20] == (1, 0)
