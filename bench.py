@@ -181,6 +181,7 @@ EXTENDED = [
     "k_core",
     "multi_touch",
     "clustering_coeff",
+    "rrf_fusion",
 ]
 
 HEADLINE = [

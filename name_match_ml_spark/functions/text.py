@@ -32,6 +32,8 @@ __all__ = [
     "inverted_index",
     "ws_normalize",
     "source_kl_divergence",
+    "tfidf_query_rank",
+    "rrf_fuse",
 ]
 
 # Top stopwords per language — enough signal for a coarse heuristic ID.
@@ -683,4 +685,105 @@ def bm25_topk(
     w = Window.orderBy(F.col("score_grid").desc(), F.col("doc_id").asc())
     return top.select(
         "doc_id", "score_grid", F.row_number().over(w).alias("rank")
+    )
+
+
+def tfidf_query_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    top_n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Plain TF·IDF ranking of documents for a fixed query-term list —
+    the lexical second opinion :func:`rrf_fuse` combines with
+    :func:`bm25_topk` (no tf saturation, no length normalization, so
+    the two rankers genuinely disagree on long/repetitive documents).
+
+    Determinism mirrors ``bm25_topk``: tf/df exact integers, idf =
+    ``ln(N/df)`` one fixed IEEE expression, each term's contribution
+    FLOORED onto the 1e-9 grid before the int64 sum (order-free).
+    Postings filter to the query terms before any aggregate; N is a
+    1-row broadcast; the cut is a per-task top-k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("term"),
+    )
+    n_docs = docs.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    qtf = (
+        words.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * F.col("tf").cast("double")
+    )
+    per_term = (
+        qtf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", F.floor(contrib * F.lit(float(grid))).cast("long").alias("cg")
+        )
+    )
+    totals = per_term.groupBy("doc_id").agg(F.sum("cg").alias("score_grid"))
+    top = totals.orderBy(F.col("score_grid").desc(), F.col("doc_id").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("score_grid").desc(), F.col("doc_id").asc())
+    return top.select("doc_id", "score_grid", F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    top_n: int = 20,
+    grid: int = 1_000_000_000,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N rank
+    lists: score(d) = Σᵢ 1/(k + rankᵢ(d)), the standard way hybrid
+    retrieval combines lexical and semantic rankers without score
+    calibration.  Pure INTEGER arithmetic here — each contribution is
+    ``grid div (k + rank)`` (int64 floor division), absent items
+    contribute 0 — so fusion is bit-replayable in any engine and
+    summation-order free.
+
+    Plan: the rank lists are top-n-bounded by construction (one
+    ``TakeOrderedAndProject`` each upstream), so the full-outer fusion
+    join touches at most Σ top-n rows — negligible at any corpus
+    scale; the expensive part is always the upstream rankers.
+
+    Returns ``(doc_id, rank_0..rank_{N-1}, rrf_grid)`` ordered by
+    fused score (ties to the smaller id), limited to ``top_n``.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    fused = None
+    for i, r in enumerate(rankings):
+        side = r.select(F.col(id_col), F.col(rank_col).alias(f"rank_{i}"))
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        c = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.expr(f"{grid} div ({k} + rank_{i})"),
+        ).otherwise(F.lit(0).cast("long"))
+        score = c if score is None else score + c
+    return (
+        fused.select(
+            id_col,
+            *[f"rank_{i}" for i in range(len(rankings))],
+            score.cast("long").alias("rrf_grid"),
+        )
+        .orderBy(F.col("rrf_grid").desc(), F.col(id_col).asc())
+        .limit(top_n)
     )

@@ -3722,6 +3722,29 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (functions/text.py::rrf_fuse):
+    reciprocal-rank fusion of the BM25 top-50 and the plain-TF·IDF
+    top-50 for the query {spark, join, window} — the standard
+    calibration-free way to combine rankers (Cormack et al., SIGIR'09).
+    Fusion is PURE int64 arithmetic (``1e9 div (60 + rank)``, absent
+    ranks contribute 0) over two TakeOrdered-bounded lists, so the
+    expensive part stays the upstream rankers and the fused result is
+    bit-replayable."""
+    from .functions.text import bm25_topk, rrf_fuse, tfidf_query_rank
+
+    d = table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    bm = bm25_topk(d, terms, top_n=50)
+    tf = tfidf_query_rank(d, terms, top_n=50)
+    return rrf_fuse([bm, tf], k=60, top_n=20).select(
+        "doc_id",
+        F.col("rank_0").alias("rank_bm25"),
+        F.col("rank_1").alias("rank_tfidf"),
+        "rrf_grid",
+    )
+
+
 def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution per channel
     (operators/analytics.py::attribution_linear): clicks AND views are
@@ -3741,6 +3764,7 @@ def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_core": q_k_core,
     "clustering_coeff": q_clustering_coeff,
+    "rrf_fusion": q_rrf_fusion,
     "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
     "robust_outliers": q_robust_outliers,
@@ -7687,4 +7711,59 @@ ORACLE_SQL["clustering_coeff"] = """
                 ELSE 0 END AS BIGINT) AS coeff_grid
     FROM deg LEFT JOIN tn ON tn.n = deg.n
     ORDER BY id
+"""
+
+
+ORACLE_SQL["rrf_fusion"] = """
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    qtf AS MATERIALIZED (
+      SELECT doc_id, term, count(*) AS tf FROM words
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    bm_per_term AS (
+      SELECT q.doc_id,
+             CAST(floor(
+               ln((CAST(s.n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * CAST(tf AS DOUBLE) * 2.2
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (1.0 - 0.75 + 0.75 * CAST(d.dl AS DOUBLE)
+                           / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+               * 1000000000.0) AS BIGINT) AS cg
+      FROM qtf q JOIN dfreq USING (term) JOIN dl d USING (doc_id), stats s),
+    bm_tot AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS sg
+               FROM bm_per_term GROUP BY doc_id),
+    bm_top AS (SELECT doc_id, sg FROM bm_tot ORDER BY sg DESC, doc_id LIMIT 50),
+    bm_rank AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY sg DESC, doc_id)
+                          AS INTEGER) AS rank_bm25
+      FROM bm_top),
+    tf_per_term AS (
+      SELECT q.doc_id,
+             CAST(floor(
+               ln(CAST(nd.n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+               * CAST(tf AS DOUBLE) * 1000000000.0) AS BIGINT) AS cg
+      FROM qtf q JOIN dfreq USING (term), nd),
+    tf_tot AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS sg
+               FROM tf_per_term GROUP BY doc_id),
+    tf_top AS (SELECT doc_id, sg FROM tf_tot ORDER BY sg DESC, doc_id LIMIT 50),
+    tf_rank AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY sg DESC, doc_id)
+                          AS INTEGER) AS rank_tfidf
+      FROM tf_top),
+    fused AS (
+      SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+             b.rank_bm25, t.rank_tfidf,
+             CAST(COALESCE(1000000000 // (60 + b.rank_bm25), 0)
+                  + COALESCE(1000000000 // (60 + t.rank_tfidf), 0)
+                  AS BIGINT) AS rrf_grid
+      FROM bm_rank b FULL OUTER JOIN tf_rank t ON b.doc_id = t.doc_id)
+    SELECT doc_id, rank_bm25, rank_tfidf, rrf_grid
+    FROM fused ORDER BY rrf_grid DESC, doc_id LIMIT 20
 """

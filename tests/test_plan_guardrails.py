@@ -32,6 +32,8 @@ ALLOWED = {
     "skew_profile": {"BroadcastNestedLoopJoin"},
     # 1-row N/avgdl stats broadcast for the BM25 length normalization
     "bm25_topk": {"BroadcastNestedLoopJoin"},
+    # same two 1-row broadcasts inside the fused BM25 + TF-IDF rankers
+    "rrf_fusion": {"BroadcastNestedLoopJoin"},
     # 1-row est × 1-row exact join in the sketch estimator output
     "join_size_estimate": {"BroadcastNestedLoopJoin"},
     # 1-row basket-count broadcast for the lift denominator

@@ -430,3 +430,22 @@ def test_clustering_coeff_triangle_vs_hub(spark):
     assert out[1] == (2, 1000000) and out[2] == (2, 1000000) and out[3] == (2, 1000000)
     assert out[10] == (4, 0)
     assert out[20] == (1, 0)
+
+
+def test_rrf_fuse_integer_semantics(spark):
+    """RRF with k=60: an item ranked 1+2 beats an item ranked 2+1? No —
+    they tie exactly (1/61+1/62 both ways); the tie breaks to the
+    smaller id.  An item present in only one list gets exactly its own
+    contribution; all arithmetic is integer-exact."""
+    from name_match_ml_spark.functions.text import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (10, 2), (99, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: r.rrf_grid for r in rrf_fuse([a, b], k=60, top_n=10).collect()}
+    g = 1_000_000_000
+    assert out[10] == g // 61 + g // 62
+    assert out[20] == g // 62 + g // 61
+    assert out[30] == g // 63          # single-list item
+    assert out[99] == g // 63
+    rows = rrf_fuse([a, b], k=60, top_n=10).collect()
+    assert [r.doc_id for r in rows[:2]] == [10, 20]  # exact tie -> smaller id first
