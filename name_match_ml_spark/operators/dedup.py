@@ -240,6 +240,10 @@ def ngram_jaccard_pairs(
 
 _BITMAP_MAX_VOCAB = 16384
 _BITMAP_CHUNK_ROWS = 1024  # best of {512, 1024, 2048, 4096} on local[32]
+# One shuffled+aggregated countjoin row buys ~this many indicator-GEMM
+# flops (measured, see ngram_containment_pairs auto): used to compare
+# O(N²·V) bitmap flops against O(Σdf²) countjoin rows.
+_BITMAP_FLOPS_PER_ROW = 500
 
 def _bitmap_set_pairs(
     base: DataFrame, threshold: float, measure: str = "jaccard"
@@ -950,7 +954,11 @@ def ngram_containment_pairs(
     paper sketches alongside resemblance).
 
     Strategies (both exact; ``"auto"`` picks from one stats aggregate
-    over the staged shingle table, same probe as the Jaccard operator):
+    over the staged shingle table via an explicit cost model —
+    ``N²·V`` GEMM flops vs ``Σdf²`` countjoin rows at
+    ``_BITMAP_FLOPS_PER_ROW`` flops/row, measurement-calibrated at
+    sf0.1 AND 10×, because the two costs scale on different corpus
+    axes and a density bar alone mispredicts):
 
     * ``"countjoin"`` — explode distinct shingle hashes, narrow
       self-equi-join on the hash, ``groupBy(pair).count()`` is the
@@ -963,11 +971,15 @@ def ngram_containment_pairs(
       df(s) ≈ 1.
     * ``"bitmap"`` — the chunk-pair indicator-GEMM of
       :func:`_bitmap_set_pairs` with the containment denominator: on
-      dense small vocabularies (V ≤ ~16k) the missing prune makes this
-      the clear winner — |A∩B| for a whole block of pairs is one BLAS
-      call instead of Σdf² shuffled join rows (measured 8.7 s → ~3 s on
-      the sf0.1 documents corpus, where Jaccard's pruned countjoin and
-      bitmap tie).
+      dense small vocabularies with a bounded doc count the missing
+      prune makes this the winner — |A∩B| for a whole block of pairs is
+      one BLAS call instead of Σdf² shuffled join rows (measured
+      8.7 s → ~3 s on the sf0.1 documents corpus, where Jaccard's
+      pruned countjoin and bitmap tie).  But the GEMM pays O(N²·V)
+      regardless of how sparse the overlap is, so at 10× the docs the
+      SAME vocabulary-eligible corpus flips decisively back to
+      countjoin — which is why auto compares the two costs explicitly
+      instead of thresholding density.
 
     With default ``max_shingle_df=None`` this operator is the
     oracle-exact baseline; at 100 TB the sketch path is
@@ -991,14 +1003,27 @@ def ngram_containment_pairs(
         row = (
             tok.groupBy("h")
             .count()
-            .select(F.count(F.lit(1)).alias("v"), F.avg("count").alias("m"))
+            .select(
+                F.count(F.lit(1)).alias("v"),
+                F.sum(F.col("count") * F.col("count")).alias("sd2"),
+            )
             .first()
         )
-        m, v = (row["m"] or 0.0), (row["v"] or 0)
-        # Lower density bar than Jaccard's auto: with no length prune the
-        # countjoin pays full Σdf², so the GEMM wins as soon as shingles
-        # repeat at all and the vocabulary fits a block task.
-        strategy = "bitmap" if (v <= _BITMAP_MAX_VOCAB and m >= 4) else "countjoin"
+        v, sd2 = (row["v"] or 0), (row["sd2"] or 0)
+        n = base.count()
+        # Explicit cost-model pick (a density bar alone mispredicts: the
+        # GEMM is O(N²·V) while the pruneless countjoin is O(Σdf²), and
+        # the two scale on DIFFERENT corpus axes).  A shuffled+aggregated
+        # countjoin row costs ~_BITMAP_FLOPS_PER_ROW indicator-GEMM
+        # flops on this implementation — calibrated by measurement:
+        # sf0.1 (N²V=2.3e10, Σdf²=7.3e7) bitmap wins 8.7s→3.4s; sf1.0
+        # (N²V=2.3e13, Σdf²=7.3e8) bitmap loses badly (>10× — killed at
+        # 2 min vs countjoin's 122 s).  500 picks correctly at both.
+        strategy = (
+            "bitmap"
+            if v and v <= _BITMAP_MAX_VOCAB and n * n * v < _BITMAP_FLOPS_PER_ROW * sd2
+            else "countjoin"
+        )
 
     if strategy == "bitmap":
         return (
