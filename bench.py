@@ -182,6 +182,11 @@ EXTENDED = [
     "multi_touch",
     "clustering_coeff",
     "rrf_fusion",
+    # TPC-H completion to the corpus's column limit (Q4/Q6/Q12 shapes;
+    # Q2/Q11/Q16 need partsupp, which the corpus does not carry)
+    "late_order_priority",
+    "discount_revenue",
+    "priority_mix",
 ]
 
 HEADLINE = [

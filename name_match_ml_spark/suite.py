@@ -3745,6 +3745,78 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to this corpus's columns (no
+    l_commitdate/l_receiptdate): orders counted per priority when ANY
+    line shipped more than 30 days after the order date — a correlated
+    EXISTS decorrelated to one LeftSemi hash join on the order key with
+    the date comparison as the join residual, then one
+    partial-combining count."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the forecast-revenue-change scan-aggregate — three
+    pushed-down predicates (shipdate year band, discount band, quantity
+    cap), revenue = Σ extendedprice·discount on exact decimals, floored
+    to cents.  The canonical 'is the filter reaching the scan' probe:
+    no join, no window, one partial-combining aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.sum(_dec("l_extendedprice") * _dec("l_discount", 2))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (_dec("l_discount") >= F.lit("0.05").cast("decimal(18,2)"))
+            & (_dec("l_discount") <= F.lit("0.07").cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.floor(rev * F.lit(100)).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no l_shipmode/receiptdate): per line
+    STATUS, how many late-shipped lines (> 60 days after the order
+    date) belong to urgent/high-priority orders vs the rest — the
+    join + CASE-sum pivot Q12 exercises, one fact-dimension hash join
+    and one aggregate, both counts exact int64."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, F.lit(1)).otherwise(F.lit(0))).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, F.lit(0)).otherwise(F.lit(1))).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution per channel
     (operators/analytics.py::attribution_linear): clicks AND views are
@@ -3765,6 +3837,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_core": q_k_core,
     "clustering_coeff": q_clustering_coeff,
     "rrf_fusion": q_rrf_fusion,
+    "late_order_priority": q_late_order_priority,
+    "discount_revenue": q_discount_revenue,
+    "priority_mix": q_priority_mix,
     "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
     "robust_outliers": q_robust_outliers,
@@ -7766,4 +7841,42 @@ ORACLE_SQL["rrf_fusion"] = """
       FROM bm_rank b FULL OUTER JOIN tf_rank t ON b.doc_id = t.doc_id)
     SELECT doc_id, rank_bm25, rank_tfidf, rrf_grid
     FROM fused ORDER BY rrf_grid DESC, doc_id LIMIT 20
+"""
+
+
+ORACLE_SQL["late_order_priority"] = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+ORACLE_SQL["discount_revenue"] = """
+    SELECT CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))) * 100)
+                AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+ORACLE_SQL["priority_mix"] = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
 """
