@@ -440,18 +440,33 @@ def _lsh_signature(
 
 
 def lsh_signature_sql(vec_col: str, dim: int, nbits: int, table: int) -> str:
-    """The ``md5_60`` signature as ONE generated SQL string (shared
-    term-for-term with the DuckDB oracle, ``suite._lsh_oracle_sql``):
-    plane constants are :func:`lsh_plane` literals, dot products expand
-    left-to-right (both engines therefore compute bit-identical doubles
-    — the sign test cannot disagree), and array access is 1-based
-    ``element_at`` to mirror the oracle's ``v[d+1]``.  Built as a string
-    because a literal-expression tree this size costs ~18k py4j round
-    trips through the Column API."""
+    """The ``md5_60`` signature as ONE generated SQL string, value-shared
+    with the DuckDB oracle (``suite._lsh_oracle_sql``): plane constants
+    are :func:`lsh_plane` literals and every dot product folds
+    left-to-right, so both engines compute bit-identical doubles and
+    the ``> 0`` sign test can never disagree.  Built as a string because
+    a literal tree this size costs ~18k py4j round trips via the Column
+    API.
+
+    Each per-bit dot is ``aggregate(zip_with(vec, array(<planes>),
+    (x, p) -> x * p), 0.0D, (acc, x) -> acc + x)`` — the plane array
+    constant-folds to DATA, so the expression TREE stays ~10 nodes per
+    bit.  The first cut expanded the sum as ``e₁·p₁ + … + e₆₄·p₆₄``
+    inline: Catalyst's CollapseProject merges the per-table projections
+    (each ``_s{t}`` alias is referenced once, so collapsing is legal),
+    and whole-stage codegen then tries to COMPILE the merged
+    multi-megabyte method before janino rejects it — 20-40 s of compile
+    storm per query and a driver-heap OOM risk at default memory, all
+    to end on the interpreted path anyway.  The HOF fold is
+    CodegenFallback by construction: no compile attempt, same values
+    (left fold from 0.0 ≡ left-assoc sum in IEEE — ``0.0 + x`` is exact,
+    and a ``-0.0`` result still fails ``> 0`` identically).  Measured
+    22-45 s → ~3 s for the 12-table signature stage at sf0.1."""
     def dot(b: int) -> str:
-        return " + ".join(
-            f"element_at({vec_col}, {d + 1}) * ({lsh_plane(table, b, d)!r}D)"
-            for d in range(dim)
+        planes = ", ".join(f"{lsh_plane(table, b, d)!r}D" for d in range(dim))
+        return (
+            f"aggregate(zip_with({vec_col}, array({planes}), (x, p) -> x * p), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
 
     bits = " + ".join(
