@@ -47,6 +47,12 @@ DEFAULT_QUERIES = [
     "bracket_predicate", "part_promotion", "cusum_changepoint",
     "graph_modularity", "robust_outliers", "copurchase_lift",
     "kmv_overlap",
+    # round-5 continuation: graph cohesion, attribution, rank fusion,
+    # TPC-H completion, and the two operators whose scale behavior this
+    # round FIXED (containment auto cost model, LSH signature codegen)
+    "k_core", "clustering_coeff", "multi_touch", "rrf_fusion",
+    "late_order_priority", "discount_revenue", "priority_mix",
+    "lsh_cosine_topk", "semantic_dedup",
 ]
 
 NOTES = {
@@ -87,6 +93,20 @@ NOTES = {
     ),
     "graph_modularity": "CC + aggregates over the pair stream, never the corpus",
     "copurchase_lift": "order-keyed self-join; fan-out bounded by basket sizes",
+    "containment_dedup": (
+        "auto picks by the two-cost model: bitmap GEMM at sf0.1, "
+        "countjoin at sf1.0 (the replicated corpus keeps per-shingle df "
+        "constant, so the countjoin's sum-df^2 join rows grow linearly)"
+    ),
+    "k_core": "degree agg + anti joins per peel round over the pair stream only",
+    "clustering_coeff": "triangle enumeration over the pair stream, never the corpus",
+    "multi_touch": "one user-partitioned window carry + two aggregates",
+    "rrf_fusion": "upstream rankers scan-bound; fusion join <= sum of top-n rows",
+    "lsh_cosine_topk": (
+        "signature stage is a per-row HOF fold (scan-bound); bucket join "
+        "fan-out held by adaptive nbits (one bit per corpus doubling)"
+    ),
+    "semantic_dedup": "per-row cell assignment + within-cell integer verify",
 }
 
 
