@@ -187,6 +187,7 @@ EXTENDED = [
     "late_order_priority",
     "discount_revenue",
     "priority_mix",
+    "seasonal_naive",
     # hyperplane-LSH ANN: its signature stage regressed invisibly once
     # (codegen compile storm on the collapsed projection) — keep a row
     "lsh_cosine_topk",

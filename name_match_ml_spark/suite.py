@@ -3817,6 +3817,43 @@ def q_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error per event type: predict each hour's
+    total value with the value exactly 7 days earlier (the standard
+    baseline every forecasting model must beat) and score MAE on the
+    1e6 integer grid.  Plan: one hourly aggregate, then a time-shifted
+    SELF-join on (type, hour − 7d) — an equi-join after the shift, so
+    it hash-joins on narrow keys instead of windowing over sparse gaps
+    (and the 'exactly 7 days earlier, if observed' semantic is explicit
+    rather than lag-168-observed-rows).  All errors exact int64; MAE is
+    one integer floor division."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).alias("h"),
+            F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v").alias("v"))
+    )
+    prev = hourly.select(
+        "event_type", (F.col("h") + F.lit(604800)).alias("h"), F.col("v").alias("v_pred")
+    )
+    scored = hourly.join(prev, ["event_type", "h"]).select(
+        "event_type", F.abs(F.col("v") - F.col("v_pred")).alias("ae")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("ae").alias("sae"),
+            F.expr("sum(ae) div count(1)").alias("mae_grid"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution per channel
     (operators/analytics.py::attribution_linear): clicks AND views are
@@ -3840,6 +3877,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_order_priority": q_late_order_priority,
     "discount_revenue": q_discount_revenue,
     "priority_mix": q_priority_mix,
+    "seasonal_naive": q_seasonal_naive,
     "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
     "robust_outliers": q_robust_outliers,
@@ -7879,4 +7917,22 @@ ORACLE_SQL["priority_mix"] = """
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY l_linestatus
     ORDER BY l_linestatus
+"""
+
+
+ORACLE_SQL["seasonal_naive"] = """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+             CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    scored AS (
+      SELECT a.event_type, abs(a.v - b.v) AS ae
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND b.h = a.h - 604800)
+    SELECT event_type,
+           COUNT(*) AS n_scored,
+           CAST(SUM(ae) AS BIGINT) AS sae,
+           CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_grid
+    FROM scored GROUP BY event_type ORDER BY event_type
 """
