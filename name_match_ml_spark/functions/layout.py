@@ -114,7 +114,7 @@ def hilbert_sql_2d(
 ) -> str:
     """The identical Hilbert walk as a portable chained-CTE SQL query
     (one CTE per level, mirroring the named-projection chain of
-    :func:`hilbert_key_2d`), generated from the same loop so the
+    :func:`with_hilbert_key`), generated from the same loop so the
     declared query hash-checks the exact key.  ``carry`` columns ride
     along unchanged; the final SELECT exposes ``(carry, hx, hy, hkey)``
     where hx/hy are the fully-rotated coordinates."""

@@ -280,12 +280,22 @@ def _bitmap_set_pairs(
         raise ValueError(f"unknown measure {measure!r}")
     score_col = "jaccard" if measure == "jaccard" else "containment"
     spark = base.sparkSession
-    vocab = np.sort(
-        np.array(
-            [r[0] for r in base.select(F.explode("sh").alias("h")).distinct().collect()],
-            dtype=np.int64,
+    distinct_h = base.select(F.explode("sh").alias("h")).distinct()
+    # Guard at point of use, not only in the auto selector, and BEFORE
+    # the collect: a caller forcing strategy="bitmap" on a wide-vocab
+    # corpus must get this error, not a driver OOM from an unbounded
+    # collect+broadcast.  The extra count re-scans only the distinct
+    # aggregate; the `auto` paths exact-count the vocabulary anyway and
+    # can never trip this.
+    v_exact = distinct_h.count()
+    if v_exact > _BITMAP_MAX_VOCAB:
+        raise ValueError(
+            f"bitmap strategy requires a distinct-shingle vocabulary of at most "
+            f"{_BITMAP_MAX_VOCAB} (got {v_exact}): the vocabulary is collected "
+            f"to the driver and broadcast. Use strategy='auto' (picks a shuffle "
+            f"plan for wide vocabularies) or raise max_shingle_df pruning."
         )
-    )
+    vocab = np.sort(np.array([r[0] for r in distinct_h.collect()], dtype=np.int64))
     bc_vocab = spark.sparkContext.broadcast(vocab)
     c = max(1, -(-base.count() // _BITMAP_CHUNK_ROWS))
     chunked = base.withColumn("chunk", F.pmod(F.xxhash64("doc_id"), F.lit(c)).cast("int"))
@@ -422,7 +432,10 @@ def _cap_shingle_df(base: DataFrame, max_shingle_df: int | None) -> DataFrame:
     return (
         tok.join(keep, "h", "left_semi")
         .groupBy("doc_id")
-        .agg(F.collect_list("h").alias("sh"))
+        # sort_array: collect_list order is nondeterministic; every current
+        # consumer (size/explode/searchsorted) is order-insensitive, but the
+        # module convention is bit-replayable columns, so pin the order.
+        .agg(F.sort_array(F.collect_list("h")).alias("sh"))
     )
 
 

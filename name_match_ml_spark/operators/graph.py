@@ -476,6 +476,14 @@ def bellman_ford_k(
     return dist
 
 
+# Shared with the suite's unrolled-CTE k_core oracle: the oracle peels
+# exactly this many rounds, and q_k_core passes it as `max_iter`, so a
+# graph whose peel chain is deeper fails LOUDLY (RuntimeError with the
+# round count) on the Spark side rather than silently hash-mismatching
+# an under-peeled oracle.
+K_CORE_ORACLE_ROUNDS = 24
+
+
 def k_core(
     pairs: DataFrame,
     *,

@@ -3634,9 +3634,14 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support",
             "supp_a",
             "supp_b",
-            F.expr("(support * n_orders * 1000000) DIV (supp_a * supp_b)").alias(
-                "lift_grid"
-            ),
+            # The numerator support·N·1e6 approaches int64 at ~1e8 orders with
+            # hot pairs; do the arithmetic in decimal(38,0) (HUGEINT in the
+            # oracle) and cast the final grid back to BIGINT so the hashed
+            # dtype is unchanged while the headroom is 38 digits on both sides.
+            F.expr(
+                "CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
+            ).alias("lift_grid"),
         )
     )
     return scored.orderBy(
@@ -3667,11 +3672,13 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     away; the oracle unrolls the same order-independent peeling as
     chained CTEs."""
     from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import k_core
+    from .operators.graph import K_CORE_ORACLE_ROUNDS, k_core
 
     d = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
-    return k_core(pairs, k=2).orderBy("id")
+    # max_iter tied to the oracle's unroll depth: a peel chain deeper
+    # than the oracle raises loudly instead of hash-mismatching.
+    return k_core(pairs, k=2, max_iter=K_CORE_ORACLE_ROUNDS).orderBy("id")
 
 
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7654,8 +7661,8 @@ ORACLE_SQL["copurchase_lift"] = """
       GROUP BY 1, 2
       HAVING count(*) >= 3)
     SELECT pk_a, pk_b, support, sa.supp AS supp_a, sb.supp AS supp_b,
-           CAST((support * n_orders * 1000000) // (sa.supp * sb.supp)
-                AS BIGINT) AS lift_grid
+           CAST((CAST(support AS HUGEINT) * n_orders * 1000000)
+                // (CAST(sa.supp AS HUGEINT) * sb.supp) AS BIGINT) AS lift_grid
     FROM pairs
     JOIN supp sa ON sa.pk = pk_a
     JOIN supp sb ON sb.pk = pk_b
@@ -7755,7 +7762,9 @@ def _k_core_sql(k: int = 2, rounds: int = 24) -> str:
     return "".join(parts)
 
 
-ORACLE_SQL["k_core"] = _k_core_sql(k=2, rounds=24)
+from .operators.graph import K_CORE_ORACLE_ROUNDS as _K_CORE_ROUNDS
+
+ORACLE_SQL["k_core"] = _k_core_sql(k=2, rounds=_K_CORE_ROUNDS)
 
 
 ORACLE_SQL["multi_touch"] = """

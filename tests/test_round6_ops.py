@@ -1,0 +1,140 @@
+"""Round-6 hardening: bitmap vocabulary guard at point of use, k-core
+oracle-depth tie, deterministic capped shingle arrays, lift headroom."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_forced_bitmap_wide_vocab_raises(spark, monkeypatch):
+    """Forcing strategy='bitmap' on a corpus whose distinct-shingle
+    vocabulary exceeds _BITMAP_MAX_VOCAB must raise a clear ValueError
+    BEFORE the driver-side vocabulary collect — not OOM (VERDICT r5 #2).
+    The cap is monkeypatched tiny so the fixture stays small."""
+    from name_match_ml_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_BITMAP_MAX_VOCAB", 4)
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="bitmap strategy requires"):
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, shingle_n=2, strategy="bitmap"
+        ).collect()
+    with pytest.raises(ValueError, match="bitmap strategy requires"):
+        dedup.ngram_containment_pairs(
+            docs, threshold=0.5, shingle_n=2, strategy="bitmap"
+        ).collect()
+
+
+def test_forced_bitmap_small_vocab_still_works(spark):
+    """The guard must not break legitimate forced-bitmap use: a
+    small-vocab corpus forced to bitmap matches the countjoin answer."""
+    from name_match_ml_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red green blue yellow"),
+            (2, "red green blue purple"),
+            (3, "cyan magenta white black"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, shingle_n=2, strategy="bitmap"
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, shingle_n=2, strategy="countjoin"
+        ).collect()
+    )
+    assert got == want and len(got) == 1
+
+
+def test_k_core_rounds_within_oracle_depth_on_real_corpus(spark):
+    """ADVICE r5: the k_core oracle unrolls K_CORE_ORACLE_ROUNDS peel
+    rounds; prove the real sf corpus converges well inside that bound
+    (q_k_core now passes max_iter=K_CORE_ORACLE_ROUNDS, so a deeper
+    chain raises a loud RuntimeError rather than hash-mismatching)."""
+    from name_match_ml_spark.operators import graph
+    from name_match_ml_spark.operators.dedup import ngram_jaccard_pairs
+    from name_match_ml_spark.suite import table
+
+    d = table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    out = graph.k_core(pairs, k=2, max_iter=graph.K_CORE_ORACLE_ROUNDS)
+    out.collect()
+    assert 1 <= graph.last_rounds <= graph.K_CORE_ORACLE_ROUNDS
+
+
+def test_k_core_deep_chain_fails_loudly(spark):
+    """A peel chain deeper than max_iter must raise with a round-count
+    message, never silently return an under-peeled graph."""
+    from name_match_ml_spark.operators.graph import k_core
+
+    # Path graph 0-1-2-...-9: peels one leaf pair per round from each
+    # end; with max_iter=2 the 10-node path cannot finish.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge in 2 rounds"):
+        k_core(edges, k=2, max_iter=2)
+
+
+def test_capped_shingle_array_is_sorted(spark):
+    """_cap_shingle_df now pins element order (sort_array over the
+    nondeterministic collect_list) so the capped `sh` column is
+    bit-replayable if ever hashed or persisted (ADVICE r5)."""
+    from name_match_ml_spark.operators.dedup import (
+        _cap_shingle_df,
+        _staged_shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b x y z w q r")],
+        "doc_id long, text string",
+    )
+    base = _staged_shingle_hashes(docs, "text", "doc_id", 2)
+    capped = _cap_shingle_df(base, max_shingle_df=10)
+    for row in capped.collect():
+        assert list(row["sh"]) == sorted(row["sh"])
+
+
+def test_copurchase_lift_decimal_headroom_matches_int_path(spark):
+    """The decimal(38,0) lift grid must equal the plain int64 result in
+    the non-overflow regime (ADVICE r5: headroom change, same values)."""
+    df = spark.createDataFrame(
+        [(40, 2_000_000, 100, 200)],
+        "support long, n_orders long, supp_a long, supp_b long",
+    )
+    out = df.select(
+        F.expr(
+            "CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 1000000)"
+            " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
+        ).alias("dec_grid"),
+        F.expr("(support * n_orders * 1000000) DIV (supp_a * supp_b)").alias(
+            "int_grid"
+        ),
+    ).first()
+    assert out["dec_grid"] == out["int_grid"] == 4_000_000_000
+    # And a case that WOULD overflow int64 in the numerator still yields
+    # the mathematically exact grid on the decimal path.
+    big = spark.createDataFrame(
+        [(1000, 200_000_000, 10_000, 10_000)],
+        "support long, n_orders long, supp_a long, supp_b long",
+    )
+    val = big.select(
+        F.expr(
+            "CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 1000000)"
+            " DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"
+        ).alias("g")
+    ).first()["g"]
+    assert val == (1000 * 200_000_000 * 1_000_000) // (10_000 * 10_000)
