@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "near_dup_graph",
     "connected_components",
     "pagerank",
     "triangles",
@@ -54,6 +55,57 @@ __all__ = [
 # Rounds used by the most recent connected_components call (label rounds
 # + star rounds); read by tests asserting the O(log n) bound.
 last_rounds: int = 0
+
+
+def near_dup_graph(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+    with_components: bool = False,
+    cc_max_iter: int = 25,
+):
+    """Derive the near-dup pair graph ONCE and stage it for every
+    graph-family consumer.
+
+    Every graph-quality operator (``triangles``, ``k_core``,
+    ``pagerank``, ``bfs_hops``, ``bellman_ford_k``, modularity,
+    clustering coefficient) and every cluster-aware cleaning operator
+    (``leak_safe_split``, ``select_keepers``) starts from the same
+    ``ngram_jaccard_pairs(docs, threshold, shingle_n)`` edge list — and
+    several also need its connected components.  Composed pipelines
+    that re-derive the pairs per consumer pay the full shingle join
+    each time; at 100 TB the pair graph is materialized once (this
+    builder, or its ``save_bucketed`` persisted twin) and read by every
+    consumer.  ``stage`` cuts the lineage with a local checkpoint, so
+    each consumer's plan is a scan of the stored pair rows, not a
+    re-derivation.
+
+    Returns the staged ``(doc_a, doc_b, jaccard)`` DataFrame, or the
+    tuple ``(pairs, clusters)`` with ``clusters = (id, cluster_id)``
+    also staged when ``with_components=True``.  ``materialize=False``
+    skips staging (single-consumer declared queries keep their fully
+    visible one-shot plan).
+    """
+    from ..plans.staging import stage
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    ).select("doc_a", "doc_b", "jaccard")
+    pairs = stage(pairs, "doc_a", enabled=materialize)
+    if not with_components:
+        return pairs
+    comp = connected_components(pairs, max_iter=cc_max_iter)
+    comp = stage(comp, "id", enabled=materialize)
+    return pairs, comp
 
 
 def _label_sum(labels: DataFrame):

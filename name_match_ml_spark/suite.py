@@ -904,11 +904,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keeper-selection step of a dedup pipeline.  Fully
     oracle-checkable (DuckDB recursive CTE reaches the same unique
     fixpoint)."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import connected_components
+    from .operators.graph import connected_components, near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    pairs = near_dup_graph(d, materialize=False)
     comp = connected_components(pairs)
     w_sz = Window.partitionBy("cluster_id")
     return comp.select(
@@ -1280,10 +1279,10 @@ def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated documents can never straddle train and eval
     (operators/cleaning.py::leak_safe_split)."""
     from .operators.cleaning import leak_safe_split
-    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    pairs = near_dup_graph(d, materialize=False)
     return leak_safe_split(d, pairs)
 
 
@@ -1293,10 +1292,10 @@ def q_select_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs -> clusters -> keepers end of the dedup pipeline
     (operators/cleaning.py::select_keepers)."""
     from .operators.cleaning import select_keepers
-    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    pairs = near_dup_graph(d, materialize=False)
     return select_keepers(d, pairs, quality_col="n_chars")
 
 
@@ -1717,11 +1716,12 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ::triangles, degree-oriented node-iterator): ordered (a, b, c)
     triples.  Cohesion check on the same pair stream dedup_clusters
     consumes — triangle-free chains flag risky transitive merges."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import triangles
+    from .operators.graph import near_dup_graph, triangles
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    # triangles consumes the edge list 4x (degree agg, orientation join
+    # x2, closing semi-join): stage the pair derivation once.
+    pairs = near_dup_graph(d)
     return triangles(pairs)
 
 
@@ -2613,11 +2613,10 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard near-dup graph — the blast-radius / label-spread
     propagation query.  Layered frontier expansion, one equi-join per
     round; the oracle is a depth-limited recursive CTE."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import bfs_hops
+    from .operators.graph import bfs_hops, near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    pairs = near_dup_graph(d, materialize=False)
     seeds = d.filter(F.col("doc_id") % 100 == 0).select(F.col("doc_id").alias("id"))
     return bfs_hops(
         pairs, seeds, max_hops=3, src_col="doc_a", dst_col="doc_b", seed_col="id"
@@ -3013,11 +3012,10 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     path cost using ≤ 4 edges.  Integer weights keep every candidate
     distance an exact int64 sum; the oracle is a depth-limited
     recursive CTE over the same weighted edges."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import bellman_ford_k
+    from .operators.graph import bellman_ford_k, near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2)
+    pairs = near_dup_graph(d, materialize=False)
     weighted = pairs.select(
         "doc_a",
         "doc_b",
@@ -3510,11 +3508,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     that says whether dedup clusters are tight groups or one smeared
     blob.  All aggregates run over the (small) pair stream, never the
     corpus."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import connected_components
+    from .operators.graph import connected_components, near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    # staged once: pairs feed the component resolution AND the degree
+    # aggregate — without staging the shingle join runs twice.
+    pairs = near_dup_graph(d).select("doc_a", "doc_b")
     comp = connected_components(pairs)
     deg = (
         pairs.select(F.col("doc_a").alias("id"))
@@ -3671,11 +3670,10 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains (the false-merge hazard for transitive clustering) peel
     away; the oracle unrolls the same order-independent peeling as
     chained CTEs."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import K_CORE_ORACLE_ROUNDS, k_core
+    from .operators.graph import K_CORE_ORACLE_ROUNDS, k_core, near_dup_graph
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    pairs = near_dup_graph(d, materialize=False).select("doc_a", "doc_b")
     # max_iter tied to the oracle's unroll depth: a peel chain deeper
     # than the oracle raises loudly instead of hash-mismatching.
     return k_core(pairs, k=2, max_iter=K_CORE_ORACLE_ROUNDS).orderBy("id")
@@ -3690,11 +3688,12 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     says transitive merging is unsafe there.  Reuses the hash-checked
     degree-oriented triangle enumeration; one explode + two
     partial-combining aggregates + one narrow left join on top."""
-    from .operators.dedup import ngram_jaccard_pairs
-    from .operators.graph import triangles
+    from .operators.graph import near_dup_graph, triangles
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.5, shingle_n=2).select("doc_a", "doc_b")
+    # staged once: the pair stream feeds the triangle enumeration (4
+    # consumptions) AND the degree aggregate below.
+    pairs = near_dup_graph(d).select("doc_a", "doc_b")
     tri = triangles(pairs)
     tn = (
         tri.select(
