@@ -1310,6 +1310,54 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(d, budget=256, n_buckets=32)
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline as ONE declared query:
+    gopher quality gate -> near-dup keeper dedup over a SINGLE staged
+    pair graph -> benchmark decontamination -> deterministic mixture
+    rebalance -> greedy sequence packing.  Every stage is the
+    hash-checked single operator declared elsewhere; this entry pins
+    the COMPOSITION semantics — filter ordering, shared cluster map,
+    the staged pair job running once (operators/graph.py::
+    near_dup_graph) — under the same oracle gate, with a CTE-chained
+    DuckDB twin replaying all five stages."""
+    from .functions.text import gopher_quality
+    from .operators.cleaning import (
+        decontaminate_ngrams,
+        mixture_sample,
+        select_keepers,
+    )
+    from .operators.graph import near_dup_graph
+    from .operators.packing import pack_documents
+
+    d = table(spark, sf_dir, "documents")
+    # 1. rule-based quality gate (same thresholds as gopher_quality)
+    gq = gopher_quality(d, min_words=40, min_stopword_hits=1)
+    kept = d.join(gq.filter("passes").select("doc_id"), "doc_id")
+    # 2. near-dup dedup: ONE staged pair derivation + component map;
+    #    at 100 TB the graph is materialized once and every consumer
+    #    reads the stored rows
+    _pairs, clusters = near_dup_graph(kept, with_components=True)
+    keep_ids = (
+        select_keepers(kept, clusters=clusters, quality_col="n_chars")
+        .filter("is_keeper")
+        .select("doc_id")
+    )
+    deduped = kept.join(keep_ids, "doc_id")
+    # 3. benchmark decontamination: the eval slice (doc_id % 97 == 0)
+    #    is removed outright and docs sharing any 4-gram with it drop
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = deduped.filter(F.col("doc_id") % 97 != 0)
+    flags = decontaminate_ngrams(corpus, bench, n=4, min_hits=1, hash_fn="md5_60")
+    clean = corpus.join(flags.filter("NOT contaminated").select("doc_id"), "doc_id")
+    # 4. deterministic mixture rebalance (seeded hash threshold)
+    mixed = mixture_sample(clean, {"en": 0.35, "zh": 0.9}, seed="mix")
+    # 5. greedy fixed-budget packing into training sequences
+    packed = pack_documents(mixed, budget=256, n_buckets=32)
+    return packed.join(mixed.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "bucket", "n_tokens", "pack_seq"
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (functions/text.py [EXT]; fully
     oracle-checkable — rank is computed on the rounded score so double
@@ -4031,6 +4079,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_filter": q_repetition_filter,
     "mixture_sample": q_mixture_sample,
     "pack_documents": q_pack_documents,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5336,6 +5385,117 @@ ORACLE_SQL["gopher_quality"] = f"""
             AND (alpha_word_ratio >= 0.8)
             AND (stopword_hits >= 1)) AS passes
     FROM m
+"""
+
+# The composed five-stage cleaning pipeline: each CTE block below is
+# the (already individually hash-checked) oracle of one stage, chained
+# in pipeline order.  MATERIALIZED on every multiply-referenced CTE —
+# DuckDB inlines otherwise and the chain expands exponentially.
+ORACLE_SQL["pipeline_clean_corpus"] = f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    gm AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+                   / greatest(len(ws), 1), 6) AS mean_word_len,
+             round(((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3)
+                   ::DOUBLE / greatest(len(ws), 1), 6) AS symbol_ratio,
+             round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / greatest(len(ws), 1), 6) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(ws), [{_GOPHER_STOPWORDS}])) AS stopword_hits
+      FROM w),
+    gkeep AS MATERIALIZED (
+      SELECT doc_id FROM gm
+      WHERE n_words >= 40 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND stopword_hits >= 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])
+               ELSE ws END) AS shingles
+      FROM w JOIN gkeep USING (doc_id)),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    prs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (SELECT s, d FROM prs UNION SELECT d, s FROM prs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    comp AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    keepers AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT q.doc_id,
+               row_number() OVER (PARTITION BY q.cluster_id
+                                  ORDER BY q.quality DESC, q.doc_id ASC) AS rn
+        FROM (SELECT dd.doc_id, coalesce(c.cluster_id, dd.doc_id) AS cluster_id,
+                     dd.n_chars::BIGINT AS quality
+              FROM documents dd JOIN gkeep USING (doc_id)
+              LEFT JOIN comp c USING (doc_id)) q)
+      WHERE rn = 1),
+    g4 AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 4
+               THEN list_transform(range(1, len(ws) - 2),
+                                   i -> array_to_string(list_slice(ws, i, i + 3), ' '))
+               ELSE []::VARCHAR[] END) AS grams
+      FROM w),
+    bg AS MATERIALIZED (
+      SELECT DISTINCT unnest(grams) AS gram FROM g4 WHERE doc_id % 97 = 0),
+    corpus0 AS MATERIALIZED (
+      SELECT doc_id FROM keepers WHERE doc_id % 97 <> 0),
+    hits AS MATERIALIZED (
+      SELECT cg.doc_id
+      FROM (SELECT g4.doc_id, unnest(g4.grams) AS gram
+            FROM g4 JOIN corpus0 USING (doc_id)) cg
+      JOIN bg USING (gram)
+      GROUP BY cg.doc_id),
+    clean AS (
+      SELECT doc_id FROM corpus0
+      WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+    mixed AS MATERIALIZED (
+      SELECT dd.doc_id, dd.lang, dd.source
+      FROM documents dd JOIN clean USING (doc_id)
+      WHERE ('0x' || substr(md5('mix:' || dd.doc_id::VARCHAR), 1, 15))::BIGINT
+            < (CASE WHEN dd.lang = 'en' THEN {int(0.35 * (1 << 60))}
+                    WHEN dd.lang = 'zh' THEN {int(0.9 * (1 << 60))}
+                    ELSE {1 << 60} END)),
+    pbase AS (
+      SELECT m.doc_id,
+             (('0x' || substr(md5(m.doc_id::VARCHAR), 1, 15))::BIGINT % 32)::INT AS bucket,
+             coalesce(len(w.ws), 0)::BIGINT AS n_tokens
+      FROM mixed m JOIN w USING (doc_id)),
+    ordered AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM pbase),
+    steps AS (
+      SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_seq, n_tokens AS cum
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN s.cum + o.n_tokens > 256
+                  THEN s.pack_seq + 1 ELSE s.pack_seq END,
+             CASE WHEN s.cum + o.n_tokens > 256
+                  THEN o.n_tokens ELSE s.cum + o.n_tokens END
+      FROM steps s JOIN ordered o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+    SELECT st.doc_id, m.lang, m.source, st.bucket, st.n_tokens, st.pack_seq
+    FROM steps st JOIN mixed m USING (doc_id)
 """
 
 # thresholds single-sourced: the operator computes int((e % 1.0) * 2^60)
