@@ -1773,6 +1773,37 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(pairs)
 
 
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram_lm.py::unigram_lm_train): 2 hard-EM rounds over
+    the lexicon's substring-candidate table, int64-grid costs, lattice
+    counts from min-plus-closure DPs, deterministic pruning.  Returns
+    the final (token, freq, cost_grid) vocabulary — the tokenizer
+    artifact beside BPE's merge table; the oracle replays every round
+    as generated unrolled CTEs with pinned round counts."""
+    from .operators.unigram_lm import unigram_lm_train
+
+    vocab, _segs = unigram_lm_train(
+        table(spark, sf_dir, "documents"), max_words=1000, vocab_size=64, em_rounds=2
+    )
+    return vocab
+
+
+def q_unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final unigram-LM segmentation of the lexicon (same training run
+    as unigram_lm_vocab): each word's chosen minimum-cost tokenization
+    under the learned costs — shortest-token-first among
+    suffix-optimal edges, path recovered by a boolean-semiring closure.
+    Hash equality checks the DP + tie rule end to end, not just the
+    vocabulary."""
+    from .operators.unigram_lm import unigram_lm_train
+
+    _vocab, segs = unigram_lm_train(
+        table(spark, sf_dir, "documents"), max_words=1000, vocab_size=64, em_rounds=2
+    )
+    return segs
+
+
 def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface (SURVEY §2.7): per-event-type median absolute
     deviation of `value` via an Arrow GROUPED_AGG pandas UDF — the
@@ -3989,6 +4020,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_left_join": q_stream_left_join,
     "bpe_merges": q_bpe_merges,
     "bpe_segments": q_bpe_segments,
+    "unigram_lm_vocab": q_unigram_lm_vocab,
+    "unigram_lm_segments": q_unigram_lm_segments,
     "source_divergence": q_source_divergence,
     "rolling_median": q_rolling_median,
     "semantic_dedup": q_semantic_dedup,
@@ -6605,6 +6638,152 @@ def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = Fals
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
+
+
+def _unigram_oracle_sql(
+    final: bool = False,
+    *,
+    max_words: int = 1000,
+    vocab_size: int = 64,
+    max_token_len: int = 4,
+    em_rounds: int = 2,
+    doubling_rounds: int = 4,
+) -> str:
+    """DuckDB mirror of ``q_unigram_lm_vocab`` / ``q_unigram_lm_segments``
+    (operators/unigram_lm.py): seed-candidate counting, ``em_rounds``
+    hard-EM rounds (int64-grid costs → min-plus closure by
+    ``doubling_rounds`` squarings → on-lattice counts → prune+smooth),
+    then either the final cost table (vocab) or the chosen segmentation
+    (suffix-optimal min-j edges + boolean-semiring path recovery).
+    Every multiply-referenced CTE is MATERIALIZED (DuckDB inlines
+    otherwise and the closure chain expands exponentially)."""
+
+    def closure(tag: str, edges: str) -> str:
+        parts = [
+            f"""
+    {tag}0 AS MATERIALIZED (
+      SELECT wid, i, j, min(cost) AS cost FROM (
+        SELECT wid, i, j, cost FROM {edges}
+        UNION ALL SELECT wid, i, j, cost FROM diag)
+      GROUP BY wid, i, j)"""
+        ]
+        for s in range(doubling_rounds):
+            parts.append(
+                f""",
+    {tag}{s + 1} AS MATERIALIZED (
+      SELECT a.wid, a.i, b.j, min(a.cost + b.cost) AS cost
+      FROM {tag}{s} a JOIN {tag}{s} b ON a.wid = b.wid AND a.j = b.i
+      GROUP BY a.wid, a.i, b.j)"""
+            )
+        return "".join(parts)
+
+    D = doubling_rounds
+    blocks = [
+        f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS wid
+      FROM documents),
+    lex AS MATERIALIZED (
+      SELECT wid, count(*)::BIGINT AS freq, length(wid)::BIGINT AS n
+      FROM words GROUP BY wid ORDER BY freq DESC, wid LIMIT {max_words}),
+    pos AS (SELECT wid, freq, n, unnest(range(n)) AS i FROM lex),
+    occ AS MATERIALIZED (
+      SELECT wid, freq, n, i, i + len AS j,
+             substr(wid, (i + 1)::INT, len::INT) AS tok
+      FROM (SELECT p.*, unnest(range(1, least({max_token_len}, n - i) + 1)) AS len
+            FROM pos p)),
+    diag AS MATERIALIZED (
+      SELECT wid, i, i AS j, 0::BIGINT AS cost
+      FROM (SELECT wid, unnest(range(n + 1)) AS i FROM lex)),
+    cand AS (SELECT tok, sum(freq)::BIGINT AS cnt FROM occ GROUP BY tok),
+    v0 AS MATERIALIZED (
+      SELECT tok, cnt FROM cand WHERE length(tok) = 1
+      UNION ALL
+      SELECT tok, cnt FROM (
+        SELECT tok, cnt FROM cand WHERE length(tok) > 1
+        ORDER BY cnt DESC, tok LIMIT {vocab_size}))"""
+    ]
+    for r in range(em_rounds):
+        blocks.append(
+            f""",
+    tot{r} AS (SELECT sum(cnt)::BIGINT AS tot FROM v{r}),
+    c{r} AS MATERIALIZED (
+      SELECT tok, cnt,
+             floor((-ln(cnt::DOUBLE / tot::DOUBLE)) * 1000000.0)::BIGINT AS cost
+      FROM v{r}, tot{r}),
+    e{r} AS MATERIALIZED (
+      SELECT o.wid, o.freq, o.n, o.i, o.j, o.tok, c.cost
+      FROM occ o JOIN c{r} c USING (tok)),{closure(f"d{r}_", f"e{r}")},
+    tw{r} AS (
+      SELECT d.wid, d.cost AS wtotal
+      FROM d{r}_{D} d JOIN lex l USING (wid) WHERE d.i = 0 AND d.j = l.n),
+    onp{r} AS (
+      SELECT e.tok, sum(e.freq)::BIGINT AS ncnt
+      FROM e{r} e
+      JOIN d{r}_{D} f ON f.wid = e.wid AND f.i = 0 AND f.j = e.i
+      JOIN d{r}_{D} b ON b.wid = e.wid AND b.i = e.j AND b.j = e.n
+      JOIN tw{r} t ON t.wid = e.wid
+      WHERE f.cost + e.cost + b.cost = t.wtotal
+      GROUP BY e.tok),
+    v{r + 1} AS MATERIALIZED (
+      SELECT v.tok, (coalesce(o.ncnt, 0) + 1)::BIGINT AS cnt
+      FROM v{r} v LEFT JOIN onp{r} o USING (tok)
+      WHERE length(v.tok) = 1 OR coalesce(o.ncnt, 0) > 0)"""
+        )
+    R = em_rounds
+    blocks.append(
+        f""",
+    totF AS (SELECT sum(cnt)::BIGINT AS tot FROM v{R}),
+    cF AS MATERIALIZED (
+      SELECT tok, cnt,
+             floor((-ln(cnt::DOUBLE / tot::DOUBLE)) * 1000000.0)::BIGINT AS cost
+      FROM v{R}, totF)"""
+    )
+    if not final:
+        blocks.append(
+            "\n    SELECT tok AS token, cnt AS freq, cost AS cost_grid FROM cF"
+        )
+        return "".join(blocks)
+    blocks.append(
+        f""",
+    eF AS MATERIALIZED (
+      SELECT o.wid, o.freq, o.n, o.i, o.j, o.tok, c.cost
+      FROM occ o JOIN cF c USING (tok)),{closure("dF_", "eF")},
+    dsn AS MATERIALIZED (
+      SELECT d.wid, d.i AS si, d.cost AS scost
+      FROM dF_{D} d JOIN lex l USING (wid) WHERE d.j = l.n),
+    sopt AS MATERIALIZED (
+      SELECT e.wid, e.freq, e.i, e.j, e.tok
+      FROM eF e
+      JOIN dsn a ON a.wid = e.wid AND a.si = e.i
+      JOIN dsn b ON b.wid = e.wid AND b.si = e.j
+      WHERE e.cost + b.scost = a.scost),
+    nxt AS (SELECT wid, i, min(j) AS j FROM sopt GROUP BY wid, i),
+    chos AS MATERIALIZED (
+      SELECT s.wid, s.freq, s.i, s.j, s.tok
+      FROM sopt s JOIN nxt x ON x.wid = s.wid AND x.i = s.i AND x.j = s.j),
+    t0 AS MATERIALIZED (
+      SELECT DISTINCT wid, i, j FROM (
+        SELECT wid, i, j FROM chos UNION ALL SELECT wid, i, j FROM diag))"""
+    )
+    for s in range(doubling_rounds):
+        blocks.append(
+            f""",
+    t{s + 1} AS MATERIALIZED (
+      SELECT DISTINCT a.wid, a.i, b.j
+      FROM t{s} a JOIN t{s} b ON a.wid = b.wid AND a.j = b.i)"""
+        )
+    blocks.append(
+        f"""
+    SELECT c.wid, c.freq, c.i::INTEGER AS pos, c.tok AS sym
+    FROM chos c JOIN t{D} t ON t.wid = c.wid AND t.i = 0 AND t.j = c.i"""
+    )
+    return "".join(blocks)
+
+
+ORACLE_SQL["unigram_lm_vocab"] = _unigram_oracle_sql()
+ORACLE_SQL["unigram_lm_segments"] = _unigram_oracle_sql(final=True)
 
 
 ORACLE_SQL["stream_left_join"] = """
