@@ -1111,6 +1111,19 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(d, min_words=40, min_stopword_hits=1)
 
 
+def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen fasttext-class quality model (functions/quality_model.py):
+    logistic-regression logit over 64 hashed word-unigram buckets,
+    weights distilled offline from the gopher gate and frozen as 1e6-grid
+    int64 literals — inference is ONE per-row integer fold, no UDF, no
+    shuffle, no model file.  The model-based cleaning signal beside the
+    rule-based gopher_quality; pytest pins ≥85% agreement between the
+    two gates."""
+    from .functions.quality_model import model_quality_scores
+
+    return model_quality_scores(table(spark, sf_dir, "documents"))
+
+
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-based mixture upsampling
     (operators/cleaning.py::epoch_upsample): src0 sees 2.5 epochs (2
@@ -4113,6 +4126,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "pack_documents": q_pack_documents,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "model_quality_filter": q_model_quality_filter,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5419,6 +5433,34 @@ ORACLE_SQL["gopher_quality"] = f"""
             AND (stopword_hits >= 1)) AS passes
     FROM m
 """
+
+def _quality_model_oracle_sql() -> str:
+    from .functions.quality_model import (
+        N_BUCKETS,
+        QUALITY_BIAS_GRID,
+        QUALITY_WEIGHTS_GRID,
+    )
+
+    wgt = ", ".join(str(int(v)) for v in QUALITY_WEIGHTS_GRID)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (SELECT [{wgt}]::BIGINT[] AS wgt),
+    s AS (
+      SELECT doc_id, len(ws)::BIGINT AS n_words,
+             ({QUALITY_BIAS_GRID} + coalesce(list_sum(list_transform(ws,
+                x -> wgt[(('0x' || substr(md5(x), 1, 15))::BIGINT
+                          % {N_BUCKETS}) + 1])), 0))::BIGINT AS score_grid
+      FROM w, g)
+    SELECT doc_id, n_words, score_grid, score_grid >= 0 AS keep FROM s
+"""
+
+
+ORACLE_SQL["model_quality_filter"] = _quality_model_oracle_sql()
+
 
 # The composed five-stage cleaning pipeline: each CTE block below is
 # the (already individually hash-checked) oracle of one stage, chained
