@@ -191,6 +191,12 @@ EXTENDED = [
     # hyperplane-LSH ANN: its signature stage regressed invisibly once
     # (codegen compile storm on the collapsed projection) — keep a row
     "lsh_cosine_topk",
+    # round 6: composed five-stage cleaning pipeline (single staged pair
+    # graph), unigram-LM tokenizer training, frozen linear quality gate
+    "pipeline_clean_corpus",
+    "unigram_lm_vocab",
+    "unigram_lm_segments",
+    "model_quality_filter",
 ]
 
 HEADLINE = [

@@ -51,7 +51,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unigram_lm_train", "DOUBLING_ROUNDS", "MAX_WORD_LEN"]
+__all__ = [
+    "unigram_lm_train",
+    "unigram_tokenize_docs",
+    "DOUBLING_ROUNDS",
+    "MAX_WORD_LEN",
+]
 
 # Pinned and shared with the oracle generator: the min-plus closure
 # covers paths of up to 2^DOUBLING_ROUNDS single-char edges, i.e. words
@@ -141,6 +146,75 @@ def _min_plus_closure(edges: DataFrame, diag: DataFrame, rounds: int) -> DataFra
     return d
 
 
+def _assert_word_len(words_df: DataFrame, who: str) -> None:
+    longest = words_df.agg(F.max("n")).first()[0] or 0
+    if longest > MAX_WORD_LEN:
+        raise ValueError(
+            f"{who}: longest word has {longest} chars but the "
+            f"pinned closure depth DOUBLING_ROUNDS={DOUBLING_ROUNDS} only covers "
+            f"words up to {MAX_WORD_LEN}; raise DOUBLING_ROUNDS (and regenerate "
+            f"the oracle) rather than silently under-converging."
+        )
+
+
+def _diag(words_df: DataFrame) -> DataFrame:
+    return words_df.select(
+        "wid", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias("i")
+    ).select("wid", "i", F.col("i").alias("j"), F.lit(0).cast("long").alias("cost"))
+
+
+def _segment(words_df: DataFrame, costed: DataFrame, max_token_len: int) -> DataFrame:
+    """Chosen minimum-cost segmentation ``(wid, freq, pos, sym)`` of each
+    ``(wid, freq, n)`` word under ``costed = (tok, cost)``: min-plus
+    closure → suffix-optimal edges → shortest-token choice →
+    boolean-semiring path recovery."""
+    occ = _occurrences(words_df, max_token_len)
+    diag = _diag(words_df)
+    edges = occ.join(costed.select("tok", "cost"), "tok")
+    d = _min_plus_closure(edges, diag, DOUBLING_ROUNDS)
+    # suffix-optimal edges: cost(i,j) + d(j,n) == d(i,n)
+    dsn = d.alias("d").join(words_df.select("wid", "n").alias("l"), "wid").filter(
+        F.col("d.j") == F.col("l.n")
+    ).select("wid", F.col("d.i").alias("si"), F.col("d.cost").alias("scost"))
+    di = dsn.select("wid", F.col("si").alias("i"), F.col("scost").alias("ci"))
+    dj = dsn.select("wid", F.col("si").alias("j"), F.col("scost").alias("cj"))
+    sopt = (
+        edges.join(di, ["wid", "i"])
+        .join(dj, ["wid", "j"])
+        .filter(F.col("cost") + F.col("cj") == F.col("ci"))
+        .select("wid", "freq", "i", "j", "tok")
+    )
+    nxt = sopt.groupBy("wid", "i").agg(F.min("j").alias("j"))
+    chos = sopt.join(nxt, ["wid", "i", "j"]).localCheckpoint()
+    # boolean-semiring closure over the chosen (out-degree ≤ 1) edges:
+    # path nodes = everything reachable from position 0
+    t = (
+        chos.select("wid", "i", "j")
+        .unionByName(diag.select("wid", "i", "j"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(DOUBLING_ROUNDS):
+        t = (
+            t.alias("a")
+            .join(
+                t.alias("b"),
+                (F.col("a.wid") == F.col("b.wid")) & (F.col("a.j") == F.col("b.i")),
+            )
+            .select(
+                F.col("a.wid").alias("wid"),
+                F.col("a.i").alias("i"),
+                F.col("b.j").alias("j"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    path_nodes = t.filter(F.col("i") == 0).select("wid", F.col("j").alias("i"))
+    return chos.join(path_nodes, ["wid", "i"]).select(
+        "wid", "freq", F.col("i").cast("int").alias("pos"), F.col("tok").alias("sym")
+    )
+
+
 def unigram_lm_train(
     docs: DataFrame,
     *,
@@ -159,19 +233,38 @@ def unigram_lm_train(
     lexicon word's chosen minimum-cost segmentation under the final
     costs (shortest-token-first among suffix-optimal edges).
     """
+    lex, final_cost = _train_costs(
+        docs,
+        text_col=text_col,
+        max_words=max_words,
+        vocab_size=vocab_size,
+        max_token_len=max_token_len,
+        em_rounds=em_rounds,
+    )
+    segments = _segment(lex, final_cost, max_token_len)
+    vocab_out = final_cost.select(
+        F.col("tok").alias("token"),
+        F.col("cnt").alias("freq"),
+        F.col("cost").alias("cost_grid"),
+    )
+    return vocab_out, segments
+
+
+def _train_costs(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    max_words: int,
+    vocab_size: int,
+    max_token_len: int,
+    em_rounds: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The EM training chain; returns ``(lex, final_cost)`` with
+    ``final_cost = (tok, cnt, cost)`` checkpointed."""
     lex = _lexicon(docs, text_col, max_words).localCheckpoint()
-    longest = lex.agg(F.max("n")).first()[0] or 0
-    if longest > MAX_WORD_LEN:
-        raise ValueError(
-            f"unigram_lm_train: longest lexicon word has {longest} chars but the "
-            f"pinned closure depth DOUBLING_ROUNDS={DOUBLING_ROUNDS} only covers "
-            f"words up to {MAX_WORD_LEN}; raise DOUBLING_ROUNDS (and regenerate "
-            f"the oracle) rather than silently under-converging."
-        )
+    _assert_word_len(lex, "unigram_lm_train")
     occ = _occurrences(lex, max_token_len).localCheckpoint()
-    diag = lex.select(
-        "wid", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n"))).alias("i")
-    ).select("wid", "i", F.col("i").alias("j"), F.lit(0).cast("long").alias("cost"))
+    diag = _diag(lex)
 
     cand = occ.groupBy("tok").agg(F.sum("freq").alias("cnt"))
     chars = cand.filter(F.length("tok") == 1)
@@ -226,53 +319,59 @@ def unigram_lm_train(
             .localCheckpoint()
         )
 
-    final_cost = _costed(vocab).localCheckpoint()
-    edges = occ.join(final_cost.select("tok", "cost"), "tok")
-    d = _min_plus_closure(edges, diag, DOUBLING_ROUNDS)
-    # suffix-optimal edges: cost(i,j) + d(j,n) == d(i,n)
-    dsn = d.alias("d").join(lex.select("wid", "n").alias("l"), "wid").filter(
-        F.col("d.j") == F.col("l.n")
-    ).select("wid", F.col("d.i").alias("si"), F.col("d.cost").alias("scost"))
-    di = dsn.select("wid", F.col("si").alias("i"), F.col("scost").alias("ci"))
-    dj = dsn.select("wid", F.col("si").alias("j"), F.col("scost").alias("cj"))
-    sopt = (
-        edges.join(di, ["wid", "i"])
-        .join(dj, ["wid", "j"])
-        .filter(F.col("cost") + F.col("cj") == F.col("ci"))
-        .select("wid", "freq", "i", "j", "tok")
+    return lex, _costed(vocab).localCheckpoint()
+
+
+def unigram_tokenize_docs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 1000,
+    vocab_size: int = 64,
+    max_token_len: int = 4,
+    em_rounds: int = 2,
+) -> DataFrame:
+    """Apply the trained unigram-LM tokenizer to the CORPUS: one row per
+    emitted token, ``(doc_id, wpos, pos, sym)`` with ``wpos`` the word's
+    0-based position in the document and ``pos`` the token's char offset
+    inside the word.
+
+    The apply path that makes the tokenizer usable downstream of
+    training (the unigram twin of "replaying BPE merges"): the DISTINCT
+    corpus word table is segmented ONCE under the final learned costs —
+    including words outside the capped training lexicon, which still
+    segment fine because every single character is in the vocabulary —
+    and documents join their words against that per-word segmentation.
+    At 100 TB the per-word table is the vocabulary-bounded artifact you
+    materialize; the corpus-sized work is one explode + one hash join.
+    """
+    _lex, final_cost = _train_costs(
+        docs,
+        text_col=text_col,
+        max_words=max_words,
+        vocab_size=vocab_size,
+        max_token_len=max_token_len,
+        em_rounds=em_rounds,
     )
-    nxt = sopt.groupBy("wid", "i").agg(F.min("j").alias("j"))
-    chos = sopt.join(nxt, ["wid", "i", "j"]).localCheckpoint()
-    # boolean-semiring closure over the chosen (out-degree ≤ 1) edges:
-    # path nodes = everything reachable from position 0
-    t = (
-        chos.select("wid", "i", "j")
-        .unionByName(diag.select("wid", "i", "j"))
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("wpos", "wid"),
+    )
+    allw = (
+        dw.select("wid")
         .distinct()
+        .select(
+            "wid",
+            F.lit(1).cast("long").alias("freq"),
+            F.length("wid").cast("long").alias("n"),
+        )
         .localCheckpoint()
     )
-    for _ in range(DOUBLING_ROUNDS):
-        t = (
-            t.alias("a")
-            .join(
-                t.alias("b"),
-                (F.col("a.wid") == F.col("b.wid")) & (F.col("a.j") == F.col("b.i")),
-            )
-            .select(
-                F.col("a.wid").alias("wid"),
-                F.col("a.i").alias("i"),
-                F.col("b.j").alias("j"),
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-    path_nodes = t.filter(F.col("i") == 0).select("wid", F.col("j").alias("i"))
-    segments = chos.join(path_nodes, ["wid", "i"]).select(
-        "wid", "freq", F.col("i").cast("int").alias("pos"), F.col("tok").alias("sym")
+    _assert_word_len(allw, "unigram_tokenize_docs")
+    segs = _segment(allw, final_cost, max_token_len)
+    return dw.join(segs.select("wid", "pos", "sym"), "wid").select(
+        "doc_id", F.col("wpos").cast("int").alias("wpos"), "pos", "sym"
     )
-    vocab_out = final_cost.select(
-        F.col("tok").alias("token"),
-        F.col("cnt").alias("freq"),
-        F.col("cost").alias("cost_grid"),
-    )
-    return vocab_out, segments

@@ -1817,6 +1817,22 @@ def q_unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs
 
 
+def q_unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram-LM tokenizer to the corpus
+    (operators/unigram_lm.py::unigram_tokenize_docs): one row per
+    emitted token — the tokenizer APPLY path.  The distinct corpus word
+    table is segmented once under the final learned costs (words
+    outside the capped lexicon still segment via the single-char
+    coverage guarantee); documents then join their exploded word
+    positions against the per-word segmentation, so corpus-sized work
+    is one explode + one hash join."""
+    from .operators.unigram_lm import unigram_tokenize_docs
+
+    return unigram_tokenize_docs(
+        table(spark, sf_dir, "documents"), max_words=1000, vocab_size=64, em_rounds=2
+    )
+
+
 def q_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF surface (SURVEY §2.7): per-event-type median absolute
     deviation of `value` via an Arrow GROUPED_AGG pandas UDF — the
@@ -4035,6 +4051,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_segments": q_bpe_segments,
     "unigram_lm_vocab": q_unigram_lm_vocab,
     "unigram_lm_segments": q_unigram_lm_segments,
+    "unigram_tokenize_docs": q_unigram_tokenize_docs,
     "source_divergence": q_source_divergence,
     "rolling_median": q_rolling_median,
     "semantic_dedup": q_semantic_dedup,
@@ -6685,6 +6702,7 @@ ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
 def _unigram_oracle_sql(
     final: bool = False,
     *,
+    mode: str | None = None,
     max_words: int = 1000,
     vocab_size: int = 64,
     max_token_len: int = 4,
@@ -6692,21 +6710,26 @@ def _unigram_oracle_sql(
     doubling_rounds: int = 4,
 ) -> str:
     """DuckDB mirror of ``q_unigram_lm_vocab`` / ``q_unigram_lm_segments``
-    (operators/unigram_lm.py): seed-candidate counting, ``em_rounds``
-    hard-EM rounds (int64-grid costs → min-plus closure by
-    ``doubling_rounds`` squarings → on-lattice counts → prune+smooth),
-    then either the final cost table (vocab) or the chosen segmentation
-    (suffix-optimal min-j edges + boolean-semiring path recovery).
-    Every multiply-referenced CTE is MATERIALIZED (DuckDB inlines
-    otherwise and the closure chain expands exponentially)."""
+    / ``q_unigram_tokenize_docs`` (operators/unigram_lm.py):
+    seed-candidate counting, ``em_rounds`` hard-EM rounds (int64-grid
+    costs → min-plus closure by ``doubling_rounds`` squarings →
+    on-lattice counts → prune+smooth), then the final cost table
+    (``mode="vocab"``), the lexicon's chosen segmentation
+    (``mode="segments"``: suffix-optimal min-j edges + boolean-semiring
+    path recovery), or the corpus token stream (``mode="tokenize"``:
+    the same segmentation chain over the DISTINCT corpus word table,
+    joined back to per-document word positions).  Every
+    multiply-referenced CTE is MATERIALIZED (DuckDB inlines otherwise
+    and the closure chain expands exponentially)."""
+    mode = mode or ("segments" if final else "vocab")
 
-    def closure(tag: str, edges: str) -> str:
+    def closure(tag: str, edges: str, diag: str = "diag") -> str:
         parts = [
             f"""
     {tag}0 AS MATERIALIZED (
       SELECT wid, i, j, min(cost) AS cost FROM (
         SELECT wid, i, j, cost FROM {edges}
-        UNION ALL SELECT wid, i, j, cost FROM diag)
+        UNION ALL SELECT wid, i, j, cost FROM {diag})
       GROUP BY wid, i, j)"""
         ]
         for s in range(doubling_rounds):
@@ -6782,19 +6805,21 @@ def _unigram_oracle_sql(
              floor((-ln(cnt::DOUBLE / tot::DOUBLE)) * 1000000.0)::BIGINT AS cost
       FROM v{R}, totF)"""
     )
-    if not final:
+    if mode == "vocab":
         blocks.append(
             "\n    SELECT tok AS token, cnt AS freq, cost AS cost_grid FROM cF"
         )
         return "".join(blocks)
-    blocks.append(
-        f""",
+
+    def seg_chain(wordsrc: str, occsrc: str, diagsrc: str) -> str:
+        out = [
+            f""",
     eF AS MATERIALIZED (
       SELECT o.wid, o.freq, o.n, o.i, o.j, o.tok, c.cost
-      FROM occ o JOIN cF c USING (tok)),{closure("dF_", "eF")},
+      FROM {occsrc} o JOIN cF c USING (tok)),{closure("dF_", "eF", diagsrc)},
     dsn AS MATERIALIZED (
       SELECT d.wid, d.i AS si, d.cost AS scost
-      FROM dF_{D} d JOIN lex l USING (wid) WHERE d.j = l.n),
+      FROM dF_{D} d JOIN {wordsrc} l USING (wid) WHERE d.j = l.n),
     sopt AS MATERIALIZED (
       SELECT e.wid, e.freq, e.i, e.j, e.tok
       FROM eF e
@@ -6807,25 +6832,67 @@ def _unigram_oracle_sql(
       FROM sopt s JOIN nxt x ON x.wid = s.wid AND x.i = s.i AND x.j = s.j),
     t0 AS MATERIALIZED (
       SELECT DISTINCT wid, i, j FROM (
-        SELECT wid, i, j FROM chos UNION ALL SELECT wid, i, j FROM diag))"""
-    )
-    for s in range(doubling_rounds):
-        blocks.append(
-            f""",
+        SELECT wid, i, j FROM chos UNION ALL SELECT wid, i, j FROM {diagsrc}))"""
+        ]
+        for s in range(doubling_rounds):
+            out.append(
+                f""",
     t{s + 1} AS MATERIALIZED (
       SELECT DISTINCT a.wid, a.i, b.j
       FROM t{s} a JOIN t{s} b ON a.wid = b.wid AND a.j = b.i)"""
-        )
-    blocks.append(
-        f"""
+            )
+        return "".join(out)
+
+    if mode == "segments":
+        blocks.append(seg_chain("lex", "occ", "diag"))
+        blocks.append(
+            f"""
     SELECT c.wid, c.freq, c.i::INTEGER AS pos, c.tok AS sym
     FROM chos c JOIN t{D} t ON t.wid = c.wid AND t.i = 0 AND t.j = c.i"""
+        )
+        return "".join(blocks)
+
+    if mode != "tokenize":
+        raise ValueError(f"unknown mode {mode!r}")
+    blocks.append(
+        f""",
+    allw AS MATERIALIZED (
+      SELECT wid, 1::BIGINT AS freq, length(wid)::BIGINT AS n
+      FROM (SELECT DISTINCT unnest(list_filter(
+              string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS wid
+            FROM documents)),
+    posA AS (SELECT wid, freq, n, unnest(range(n)) AS i FROM allw),
+    occA AS MATERIALIZED (
+      SELECT wid, freq, n, i, i + len AS j,
+             substr(wid, (i + 1)::INT, len::INT) AS tok
+      FROM (SELECT p.*, unnest(range(1, least({max_token_len}, n - i) + 1)) AS len
+            FROM posA p)),
+    diagA AS MATERIALIZED (
+      SELECT wid, i, i AS j, 0::BIGINT AS cost
+      FROM (SELECT wid, unnest(range(n + 1)) AS i FROM allw))"""
+    )
+    blocks.append(seg_chain("allw", "occA", "diagA"))
+    blocks.append(
+        f""",
+    dw AS (
+      SELECT doc_id, i AS wpos, ws[(i + 1)::INT] AS wid
+      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     w -> w <> '') AS ws
+                  FROM documents))),
+    segf AS MATERIALIZED (
+      SELECT c.wid, c.i::INTEGER AS pos, c.tok AS sym
+      FROM chos c JOIN t{D} t ON t.wid = c.wid AND t.i = 0 AND t.j = c.i)
+    SELECT d.doc_id, d.wpos::INTEGER AS wpos, s.pos, s.sym
+    FROM dw d JOIN segf s USING (wid)"""
     )
     return "".join(blocks)
 
 
 ORACLE_SQL["unigram_lm_vocab"] = _unigram_oracle_sql()
 ORACLE_SQL["unigram_lm_segments"] = _unigram_oracle_sql(final=True)
+ORACLE_SQL["unigram_tokenize_docs"] = _unigram_oracle_sql(mode="tokenize")
 
 
 ORACLE_SQL["stream_left_join"] = """

@@ -97,3 +97,36 @@ def test_deterministic_across_runs(spark, trained):
     vocab2, _ = unigram_lm_train(docs, vocab_size=64, em_rounds=2)
     again = {(r["token"], r["freq"], r["cost_grid"]) for r in vocab2.collect()}
     assert again == {(r["token"], r["freq"], r["cost_grid"]) for r in vocab_rows}
+
+
+def test_tokenize_docs_reassembles_corpus(spark):
+    """The corpus token stream must rebuild every document's word
+    sequence exactly (apply path = training segmentation semantics)."""
+    from name_match_ml_spark.operators.unigram_lm import unigram_tokenize_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    tok = unigram_tokenize_docs(docs, vocab_size=64, em_rounds=2)
+    rebuilt = (
+        tok.groupBy("doc_id", "wpos")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))).getField("sym"),
+            ).alias("w")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(F.collect_list(F.struct("wpos", "w"))).getField("w"),
+            ).alias("re")
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("want"),
+    )
+    bad = rebuilt.join(orig, "doc_id").filter(F.col("re") != F.col("want")).count()
+    assert bad == 0
