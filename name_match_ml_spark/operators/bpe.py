@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_lexicon", "bpe_train"]
+__all__ = ["bpe_lexicon", "bpe_train", "bpe_tokenize_docs"]
 
 
 def _chars(word: Column) -> Column:
@@ -86,21 +86,18 @@ def bpe_lexicon(
     )
 
 
-def _merge_round(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE round: returns ``(merged_seqs, winner)`` where winner is
-    a 0/1-row DataFrame ``(sym_a, sym_b, pair_count)``."""
+def _apply_winner(seqs: DataFrame, winner: DataFrame) -> DataFrame:
+    """Apply one merge pair (a 0/1-row ``(sym_a, sym_b, ...)`` DataFrame)
+    to the symbol table with the left-to-right run-parity rule.  An
+    empty winner empties the table (INNER 1-row join) — the shared
+    exhaustion semantics of training and application."""
     w = Window.partitionBy("wid").orderBy("pos")
     paired = seqs.select(
         "wid", "freq", "pos", "sym", F.lead("sym").over(w).alias("_nxt")
     )
-    counts = (
-        paired.filter(F.col("_nxt").isNotNull())
-        .groupBy(F.col("sym").alias("sym_a"), F.col("_nxt").alias("sym_b"))
-        .agg(F.sum("freq").alias("pair_count"))
-    )
-    winner = counts.orderBy(F.desc("pair_count"), "sym_a", "sym_b").limit(1)
-
-    tagged = paired.crossJoin(F.broadcast(winner)).withColumn(
+    tagged = paired.crossJoin(
+        F.broadcast(winner.select("sym_a", "sym_b"))
+    ).withColumn(
         "_match",
         (F.col("sym") == F.col("sym_a")) & (F.col("_nxt") == F.col("sym_b")),
     )
@@ -123,7 +120,23 @@ def _merge_round(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
         ),
         (F.row_number().over(w) - 1).alias("pos"),
     )
-    return kept.select("wid", "freq", "pos", "sym"), winner
+    return kept.select("wid", "freq", "pos", "sym")
+
+
+def _merge_round(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round: returns ``(merged_seqs, winner)`` where winner is
+    a 0/1-row DataFrame ``(sym_a, sym_b, pair_count)``."""
+    w = Window.partitionBy("wid").orderBy("pos")
+    paired = seqs.select(
+        "wid", "freq", "pos", "sym", F.lead("sym").over(w).alias("_nxt")
+    )
+    counts = (
+        paired.filter(F.col("_nxt").isNotNull())
+        .groupBy(F.col("sym").alias("sym_a"), F.col("_nxt").alias("sym_b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    winner = counts.orderBy(F.desc("pair_count"), "sym_a", "sym_b").limit(1)
+    return _apply_winner(seqs, winner), winner
 
 
 def bpe_train(
@@ -152,3 +165,55 @@ def bpe_train(
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)
     return merges, seqs
+
+
+def bpe_tokenize_docs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    max_words: int | None = 1000,
+) -> DataFrame:
+    """Apply the trained BPE merges to the CORPUS: one row per emitted
+    token, ``(doc_id, wpos, pos, sym)`` with ``wpos`` the word's 0-based
+    position in the document and ``pos`` the token's index inside the
+    word — the BPE APPLY path (the docstring promise of :func:`bpe_train`
+    made executable).
+
+    The DISTINCT corpus word table is segmented once by replaying the
+    ``n_merges`` learned pairs in order with the identical left-to-right
+    run-parity rule — including words outside the capped training
+    lexicon, which start as characters and absorb whatever learned
+    merges apply.  Documents then join their exploded word positions
+    against the per-word segmentation: corpus-sized work is one explode
+    + one hash join; the replay itself is bounded by distinct-word
+    volume, the same scale property as training.  If training exhausted
+    before ``n_merges`` (empty winner), application mirrors the
+    training semantics: the symbol table empties.
+    """
+    spark = docs.sparkSession
+    merges, _segs = bpe_train(
+        docs, text_col=text_col, n_merges=n_merges, max_words=max_words
+    )
+    # the merge table IS the bounded tokenizer artifact (n_merges rows)
+    learned = {r["round"]: (r["sym_a"], r["sym_b"]) for r in merges.collect()}
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("wpos", "wid"),
+    )
+    allw = dw.select("wid").distinct().select("wid", F.lit(1).cast("long").alias("freq"))
+    seqs = allw.select(
+        "wid", "freq", F.posexplode(_chars(F.col("wid"))).alias("pos", "sym")
+    ).localCheckpoint()
+    for r in range(n_merges):
+        if r not in learned:
+            seqs = seqs.limit(0)
+            break
+        winner = spark.createDataFrame([learned[r]], "sym_a string, sym_b string")
+        seqs = _apply_winner(seqs, winner).localCheckpoint()
+    return dw.join(seqs.select("wid", "pos", "sym"), "wid").select(
+        "doc_id", F.col("wpos").cast("int").alias("wpos"), "pos", "sym"
+    )

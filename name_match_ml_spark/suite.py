@@ -1786,6 +1786,21 @@ def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(pairs)
 
 
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus
+    (operators/bpe.py::bpe_tokenize_docs): one row per emitted token —
+    the BPE APPLY path.  The distinct corpus word table replays the 8
+    learned pairs in order (identical run-parity rule; out-of-lexicon
+    words start as characters and absorb whatever merges apply), then
+    documents join their exploded word positions against the per-word
+    segmentation."""
+    from .operators.bpe import bpe_tokenize_docs
+
+    return bpe_tokenize_docs(
+        table(spark, sf_dir, "documents"), n_merges=8, max_words=1000
+    )
+
+
 def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training
     (operators/unigram_lm.py::unigram_lm_train): 2 hard-EM rounds over
@@ -4052,6 +4067,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_vocab": q_unigram_lm_vocab,
     "unigram_lm_segments": q_unigram_lm_segments,
     "unigram_tokenize_docs": q_unigram_tokenize_docs,
+    "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "source_divergence": q_source_divergence,
     "rolling_median": q_rolling_median,
     "semantic_dedup": q_semantic_dedup,
@@ -6627,13 +6643,22 @@ ORACLE_SQL["rolling_median"] = """
 """
 
 
-def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = False) -> str:
-    """DuckDB mirror of ``q_bpe_merges`` / ``q_bpe_segments``: the
-    lexicon build plus ``n_merges`` unrolled merge rounds (pair count →
-    deterministic winner → left-to-right run-parity merge → renumber),
-    generated round-for-round from the same semantics as
+def _bpe_oracle_sql(
+    n_merges: int = 8,
+    max_words: int = 1000,
+    final: bool = False,
+    tokenize: bool = False,
+) -> str:
+    """DuckDB mirror of ``q_bpe_merges`` / ``q_bpe_segments`` /
+    ``q_bpe_tokenize_docs``: the lexicon build plus ``n_merges``
+    unrolled merge rounds (pair count → deterministic winner →
+    left-to-right run-parity merge → renumber), generated
+    round-for-round from the same semantics as
     ``operators/bpe.py::_merge_round``.  ``final=True`` selects the
-    last symbol table instead of the merge log."""
+    last symbol table instead of the merge log; ``tokenize=True``
+    replays each round's winner over the DISTINCT corpus word table
+    (``operators/bpe.py::bpe_tokenize_docs``) and joins the result back
+    to per-document word positions."""
     rounds = []
     for r in range(n_merges):
         rounds.append(f"""
@@ -6670,12 +6695,68 @@ def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = Fals
              CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
       FROM x{r} WHERE NOT dropped)""")
 
-    if final:
+    apply_rounds = []
+    if tokenize:
+        for r in range(n_merges):
+            # identical run-parity application, over the corpus word
+            # table, driven by the TRAINED winner b{r} (cross join —
+            # empty winner empties the table, same as training)
+            apply_rounds.append(f""",
+    pA{r} AS (
+      SELECT wid, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+      FROM aseqs{r}),
+    tA{r} AS (
+      SELECT p.wid, p.freq, p.pos, p.sym, p.nxt,
+             (p.sym = b.a AND p.nxt = b.b) AS match
+      FROM pA{r} p, b{r} b),
+    uA{r} AS (
+      SELECT *, CASE WHEN match AND NOT coalesce(lag(match)
+                       OVER (PARTITION BY wid ORDER BY pos), FALSE)
+                     THEN pos END AS startpos
+      FROM tA{r}),
+    vA{r} AS (
+      SELECT *, (match AND ((pos - last_value(startpos IGNORE NULLS)
+                  OVER (PARTITION BY wid ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) % 2 = 0))
+                AS do_merge
+      FROM uA{r}),
+    xA{r} AS (
+      SELECT *, coalesce(lag(do_merge) OVER (PARTITION BY wid ORDER BY pos),
+                         FALSE) AS dropped
+      FROM vA{r}),
+    aseqs{r + 1} AS MATERIALIZED (
+      SELECT wid, freq,
+             row_number() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
+             CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+      FROM xA{r} WHERE NOT dropped)""")
+
+    if tokenize:
+        prelude = """,
+    allw AS MATERIALIZED (
+      SELECT DISTINCT wid FROM words),
+    acs AS (SELECT wid, 1::BIGINT AS freq, unnest(range(length(wid))) AS pos
+            FROM allw),
+    aseqs0 AS (SELECT wid, freq, pos, wid[(pos + 1)::INT] AS sym FROM acs)"""
+        tail = f""",
+    dw AS (
+      SELECT doc_id, i AS wpos, ws[(i + 1)::INT] AS wid
+      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     w -> w <> '') AS ws
+                  FROM documents)))
+    SELECT d.doc_id, d.wpos::INTEGER AS wpos,
+           s.pos::INTEGER AS pos, s.sym
+    FROM dw d JOIN aseqs{n_merges} s USING (wid)"""
+    elif final:
+        prelude = ""
         tail = (
             f"SELECT wid, freq, CAST(pos AS INTEGER) AS pos, sym"
             f" FROM seqs{n_merges}"
         )
     else:
+        prelude = ""
         tail = "\n    UNION ALL ".join(
             f"SELECT {r} AS round, a AS sym_a, b AS sym_b, cnt::BIGINT AS pair_count FROM b{r}"
             for r in range(n_merges)
@@ -6689,14 +6770,15 @@ def _bpe_oracle_sql(n_merges: int = 8, max_words: int = 1000, final: bool = Fals
       SELECT wid, count(*) AS freq FROM words GROUP BY wid
       ORDER BY freq DESC, wid LIMIT {max_words}),
     cs AS (SELECT wid, freq, unnest(range(length(wid))) AS pos FROM lex),
-    seqs0 AS (SELECT wid, freq, pos, wid[(pos + 1)::INT] AS sym FROM cs),
-    {",".join(rounds)}
+    seqs0 AS (SELECT wid, freq, pos, wid[(pos + 1)::INT] AS sym FROM cs){prelude},
+    {",".join(rounds)}{"".join(apply_rounds)}
     {tail}
     """
 
 
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
+ORACLE_SQL["bpe_tokenize_docs"] = _bpe_oracle_sql(tokenize=True)
 
 
 def _unigram_oracle_sql(

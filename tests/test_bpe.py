@@ -73,3 +73,66 @@ def test_merge_table_is_reusable_order(spark):
     rows = merges.orderBy("round").collect()
     assert [r.round for r in rows] == [0, 1, 2]
     assert all(r.pair_count >= 1 for r in rows)
+
+
+def test_bpe_tokenize_docs_reassembles_and_matches_training(spark):
+    """Apply path: the corpus token stream rebuilds every document, and
+    for words inside the training lexicon the applied segmentation is
+    IDENTICAL to the training segmentation."""
+    from pyspark.sql import functions as F
+
+    from name_match_ml_spark.operators.bpe import bpe_tokenize_docs, bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    tok = bpe_tokenize_docs(docs, n_merges=8, max_words=1000)
+    rebuilt = (
+        tok.groupBy("doc_id", "wpos")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))).getField("sym"),
+            ).alias("w")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("wpos", "w"))).getField("w")
+            ).alias("re")
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("want"),
+    )
+    assert rebuilt.join(orig, "doc_id").filter("re <> want").count() == 0
+
+    _m, segs = bpe_train(docs, n_merges=8, max_words=1000)
+    train_seg = {
+        (r["wid"], r["pos"]): r["sym"] for r in segs.collect()
+    }
+    dw_words = {r["wid"] for r in segs.select("wid").distinct().collect()}
+    # applied per-word segmentation, read off any single occurrence
+    word_of = docs.select(
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("wpos", "wid"),
+        "doc_id",
+    )
+    one_occ = word_of.groupBy("wid").agg(
+        F.min(F.struct("doc_id", "wpos")).alias("o")
+    )
+    applied_rows = (
+        tok.join(
+            one_occ.select(
+                "wid", F.col("o.doc_id").alias("doc_id"), F.col("o.wpos").alias("wpos")
+            ),
+            ["doc_id", "wpos"],
+        )
+        .select("wid", "pos", "sym")
+        .collect()
+    )
+    applied = {(r["wid"], r["pos"]): r["sym"] for r in applied_rows if r["wid"] in dw_words}
+    for key, sym in applied.items():
+        assert train_seg.get(key) == sym, key
