@@ -197,6 +197,8 @@ EXTENDED = [
     "unigram_lm_vocab",
     "unigram_lm_segments",
     "model_quality_filter",
+    "unigram_tokenize_docs",
+    "bpe_tokenize_docs",
 ]
 
 HEADLINE = [

@@ -53,9 +53,27 @@ DEFAULT_QUERIES = [
     "k_core", "clustering_coeff", "multi_touch", "rrf_fusion",
     "late_order_priority", "discount_revenue", "priority_mix",
     "lsh_cosine_topk", "semantic_dedup",
+    # round-6: composed cleaning pipeline, tokenizer train+apply for
+    # both families, frozen linear quality gate
+    "pipeline_clean_corpus", "unigram_lm_vocab", "unigram_lm_segments",
+    "unigram_tokenize_docs", "bpe_tokenize_docs", "model_quality_filter",
 ]
 
 NOTES = {
+    "unigram_lm_vocab": (
+        "lexicon-bounded: corpus scanned once for word counts; EM rounds "
+        "work on the capped word table, so 10x data only grows the scan"
+    ),
+    "unigram_lm_segments": "same lexicon-bounded chain as unigram_lm_vocab",
+    "unigram_tokenize_docs": (
+        "training is lexicon-bounded; apply is one explode + one hash "
+        "join, linear in corpus tokens"
+    ),
+    "bpe_tokenize_docs": (
+        "merge replay is distinct-word-bounded; apply join linear in "
+        "corpus tokens"
+    ),
+    "model_quality_filter": "one per-row int64 fold; scan-bound",
     "flagship_namematch": (
         "flat by corpus construction: the roster derives from bounded "
         "distinct name vocabularies, so distinct-pair scoring work does "
