@@ -1124,6 +1124,22 @@ def q_model_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model_quality_scores(table(spark, sf_dir, "documents"))
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): hashed
+    uni+bigram bag-of-words models for the target slice (source =
+    'src0') vs the raw pool, add-1-smoothed log-ratio weights on the
+    1e6 integer grid, every raw doc scored and globally ranked
+    (ordered_index — one range shuffle), top 25% selected.  The
+    deterministic (noise-free Gumbel-top-k) variant of Xie et al. 2023;
+    fully hash-checked including the rank column."""
+    from .operators.dsir import dsir_select
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_select(
+        d, F.col("source") == "src0", n_buckets=256, select_frac=0.25
+    )
+
+
 def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-based mixture upsampling
     (operators/cleaning.py::epoch_upsample): src0 sees 2.5 epochs (2
@@ -4160,6 +4176,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "model_quality_filter": q_model_quality_filter,
+    "dsir_select": q_dsir_select,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5493,6 +5510,61 @@ def _quality_model_oracle_sql() -> str:
 
 
 ORACLE_SQL["model_quality_filter"] = _quality_model_oracle_sql()
+
+# DSIR importance resampling: hashed uni+bigram buckets, add-1-smoothed
+# target/raw log-ratio on the 1e6 grid (ln is the accepted IEEE-double
+# device), deterministic top-25% selection.
+ORACLE_SQL["dsir_select"] = """
+    WITH w AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    f AS (
+      SELECT doc_id, is_t,
+             unnest(list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                 THEN list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])
+                 ELSE []::VARCHAR[] END)) AS feat
+      FROM w),
+    fb AS (
+      SELECT doc_id, is_t,
+             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 256 AS bucket
+      FROM f),
+    bc AS (
+      SELECT bucket,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
+      FROM fb GROUP BY bucket),
+    lam AS (
+      SELECT bucket,
+             (floor(ln((tc + 1)::DOUBLE / (sum(tc) OVER () + 256)) * 1000000)
+              - floor(ln((rc + 1)::DOUBLE / (sum(rc) OVER () + 256)) * 1000000)
+             )::BIGINT AS lam
+      FROM bc),
+    dc AS (
+      SELECT doc_id, bucket, count(*) AS c
+      FROM fb WHERE NOT is_t GROUP BY doc_id, bucket),
+    ds AS (
+      SELECT doc_id, sum(c) AS nf, sum(c * lam) AS sc
+      FROM dc JOIN lam USING (bucket) GROUP BY doc_id),
+    s AS (
+      SELECT d.doc_id,
+             coalesce(nf, 0)::BIGINT AS n_feats,
+             coalesce(sc, 0)::BIGINT AS dsir_score
+      FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+      LEFT JOIN ds USING (doc_id)),
+    r AS (
+      SELECT *,
+             (row_number() OVER (ORDER BY dsir_score DESC, doc_id) - 1)::BIGINT
+               AS dsir_rank,
+             count(*) OVER () AS n
+      FROM s)
+    SELECT doc_id, n_feats, dsir_score, dsir_rank,
+           dsir_rank < ceil(0.25 * n) AS selected
+    FROM r
+"""
 
 
 # The composed five-stage cleaning pipeline: each CTE block below is

@@ -40,6 +40,8 @@ ALLOWED = {
     "copurchase_lift": {"BroadcastNestedLoopJoin"},
     # 1-row sketch-stats x 1-row overlap-count combine
     "kmv_overlap": {"BroadcastNestedLoopJoin"},
+    # 1-row raw-pool-count broadcast for the top-frac selection threshold
+    "dsir_select": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
