@@ -46,7 +46,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_lexicon", "bpe_train", "bpe_tokenize_docs"]
+__all__ = [
+    "bpe_lexicon",
+    "bpe_train",
+    "bpe_tokenize_docs",
+    "replay_merges_over_docs",
+]
 
 
 def _chars(word: Column) -> Column:
@@ -192,11 +197,28 @@ def bpe_tokenize_docs(
     before ``n_merges`` (empty winner), application mirrors the
     training semantics: the symbol table empties.
     """
-    spark = docs.sparkSession
     merges, _segs = bpe_train(
         docs, text_col=text_col, n_merges=n_merges, max_words=max_words
     )
-    # the merge table IS the bounded tokenizer artifact (n_merges rows)
+    return replay_merges_over_docs(
+        docs, merges, n_rounds=n_merges, text_col=text_col, id_col=id_col
+    )
+
+
+def replay_merges_over_docs(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    n_rounds: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replay a trained merge table (``(round, sym_a, sym_b, ...)``)
+    over the corpus — the shared apply path of every merge-list
+    tokenizer family (BPE, WordPiece).  Returns ``(doc_id, wpos, pos,
+    sym)``; see :func:`bpe_tokenize_docs` for the scale argument."""
+    spark = docs.sparkSession
+    # the merge table IS the bounded tokenizer artifact (n_rounds rows)
     learned = {r["round"]: (r["sym_a"], r["sym_b"]) for r in merges.collect()}
     dw = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -208,7 +230,7 @@ def bpe_tokenize_docs(
     seqs = allw.select(
         "wid", "freq", F.posexplode(_chars(F.col("wid"))).alias("pos", "sym")
     ).localCheckpoint()
-    for r in range(n_merges):
+    for r in range(n_rounds):
         if r not in learned:
             seqs = seqs.limit(0)
             break

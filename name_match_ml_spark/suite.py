@@ -2391,6 +2391,36 @@ def q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece merge training
+    (operators/wordpiece.py::wordpiece_train): 8 rounds over the same
+    top-1000-word lexicon as bpe_merges, but each round merges the pair
+    maximizing the LIKELIHOOD score count(ab)/(count(a)*count(b)) —
+    the BERT-tokenizer criterion — compared on the 1e6 log grid.  The
+    oracle replays all 8 rounds as unrolled CTEs with per-round symbol
+    counts (MATERIALIZED — the multiply-referenced-CTE lesson)."""
+    from .operators.wordpiece import wordpiece_train
+
+    merges, _segs = wordpiece_train(
+        table(spark, sf_dir, "documents"), n_merges=8, max_words=1000
+    )
+    return merges
+
+
+def q_wordpiece_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLY path: the trained 8-merge table replayed over
+    the DISTINCT corpus word table (the shared
+    operators/bpe.py::replay_merges_over_docs), documents joined back
+    by word — one row per emitted token.  Same scale shape as
+    bpe_tokenize_docs: corpus-sized work is one explode + one hash
+    join; the replay is distinct-word-bounded."""
+    from .operators.wordpiece import wordpiece_tokenize_docs
+
+    return wordpiece_tokenize_docs(
+        table(spark, sf_dir, "documents"), n_merges=8, max_words=1000
+    )
+
+
 def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream LEFT OUTER interval join
     (streaming/windows.py::error_click_left_join): errors left-joined
@@ -4084,6 +4114,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_segments": q_unigram_lm_segments,
     "unigram_tokenize_docs": q_unigram_tokenize_docs,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "wordpiece_merges": q_wordpiece_merges,
+    "wordpiece_tokenize_docs": q_wordpiece_tokenize_docs,
     "source_divergence": q_source_divergence,
     "rolling_median": q_rolling_median,
     "semantic_dedup": q_semantic_dedup,
@@ -6720,6 +6752,7 @@ def _bpe_oracle_sql(
     max_words: int = 1000,
     final: bool = False,
     tokenize: bool = False,
+    scoring: str = "bpe",
 ) -> str:
     """DuckDB mirror of ``q_bpe_merges`` / ``q_bpe_segments`` /
     ``q_bpe_tokenize_docs``: the lexicon build plus ``n_merges``
@@ -6731,8 +6764,27 @@ def _bpe_oracle_sql(
     replays each round's winner over the DISTINCT corpus word table
     (``operators/bpe.py::bpe_tokenize_docs``) and joins the result back
     to per-document word positions."""
+    # WordPiece scoring references each round's symbol table twice
+    # (pair counts + symbol counts) — MATERIALIZED, or DuckDB inlines
+    # and the unroll expands exponentially (the round-5 CTE lesson).
+    seq_mat = " MATERIALIZED" if scoring == "wordpiece" else ""
     rounds = []
     for r in range(n_merges):
+        if scoring == "wordpiece":
+            winner_ctes = f"""
+    sc{r} AS MATERIALIZED (
+      SELECT sym, sum(freq) AS scnt FROM seqs{r} GROUP BY sym),
+    b{r} AS (
+      SELECT cc.a, cc.b, cc.cnt,
+             floor((ln(cc.cnt) - ln(sa.scnt) - ln(sb.scnt)) * 1000000)::BIGINT
+               AS score_grid
+      FROM c{r} cc
+      JOIN sc{r} sa ON sa.sym = cc.a
+      JOIN sc{r} sb ON sb.sym = cc.b
+      ORDER BY score_grid DESC, cc.a, cc.b LIMIT 1),"""
+        else:
+            winner_ctes = f"""
+    b{r} AS (SELECT a, b, cnt FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),"""
         rounds.append(f"""
     p{r} AS (
       SELECT wid, freq, pos, sym,
@@ -6740,8 +6792,7 @@ def _bpe_oracle_sql(
       FROM seqs{r}),
     c{r} AS (
       SELECT sym AS a, nxt AS b, sum(freq) AS cnt
-      FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2),
-    b{r} AS (SELECT a, b, cnt FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),
+      FROM p{r} WHERE nxt IS NOT NULL GROUP BY 1, 2),{winner_ctes}
     t{r} AS (
       SELECT p.wid, p.freq, p.pos, p.sym, p.nxt,
              (p.sym = b.a AND p.nxt = b.b) AS match
@@ -6761,7 +6812,7 @@ def _bpe_oracle_sql(
       SELECT *, coalesce(lag(do_merge) OVER (PARTITION BY wid ORDER BY pos),
                          FALSE) AS dropped
       FROM v{r}),
-    seqs{r + 1} AS (
+    seqs{r + 1} AS{seq_mat} (
       SELECT wid, freq,
              row_number() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
              CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
@@ -6829,8 +6880,9 @@ def _bpe_oracle_sql(
         )
     else:
         prelude = ""
+        extra = ", score_grid" if scoring == "wordpiece" else ""
         tail = "\n    UNION ALL ".join(
-            f"SELECT {r} AS round, a AS sym_a, b AS sym_b, cnt::BIGINT AS pair_count FROM b{r}"
+            f"SELECT {r} AS round, a AS sym_a, b AS sym_b, cnt::BIGINT AS pair_count{extra} FROM b{r}"
             for r in range(n_merges)
         )
     return f"""
@@ -6842,7 +6894,7 @@ def _bpe_oracle_sql(
       SELECT wid, count(*) AS freq FROM words GROUP BY wid
       ORDER BY freq DESC, wid LIMIT {max_words}),
     cs AS (SELECT wid, freq, unnest(range(length(wid))) AS pos FROM lex),
-    seqs0 AS (SELECT wid, freq, pos, wid[(pos + 1)::INT] AS sym FROM cs){prelude},
+    seqs0 AS{seq_mat} (SELECT wid, freq, pos, wid[(pos + 1)::INT] AS sym FROM cs){prelude},
     {",".join(rounds)}{"".join(apply_rounds)}
     {tail}
     """
@@ -6851,6 +6903,10 @@ def _bpe_oracle_sql(
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
 ORACLE_SQL["bpe_tokenize_docs"] = _bpe_oracle_sql(tokenize=True)
+ORACLE_SQL["wordpiece_merges"] = _bpe_oracle_sql(scoring="wordpiece")
+ORACLE_SQL["wordpiece_tokenize_docs"] = _bpe_oracle_sql(
+    tokenize=True, scoring="wordpiece"
+)
 
 
 def _unigram_oracle_sql(

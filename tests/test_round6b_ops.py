@@ -65,3 +65,75 @@ def test_dsir_prefers_target_like_docs(spark):
             assert got[a]["dsir_score"] > got[b]["dsir_score"]
     assert all(got[i]["selected"] for i in (10, 11, 12, 13))
     assert not any(got[i]["selected"] for i in (20, 21, 22, 23))
+
+
+# ----------------------------------------------------------- WordPiece
+
+
+def test_wordpiece_prefers_likelihood_pair_over_frequency(spark):
+    """Corpus engineered so the most FREQUENT pair (a,b) is not the
+    best LIKELIHOOD pair (x,y): BPE and WordPiece must pick different
+    first merges."""
+    from name_match_ml_spark.operators.bpe import bpe_train
+    from name_match_ml_spark.operators.wordpiece import wordpiece_train
+
+    corpus = " ".join(["ab"] * 10 + ["xy"] * 3)
+    docs = spark.createDataFrame([(0, corpus)], "doc_id LONG, text STRING")
+    bpe_m, _ = bpe_train(docs, n_merges=1)
+    wp_m, _ = wordpiece_train(docs, n_merges=1)
+    bpe_w = bpe_m.collect()[0]
+    wp_w = wp_m.collect()[0]
+    assert (bpe_w["sym_a"], bpe_w["sym_b"]) == ("a", "b")
+    assert (wp_w["sym_a"], wp_w["sym_b"]) == ("x", "y")
+    # score_grid = floor((ln pc - ln ca - ln cb) * 1e6) for (x,y): 3/(3*3)
+    assert wp_w["score_grid"] == math.floor(
+        (math.log(3) - math.log(3) - math.log(3)) * 1_000_000
+    )
+    assert wp_w["pair_count"] == 3
+
+
+def test_wordpiece_tokenize_docs_reassembles(spark):
+    """WordPiece apply path rebuilds every document bit-exactly."""
+    from name_match_ml_spark.operators.wordpiece import wordpiece_tokenize_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    tok = wordpiece_tokenize_docs(docs, n_merges=8, max_words=1000)
+    rebuilt = (
+        tok.groupBy("doc_id", "wpos")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))).getField("sym"),
+            ).alias("w")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("wpos", "w"))).getField("w")
+            ).alias("re")
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+        ).alias("want"),
+    )
+    assert rebuilt.join(orig, "doc_id").filter("re <> want").count() == 0
+
+
+def test_wordpiece_merge_rounds_consume_winner(spark):
+    """After round r merges (a,b), the merged symbol participates in
+    later rounds — the Sennrich iteration carried by likelihood."""
+    from name_match_ml_spark.operators.wordpiece import wordpiece_train
+
+    corpus = " ".join(["abc"] * 6 + ["abd"] * 2)
+    docs = spark.createDataFrame([(0, corpus)], "doc_id LONG, text STRING")
+    merges, segs = wordpiece_train(docs, n_merges=2)
+    rows = merges.orderBy("round").collect()
+    syms = {(r["sym_a"], r["sym_b"]) for r in rows}
+    # two rounds must fully tokenize one of the words into a single sym
+    seg_syms = [r["sym"] for r in segs.collect()]
+    assert any(s in ("abc", "abd") for s in seg_syms) or any(
+        len(a + b) == 3 for a, b in syms
+    )
