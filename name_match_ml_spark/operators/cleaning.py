@@ -50,6 +50,7 @@ __all__ = [
     "novelty_stats",
     "corpus_diff",
     "bloom_decontaminate",
+    "fuzzy_decontaminate",
     "stratified_sample",
 ]
 
@@ -757,4 +758,93 @@ def stratified_sample(
             F.row_number().over(w).alias("sample_rank"),
         )
         .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents that are
+    NEAR-duplicates of any benchmark document (shingle Jaccard ≥
+    ``threshold``), not just exact n-gram sharers — the contamination
+    that survives :func:`decontaminate_ngrams`'s exact-overlap test
+    when eval data was lightly paraphrased or re-wrapped.
+
+    Same MinHash-LSH machinery as
+    :func:`..operators.dedup.minhash_lsh_pairs`, but CROSS-corpus: both
+    sides are shingled and banded with identical permutation seeds
+    (:func:`..operators.dedup.band_signatures`), candidates are corpus×
+    bench band collisions only (never corpus×corpus), and every
+    candidate is exact-Jaccard verified.  Returns one row per corpus
+    document: ``(doc_id, n_matches, best_jaccard, contaminated)``.
+
+    100 TB notes: the band join ships three longs per (doc, band); the
+    bench side is eval-set sized, so its banded table broadcasts and
+    the corpus never shuffles.  Verification joins move shingle arrays
+    only for band-colliding candidates — work tracks true contamination
+    volume, not |corpus|×|bench|.
+    """
+    from .dedup import _staged_shingle_hashes, band_signatures
+    from ..plans.staging import stage
+
+    base_c = stage(
+        _staged_shingle_hashes(corpus, text_col, id_col, shingle_n),
+        "doc_id",
+        enabled=materialize,
+    )
+    base_b = stage(
+        _staged_shingle_hashes(bench, text_col, id_col, shingle_n),
+        "doc_id",
+        enabled=materialize,
+    )
+    banded_c = band_signatures(base_c, num_perm=num_perm, bands=bands).select(
+        F.col("doc_id"), "band", "band_sig"
+    )
+    banded_b = band_signatures(base_b, num_perm=num_perm, bands=bands).select(
+        F.col("doc_id").alias("bench_id"), "band", "band_sig"
+    )
+    cand = (
+        banded_c.join(F.broadcast(banded_b), ["band", "band_sig"])
+        .select("doc_id", "bench_id")
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    sh_c = base_c.select("doc_id", F.col("sh").alias("sh_c"))
+    sh_b = base_b.select(F.col("doc_id").alias("bench_id"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_c, "doc_id")
+        .join(F.broadcast(sh_b), "bench_id")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect(F.col("sh_c"), F.col("sh_b"))).alias("_i"),
+            (F.size(F.col("sh_c")) + F.size(F.col("sh_b"))).alias("_sz"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_i").cast("double") / (F.col("_sz") - F.col("_i"))).alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("_j"), 6).alias("best_jaccard"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

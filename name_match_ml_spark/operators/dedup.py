@@ -439,6 +439,39 @@ def _cap_shingle_df(base: DataFrame, max_shingle_df: int | None) -> DataFrame:
     )
 
 
+def band_signatures(base: DataFrame, *, num_perm: int, bands: int) -> DataFrame:
+    """``(doc_id, band, band_sig)`` MinHash LSH band signatures of a
+    staged shingle table (``(doc_id, sh)``): ``num_perm`` MinHash values
+    (``array_min`` over seeded ``xxhash64``), grouped into ``bands``
+    band hashes.  Band signatures consume each permutation's min exactly
+    once, so the plan never materializes (or worse, re-evaluates) a
+    num_perm-wide signature array.  Shared by within-corpus pair mining
+    (:func:`minhash_lsh_pairs`) and cross-corpus probes
+    (:func:`..cleaning.fuzzy_decontaminate` — same seeds on both sides
+    make signatures comparable across tables)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+
+    def _minhash(p: int):
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(p), s)))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[_minhash(b * rows_per_band + r) for r in range(rows_per_band)]
+                ).alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return base.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.band_sig"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -469,10 +502,6 @@ def minhash_lsh_pairs(
     (few) deduped candidates, and AQE broadcasts the candidate side when
     it is small.
     """
-    if num_perm % bands:
-        raise ValueError("num_perm must be divisible by bands")
-    rows_per_band = num_perm // bands
-
     # The shingle table feeds banding + both verification sides — stage
     # it once (see plans/staging.py).
     base = stage(
@@ -481,26 +510,7 @@ def minhash_lsh_pairs(
         enabled=materialize,
     )
 
-    def _minhash(p: int):
-        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(p), s)))
-
-    # Band signatures consume each permutation's min exactly once, so the
-    # plan never materializes (or worse, re-evaluates) a num_perm-wide
-    # signature array.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[_minhash(b * rows_per_band + r) for r in range(rows_per_band)]
-                ).alias("band_sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = base.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "bs.band", "bs.band_sig"
-    )
+    banded = band_signatures(base, num_perm=num_perm, bands=bands)
 
     a = banded.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "band_sig", F.col("doc_id").alias("doc_b"))

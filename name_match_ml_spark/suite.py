@@ -1040,6 +1040,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_ngrams(corpus, bench, n=4, min_hits=1, hash_fn="md5_60")
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination
+    (operators/cleaning.py::fuzzy_decontaminate): corpus docs that are
+    MinHash-LSH near-duplicates (shingle Jaccard ≥ 0.3) of any doc in
+    the synthetic eval slice (doc_id % 5 == 0) — catches paraphrased
+    leakage that exact n-gram overlap misses.  Declared oracle is the
+    exact cross-Jaccard SQL: the operator exact-verifies every band
+    collision, and on this corpus contaminated pairs sit at J≈0.9
+    where 8 bands × 4 rows has miss probability ≈1e-4 per pair
+    (measured recall 1.0 — same argument as minhash_lsh_dedup);
+    recall == 1.0 is additionally pinned in pytest."""
+    from .operators.cleaning import fuzzy_decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return fuzzy_decontaminate(corpus, bench, threshold=0.3)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition stats + C4-style keep flag — pure
     codegen expressions, no shuffle (operators/cleaning.py).  Bigrams at
@@ -4209,6 +4228,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "model_quality_filter": q_model_quality_filter,
     "dsir_select": q_dsir_select,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5121,6 +5141,38 @@ ORACLE_SQL["decontaminate"] = """
            coalesce(h.n_hits, 0) >= 1 AS contaminated
     FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
     LEFT JOIN hits h USING (doc_id)
+"""
+
+ORACLE_SQL["fuzzy_decontaminate"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])
+               ELSE []::VARCHAR[] END) AS sh
+      FROM w),
+    b AS (SELECT doc_id AS bench_id, sh AS sh_b FROM g WHERE doc_id % 5 = 0),
+    c AS MATERIALIZED (
+      SELECT doc_id, sh AS sh_c FROM g WHERE doc_id % 5 <> 0),
+    j AS (
+      SELECT c.doc_id,
+             len(list_intersect(sh_c, sh_b))::DOUBLE
+               / (len(sh_c) + len(sh_b) - len(list_intersect(sh_c, sh_b)))
+               AS jac
+      FROM c, b),
+    v AS (
+      SELECT doc_id, count(*) AS n_matches, round(max(jac), 6) AS best_jaccard
+      FROM j WHERE jac >= 0.3 GROUP BY doc_id)
+    SELECT c.doc_id,
+           coalesce(n_matches, 0)::BIGINT AS n_matches,
+           coalesce(best_jaccard, 0.0) AS best_jaccard,
+           coalesce(n_matches, 0) > 0 AS contaminated
+    FROM c LEFT JOIN v USING (doc_id)
 """
 
 ORACLE_SQL["repetition_filter"] = """

@@ -137,3 +137,60 @@ def test_wordpiece_merge_rounds_consume_winner(spark):
     assert any(s in ("abc", "abd") for s in seg_syms) or any(
         len(a + b) == 3 for a, b in syms
     )
+
+
+# ------------------------------------------------- fuzzy_decontaminate
+
+
+def test_fuzzy_decontaminate_recall_matches_exact_cross_jaccard(spark):
+    """LSH-banded fuzzy decontamination recovers EXACTLY the brute-force
+    cross-Jaccard answer on the real corpus (recall 1.0 — the declared
+    oracle's premise)."""
+    from name_match_ml_spark.operators.cleaning import fuzzy_decontaminate
+    from name_match_ml_spark.operators.dedup import _staged_shingle_hashes
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["contaminated"])
+        for r in fuzzy_decontaminate(corpus, bench, threshold=0.3).collect()
+    }
+    sh_c = _staged_shingle_hashes(corpus, "text", "doc_id", 2)
+    sh_b = _staged_shingle_hashes(bench, "text", "doc_id", 2)
+    brute = (
+        sh_c.crossJoin(
+            sh_b.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+        )
+        .select(
+            "doc_id",
+            (
+                F.size(F.array_intersect("sh", "sh_b")).cast("double")
+                / (F.size("sh") + F.size("sh_b") - F.size(F.array_intersect("sh", "sh_b")))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["doc_id"]: r["n"] for r in brute.collect()}
+    assert {k for k, (n, c) in got.items() if c} == set(want)
+    for k, n in want.items():
+        assert got[k][0] == n
+
+
+def test_fuzzy_decontaminate_flags_paraphrase(spark):
+    """A lightly edited copy of a bench doc is flagged; an unrelated
+    doc is not."""
+    from name_match_ml_spark.operators.cleaning import fuzzy_decontaminate
+
+    bench_text = " ".join(f"tok{i}" for i in range(40))
+    near_text = " ".join(f"tok{i}" for i in range(38)) + " other words"
+    far_text = " ".join(f"zzz{i}" for i in range(40))
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, near_text), (2, far_text)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()}
+    assert got[1]["contaminated"] and got[1]["best_jaccard"] > 0.5
+    assert not got[2]["contaminated"] and got[2]["n_matches"] == 0
