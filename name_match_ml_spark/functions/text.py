@@ -27,6 +27,7 @@ __all__ = [
     "tfidf_top_terms",
     "unigram_logprob_scores",
     "bigram_logprob_scores",
+    "backoff_logprob_scores",
     "chunk_documents",
     "vocab_oov_stats",
     "inverted_index",
@@ -380,6 +381,157 @@ def bigram_logprob_scores(
             F.sum("tf").cast("long").alias("n_bigrams"),
             F.round(F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6).alias("avg_logprob"),
         )
+    )
+
+
+def backoff_logprob_scores(
+    docs: DataFrame,
+    *,
+    train_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Stupid-backoff trigram LM quality score (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the web-scale LM
+    filter: no discounting, just a fixed backoff penalty ``alpha``.
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)                 if trigram seen
+                    = alpha * c(w2w3)/c(w2)              elif bigram seen
+                    = alpha^2 * (c(w3)+k)/(N + k*V)      otherwise
+
+    Counts come from the ``train_pred`` slice only, so held-out
+    documents genuinely exercise the backoff branches (training docs
+    never do — every one of their trigrams has count ≥ 1 by
+    construction).  The final unigram level is add-k smoothed (the
+    :func:`bigram_logprob_scores` device) so unseen words stay finite
+    instead of ln(0).  Scores are relative frequencies, not normalized
+    probabilities — Brants' point: a monotone quality signal at a
+    fraction of Kneser-Ney's cost.
+
+    Returns ``(doc_id, n_trigrams, n_backoff1, n_backoff2,
+    avg_logscore)`` for every doc with ≥3 words; the backoff counters
+    pin how often each branch fired (diagnostics AND a hash-checked
+    guarantee that held-out scoring reached branches 2/3).
+
+    Scale: one (doc, trigram) aggregate with map-side combine; the
+    trigram/bigram/unigram count tables join back on their keys
+    UNHINTED (billions of distinct n-grams at 100 TB — forcing a
+    broadcast would OOM; AQE broadcasts when measured small).  N/V is
+    the only forced broadcast (1 row, allowlisted)."""
+    w = _words(F.col(text_col))
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    train = docs.filter(train_pred)
+    t3 = (
+        train.select(F.explode(tri).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    b2 = (
+        train.select(F.explode(bi).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    u1 = (
+        train.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nv = u1.select(
+        F.sum("c1").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tri).alias("tg"))
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "doc_id",
+            "tg",
+            "tf",
+            F.concat_ws(
+                " ",
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(1)),
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+            ).alias("_ctx12"),
+            F.concat_ws(
+                " ",
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(2)),
+                F.split_part(F.col("tg"), F.lit(" "), F.lit(3)),
+            ).alias("_bg23"),
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(2)).alias("_w2"),
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(3)).alias("_w3"),
+        )
+    )
+    joined = (
+        tf.join(t3, tf["tg"] == t3["tg"], "left")
+        .drop(t3["tg"])
+        .join(
+            b2.select(F.col("bg").alias("_ctx12"), F.col("c2").alias("_cctx")),
+            "_ctx12",
+            "left",
+        )
+        .join(
+            b2.select(F.col("bg").alias("_bg23"), F.col("c2").alias("_c23")),
+            "_bg23",
+            "left",
+        )
+        .join(
+            u1.select(F.col("w").alias("_w2"), F.col("c1").alias("_cw2")),
+            "_w2",
+            "left",
+        )
+        .join(
+            u1.select(F.col("w").alias("_w3"), F.col("c1").alias("_cw3")),
+            "_w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("_cctx"),
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            F.lit(alpha) * F.col("_c23").cast("double") / F.col("_cw2"),
+        )
+        .otherwise(
+            F.lit(alpha * alpha)
+            * (F.coalesce(F.col("_cw3"), F.lit(0)) + add_k)
+            / (F.col("n_total") + add_k * F.col("v"))
+        )
+    )
+    branch = F.when(F.col("c3").isNotNull(), F.lit(0)).when(
+        F.col("_c23").isNotNull(), F.lit(1)
+    ).otherwise(F.lit(2))
+    return joined.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_trigrams"),
+        F.sum(F.when(branch == 1, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff1"),
+        F.sum(F.when(branch == 2, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff2"),
+        F.round(F.sum(F.col("tf") * F.log(score)) / F.sum("tf"), 6).alias(
+            "avg_logscore"
+        ),
     )
 
 

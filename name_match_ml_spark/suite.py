@@ -1103,6 +1103,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(d)
 
 
+def q_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM score
+    (functions/text.py::backoff_logprob_scores): counts trained on the
+    doc_id % 3 != 0 slice, ALL docs scored — held-out docs exercise the
+    bigram/unigram backoff branches (hash-checked via the n_backoff1/2
+    counters), training docs never back off by construction."""
+    from .functions.text import backoff_logprob_scores
+
+    d = table(spark, sf_dir, "documents")
+    return backoff_logprob_scores(d, train_pred=F.col("doc_id") % 3 != 0)
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global span dedup: the corpus keeps one occurrence of
     every distinct 10-word span and documents are rebuilt from surviving
@@ -4229,6 +4241,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_quality_filter": q_model_quality_filter,
     "dsir_select": q_dsir_select,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "backoff_logprob": q_backoff_logprob,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5332,6 +5345,63 @@ ORACLE_SQL["unigram_logprob"] = """
            round(sum(tf * ln(cf / total)) / sum(tf), 6) AS avg_logprob
     FROM tf JOIN cf USING (term), tot
     GROUP BY doc_id
+"""
+
+ORACLE_SQL["backoff_logprob"] = """
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    tri AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+               ELSE []::VARCHAR[] END) AS tg
+      FROM w),
+    t3 AS (SELECT tg, count(*) AS c3 FROM tri WHERE doc_id % 3 <> 0 GROUP BY tg),
+    b2 AS MATERIALIZED (
+      SELECT bg, count(*) AS c2 FROM (
+        SELECT unnest(CASE WHEN len(ws) >= 2
+          THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+          ELSE []::VARCHAR[] END) AS bg
+        FROM w WHERE doc_id % 3 <> 0) GROUP BY bg),
+    u1 AS MATERIALIZED (
+      SELECT wd, count(*) AS c1 FROM (
+        SELECT unnest(ws) AS wd FROM w WHERE doc_id % 3 <> 0) GROUP BY wd),
+    nv AS (SELECT sum(c1) AS n_total, count(*) AS v FROM u1),
+    tf AS (
+      SELECT doc_id, tg, count(*) AS tf,
+             split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx12,
+             split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3) AS bg23,
+             split_part(tg, ' ', 2) AS w2,
+             split_part(tg, ' ', 3) AS w3
+      FROM tri GROUP BY doc_id, tg),
+    j AS (
+      SELECT tf.doc_id, tf.tf,
+             CASE WHEN t3.c3 IS NOT NULL THEN 0
+                  WHEN bx.c2 IS NOT NULL THEN 1 ELSE 2 END AS branch,
+             CASE WHEN t3.c3 IS NOT NULL THEN t3.c3::DOUBLE / bc.c2
+                  WHEN bx.c2 IS NOT NULL
+                    THEN 0.4::DOUBLE * bx.c2::DOUBLE / uw2.c1
+                  ELSE (0.4::DOUBLE * 0.4::DOUBLE)
+                       * (coalesce(uw3.c1, 0) + 0.5::DOUBLE)
+                       / (nv.n_total + 0.5::DOUBLE * nv.v)
+             END AS s
+      FROM tf
+      LEFT JOIN t3 USING (tg)
+      LEFT JOIN b2 bc ON bc.bg = tf.ctx12
+      LEFT JOIN b2 bx ON bx.bg = tf.bg23
+      LEFT JOIN u1 uw2 ON uw2.wd = tf.w2
+      LEFT JOIN u1 uw3 ON uw3.wd = tf.w3
+      CROSS JOIN nv)
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_trigrams,
+           sum(CASE WHEN branch = 1 THEN tf ELSE 0 END)::BIGINT AS n_backoff1,
+           sum(CASE WHEN branch = 2 THEN tf ELSE 0 END)::BIGINT AS n_backoff2,
+           round(sum(tf * ln(s)) / sum(tf), 6) AS avg_logscore
+    FROM j GROUP BY doc_id
 """
 
 ORACLE_SQL["bigram_logprob"] = """

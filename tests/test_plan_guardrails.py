@@ -42,6 +42,8 @@ ALLOWED = {
     "kmv_overlap": {"BroadcastNestedLoopJoin"},
     # 1-row raw-pool-count broadcast for the top-frac selection threshold
     "dsir_select": {"BroadcastNestedLoopJoin"},
+    # 1-row N/V training-totals broadcast for the smoothed unigram fallback
+    "backoff_logprob": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

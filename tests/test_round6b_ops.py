@@ -194,3 +194,51 @@ def test_fuzzy_decontaminate_flags_paraphrase(spark):
     got = {r["doc_id"]: r for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()}
     assert got[1]["contaminated"] and got[1]["best_jaccard"] > 0.5
     assert not got[2]["contaminated"] and got[2]["n_matches"] == 0
+
+
+# ----------------------------------------------------- stupid backoff
+
+
+def test_backoff_branches_fire_only_for_held_out_docs(spark):
+    """Training docs never back off (every trigram has count >= 1);
+    held-out docs must hit branch 1 or 2 somewhere on this corpus."""
+    from name_match_ml_spark.functions.text import backoff_logprob_scores
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = backoff_logprob_scores(d, train_pred=F.col("doc_id") % 3 != 0)
+    rows = out.collect()
+    train = [r for r in rows if r["doc_id"] % 3 != 0]
+    held = [r for r in rows if r["doc_id"] % 3 == 0]
+    assert train and held
+    assert all(r["n_backoff1"] == 0 and r["n_backoff2"] == 0 for r in train)
+    assert any(r["n_backoff1"] > 0 or r["n_backoff2"] > 0 for r in held)
+    assert all(r["n_trigrams"] > 0 for r in rows)
+
+
+def test_backoff_score_matches_hand_computation(spark):
+    """One tiny corpus, every branch checked against the Brants
+    formula by hand."""
+    from name_match_ml_spark.functions.text import backoff_logprob_scores
+
+    # training doc: "a b c a b c"; held-out doc: "a b d"
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in backoff_logprob_scores(
+            docs, train_pred=F.col("doc_id") == 0
+        ).collect()
+    }
+    # held-out doc has single trigram "a b d": unseen; bigram "b d" unseen
+    # -> branch 2: 0.4^2 * (c(d)+0.5)/(N + 0.5*V) with c(d)=0, N=6, V=3
+    import math
+
+    want = math.log(0.4 * 0.4 * 0.5 / (6 + 0.5 * 3))
+    assert out[1]["n_backoff2"] == 1 and out[1]["n_backoff1"] == 0
+    assert abs(out[1]["avg_logscore"] - round(want, 6)) < 1e-9
+    # training doc trigram tfs: (a b c)x2, (b c a)x1, (c a b)x1; bigram
+    # counts ab=2 bc=2 ca=1 -> S(abc)=2/2, S(bca)=1/2, S(cab)=1/1
+    # -> avg ln = (2*ln1 + ln(1/2) + ln1)/4
+    assert abs(out[0]["avg_logscore"] - round(math.log(0.5) / 4, 6)) < 1e-9
+    assert out[0]["n_backoff1"] == 0 and out[0]["n_backoff2"] == 0
