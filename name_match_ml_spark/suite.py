@@ -2422,6 +2422,27 @@ def q_bpe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs
 
 
+def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression metrics per document under the
+    trained 8-merge BPE: token count, word count, character mass and
+    chars-per-token — THE standard corpus-fit metric when choosing a
+    tokenizer (higher compression = fewer tokens per byte = cheaper
+    training).  Pure aggregate over the hash-checked apply path."""
+    from .operators.bpe import bpe_tokenize_docs
+
+    tok = bpe_tokenize_docs(
+        table(spark, sf_dir, "documents"), n_merges=8, max_words=1000
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("wpos").alias("n_words"),
+        F.sum(F.length("sym")).cast("long").alias("n_chars"),
+        F.round(
+            F.sum(F.length("sym")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed WordPiece merge training
     (operators/wordpiece.py::wordpiece_train): 8 rounds over the same
@@ -4145,6 +4166,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_segments": q_unigram_lm_segments,
     "unigram_tokenize_docs": q_unigram_tokenize_docs,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "tokenizer_compression": q_tokenizer_compression,
     "wordpiece_merges": q_wordpiece_merges,
     "wordpiece_tokenize_docs": q_wordpiece_tokenize_docs,
     "source_divergence": q_source_divergence,
@@ -7025,6 +7047,16 @@ def _bpe_oracle_sql(
 ORACLE_SQL["bpe_merges"] = _bpe_oracle_sql()
 ORACLE_SQL["bpe_segments"] = _bpe_oracle_sql(final=True)
 ORACLE_SQL["bpe_tokenize_docs"] = _bpe_oracle_sql(tokenize=True)
+ORACLE_SQL["tokenizer_compression"] = f"""
+    WITH tok AS MATERIALIZED ({_bpe_oracle_sql(tokenize=True)})
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           count(DISTINCT wpos)::BIGINT AS n_words,
+           sum(length(sym))::BIGINT AS n_chars,
+           round(sum(length(sym))::DOUBLE / count(*), 6) AS chars_per_token
+    FROM tok GROUP BY doc_id
+"""
+
 ORACLE_SQL["wordpiece_merges"] = _bpe_oracle_sql(scoring="wordpiece")
 ORACLE_SQL["wordpiece_tokenize_docs"] = _bpe_oracle_sql(
     tokenize=True, scoring="wordpiece"
