@@ -30,6 +30,7 @@ from .dedup import dot_expr, norm_expr
 
 __all__ = [
     "cosine_topk_exact",
+    "mmr_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "quantize_embeddings",
@@ -781,3 +782,134 @@ def random_projection_sql(
             f"{float(grid)}) AS BIGINT)))"
         )
     return exprs
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam_permille: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick ``k`` results from each query's
+    exact top-``pool`` candidates, each round maximizing
+
+        mmr(d) = lam * cos(q, d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    — relevance minus redundancy against the already-selected set S.
+    The retrieval-diversification pass of a RAG / dedup-aware search
+    stack: plain top-k returns near-duplicate clusters; MMR spends the
+    same k slots on distinct regions of the embedding space.
+
+    Determinism: the 6dp-rounded cosines are EXACT decimals, so MMR
+    arithmetic happens on the integer grid — ``mmr_grid =
+    lam_permille * cos_i - (1000 - lam_permille) * pen_i`` with
+    ``cos_i = round(cos * 1e6)`` int64 — pure int64, no double round()
+    anywhere in the selection (a double-round spelling was measured to
+    diverge between engines exactly at a repr half-grid point:
+    Spark's round() rounds the shortest decimal repr, DuckDB the
+    binary value).  Ties break by ``neighbor_id``.
+
+    Scale design: the candidate pool is top-k-bounded per query (one
+    :func:`cosine_topk_exact` pass — GEMM-batched, shuffle-free), so
+    everything after is O(queries x pool^2) — independent of corpus
+    size.  The k selection rounds run over the bounded pool with eager
+    ``localCheckpoint`` per round (the iterative-operator convention).
+
+    Returns ``(query_id, neighbor_id, cosine, mmr_grid, pick)`` with
+    pick = 1..k in selection order.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need pool >= k >= 1")
+    if not 0 <= lam_permille <= 1000:
+        raise ValueError("lam_permille in [0, 1000]")
+    from .dedup import cosine_expr
+
+    mu = 1000 - lam_permille
+    ci = F.round(F.col("cosine") * 1_000_000, 0).cast("long")
+    cand = (
+        cosine_topk_exact(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+        .withColumn("_ci", ci)
+        .localCheckpoint()
+    )
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cv = cand.join(vecs, "neighbor_id").select("query_id", "neighbor_id", "_v")
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("a"), F.col("_v").alias("_va")
+    )
+    b = cv.select(
+        "query_id", F.col("neighbor_id").alias("b"), F.col("_v").alias("_vb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")) * 1_000_000, 0)
+            .cast("long")
+            .alias("s"),
+        )
+        .localCheckpoint()
+    )
+    selected = (
+        cand.filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            (F.lit(lam_permille) * F.col("_ci")).cast("long").alias("mmr_grid"),
+            F.lit(1).alias("pick"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        pen = (
+            sims.join(
+                selected.select("query_id", F.col("neighbor_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("s").alias("_pen"))
+        )
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_grid").desc(), "neighbor_id"
+        )
+        winner = (
+            remaining.join(pen, ["query_id", "neighbor_id"])
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                (
+                    F.lit(lam_permille) * F.col("_ci")
+                    - F.lit(mu) * F.col("_pen")
+                )
+                .cast("long")
+                .alias("mmr_grid"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cosine",
+                "mmr_grid",
+                F.lit(r).alias("pick"),
+            )
+        )
+        selected = selected.unionByName(winner).localCheckpoint()
+    return selected

@@ -968,6 +968,19 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(emb, queries, k=5)
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (operators/simsearch.py::mmr_topk): greedy
+    relevance-minus-redundancy selection (lambda=0.7) from each query's
+    exact top-20 pool — the retrieval-diversification pass of a RAG
+    stack.  All comparisons on the rounded 1e-6 cosine grid with id
+    tiebreaks; the oracle unrolls the 5 selection rounds as CTEs."""
+    from .operators.simsearch import mmr_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    return mmr_topk(emb, queries, k=5, pool=20, lam_permille=700)
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-5 — now HASH-CHECKED: the
     declared query pins ``nbits=6`` (the operator default stays adaptive
@@ -4251,6 +4264,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk": q_cosine_topk,
+    "mmr_topk": q_mmr_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "text_quality": q_text_quality,
@@ -5686,6 +5700,84 @@ def _quality_model_oracle_sql() -> str:
 
 
 ORACLE_SQL["model_quality_filter"] = _quality_model_oracle_sql()
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam_permille: int = 700) -> str:
+    """DuckDB mirror of ``q_mmr_topk``: the exact top-``pool`` candidate
+    pool and pairwise candidate cosines (both on the rounded 1e-6 grid,
+    the cosine_topk device), then ``k`` greedy MMR rounds unrolled as
+    CTEs.  MMR arithmetic is PURE int64 on the 1e-9 grid
+    (``lam_permille * cos_i - (1000-lam_permille) * pen_i``) — a
+    double-round spelling diverged between engines exactly at a repr
+    half-grid point.  Every multiply-referenced CTE is MATERIALIZED."""
+    mu = 1000 - lam_permille
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f""",
+    pen{r} AS (
+      SELECT s.query_id, s.a AS neighbor_id, max(s.s) AS pen
+      FROM sims s JOIN selcum{r - 1} t
+        ON t.query_id = s.query_id AND t.neighbor_id = s.b
+      GROUP BY s.query_id, s.a),
+    sel{r} AS (
+      SELECT query_id, neighbor_id, cosine, mmr_grid, {r} AS pick FROM (
+        SELECT p.query_id, p.neighbor_id, p.cosine,
+               ({lam_permille} * p.ci - {mu} * pen.pen)::BIGINT AS mmr_grid,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {lam_permille} * p.ci - {mu} * pen.pen DESC,
+                          p.neighbor_id) AS rn
+        FROM pool p
+        JOIN pen{r} pen ON pen.query_id = p.query_id
+                       AND pen.neighbor_id = p.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM selcum{r - 1} t2
+                          WHERE t2.query_id = p.query_id
+                            AND t2.neighbor_id = p.neighbor_id))
+      WHERE rn = 1),
+    selcum{r} AS MATERIALIZED (
+      SELECT * FROM selcum{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    return f"""
+    WITH pool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cosine,
+             round(cosine * 1000000)::BIGINT AS ci
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6)
+                 AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % 10 = 0)
+      WHERE rnk <= {pool}),
+    sims AS MATERIALIZED (
+      SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+             round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                          CAST(e2.embedding AS DOUBLE[]))
+                   * 1000000)::BIGINT AS s
+      FROM pool p1
+      JOIN pool p2 ON p1.query_id = p2.query_id
+                  AND p1.neighbor_id <> p2.neighbor_id
+      JOIN embeddings e1 ON e1.vec_id = p1.neighbor_id
+      JOIN embeddings e2 ON e2.vec_id = p2.neighbor_id),
+    selcum1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cosine,
+             ({lam_permille} * ci)::BIGINT AS mmr_grid, 1 AS pick
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM pool)
+      WHERE rn = 1){"".join(rounds)}
+    SELECT query_id, neighbor_id, cosine, mmr_grid, pick FROM selcum{k}
+    """
+
+
+ORACLE_SQL["mmr_topk"] = _mmr_oracle_sql()
+
 
 # DSIR importance resampling: hashed uni+bigram buckets, add-1-smoothed
 # target/raw log-ratio on the 1e6 grid (ln is the accepted IEEE-double

@@ -242,3 +242,51 @@ def test_backoff_score_matches_hand_computation(spark):
     # -> avg ln = (2*ln1 + ln(1/2) + ln1)/4
     assert abs(out[0]["avg_logscore"] - round(math.log(0.5) / 4, 6)) < 1e-9
     assert out[0]["n_backoff1"] == 0 and out[0]["n_backoff2"] == 0
+
+
+# ------------------------------------------------------------- MMR
+
+
+def test_mmr_first_pick_is_top1_and_picks_distinct(spark):
+    from name_match_ml_spark.operators.simsearch import (
+        cosine_topk_exact,
+        mmr_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = mmr_topk(emb, queries, k=5, pool=20, lam_permille=700).collect()
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_exact(emb, queries, k=1).collect()
+    }
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert len({r["neighbor_id"] for r in rows}) == 5
+        first = [r for r in rows if r["pick"] == 1][0]
+        assert first["neighbor_id"] == top1[q]
+
+
+def test_mmr_skips_redundant_neighbor(spark):
+    """Plain top-2 returns the near-duplicate pair; MMR's second pick
+    jumps to the diverse candidate."""
+    from name_match_ml_spark.operators.simsearch import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.2], 0),
+        (1, [1.0, 0.18], 0),  # top relevance, sits beside q
+        (2, [1.0, 0.22], 0),  # near-dup of 1 (tiny cos-minus-sim gap)
+        (3, [0.5, -0.866], 0),  # opposite side of q: cos(q,.) > sim(pick1,.)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = mmr_topk(
+        emb, emb.filter("vec_id = 0"), k=2, pool=3, lam_permille=500
+    ).collect()
+    picks = {r["pick"]: r["neighbor_id"] for r in out}
+    assert picks[1] in (1, 2)
+    assert picks[2] == 3
