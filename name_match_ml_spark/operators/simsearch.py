@@ -31,6 +31,7 @@ from .dedup import dot_expr, norm_expr
 __all__ = [
     "cosine_topk_exact",
     "mmr_topk",
+    "kcenter_select",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "quantize_embeddings",
@@ -912,4 +913,82 @@ def mmr_topk(
             )
         )
         selected = selected.unionByName(winner).localCheckpoint()
+    return selected
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-center greedy (Gonzalez farthest-point) coreset selection over
+    an embedding column — the diversity-maximizing data-selection pass
+    (coreset construction for active learning / data pruning, cf.
+    Sener & Savarese 2018): pick ``k`` centers, each round taking the
+    vector FARTHEST from the already-selected set.
+
+    Distances live on the integer cosine-distance grid
+    ``d = 1e6 - round(cos * 1e6)`` (int64 in [0, 2e6]) with ``vec_id``
+    tiebreaks — fully deterministic and engine-replayable (the
+    :func:`mmr_topk` lesson: no double round() in the selection).  The
+    first center is the minimum ``vec_id`` (the conventional arbitrary
+    seed, made deterministic).
+
+    Scale shape: the textbook algorithm — k passes over the corpus,
+    each pass one map-side broadcast of the single new center (1-row
+    crossJoin, allowlisted) updating the running min-distance column,
+    then a TakeOrdered argmax.  No pairwise N^2 stage anywhere; state
+    between rounds is ``(vec_id, dmin)`` longs, checkpointed eagerly
+    (the iterative-operator convention).
+
+    Returns ``(vec_id, pick, dist_grid)`` for the k centers: pick =
+    1..k in selection order, dist_grid = the center's min cosine
+    distance to the previously selected set at selection time
+    (2_000_000 sentinel for the seed — farther than any real vector).
+    """
+    if k < 1:
+        raise ValueError("k >= 1")
+    from .dedup import cosine_expr
+
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).localCheckpoint()
+    first = base.orderBy("vec_id").limit(1)
+    selected = first.select(
+        "vec_id",
+        F.lit(1).alias("pick"),
+        F.lit(2_000_000).cast("long").alias("dist_grid"),
+    ).localCheckpoint()
+    dist_to = lambda vc: (  # noqa: E731 — int cosine distance to a center
+        F.lit(1_000_000) - F.round(cosine_expr(F.col("_v"), vc) * 1_000_000, 0)
+    ).cast("long")
+    state = (
+        base.crossJoin(F.broadcast(first.select(F.col("_v").alias("_vc"))))
+        .select("vec_id", "_v", dist_to(F.col("_vc")).alias("dmin"))
+        .filter(F.col("vec_id") != first.select("vec_id").head()[0])
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        nxt = state.orderBy(F.desc("dmin"), "vec_id").limit(1).localCheckpoint()
+        selected = selected.unionByName(
+            nxt.select(
+                "vec_id", F.lit(r).alias("pick"), F.col("dmin").alias("dist_grid")
+            )
+        ).localCheckpoint()
+        if r == k:
+            break
+        nxt_id = nxt.head()[0]
+        state = (
+            state.filter(F.col("vec_id") != nxt_id)
+            .crossJoin(F.broadcast(nxt.select(F.col("_v").alias("_vc"))))
+            .select(
+                "vec_id",
+                "_v",
+                F.least(F.col("dmin"), dist_to(F.col("_vc"))).alias("dmin"),
+            )
+            .localCheckpoint()
+        )
     return selected

@@ -981,6 +981,18 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(emb, queries, k=5, pool=20, lam_permille=700)
 
 
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection
+    (operators/simsearch.py::kcenter_select): 8 farthest-point centers
+    over the embeddings table on the integer cosine-distance grid —
+    the diversity-based data-selection pass.  The oracle unrolls the 8
+    rounds (1-row argmax center + running min-distance update) as
+    MATERIALIZED CTEs."""
+    from .operators.simsearch import kcenter_select
+
+    return kcenter_select(table(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-5 — now HASH-CHECKED: the
     declared query pins ``nbits=6`` (the operator default stays adaptive
@@ -4265,6 +4277,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "cosine_topk": q_cosine_topk,
     "mmr_topk": q_mmr_topk,
+    "kcenter_select": q_kcenter_select,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "text_quality": q_text_quality,
@@ -5777,6 +5790,44 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam_permille: int = 700) -> str:
 
 
 ORACLE_SQL["mmr_topk"] = _mmr_oracle_sql()
+
+
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """DuckDB mirror of ``q_kcenter_select``: seed = min vec_id, then
+    k-1 unrolled rounds of (argmax running min-distance, update) on the
+    integer cosine-distance grid."""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f""",
+    c{r} AS MATERIALIZED (
+      SELECT vec_id, v, dmin FROM s{r - 1}
+      ORDER BY dmin DESC, vec_id LIMIT 1),
+    s{r} AS MATERIALIZED (
+      SELECT s.vec_id, s.v,
+             least(s.dmin,
+                   (1000000 - round(list_cosine_similarity(s.v, c.v)
+                                    * 1000000))::BIGINT) AS dmin
+      FROM s{r - 1} s, c{r} c WHERE s.vec_id <> c.vec_id)""")
+    picks = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {r} AS pick, dmin AS dist_grid FROM c{r}"
+        for r in range(2, k + 1)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c1 AS MATERIALIZED (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 1),
+    s1 AS MATERIALIZED (
+      SELECT b.vec_id, b.v,
+             (1000000 - round(list_cosine_similarity(b.v, c.v)
+                              * 1000000))::BIGINT AS dmin
+      FROM base b, c1 c WHERE b.vec_id <> c.vec_id){"".join(rounds)}
+    SELECT vec_id, 1 AS pick, 2000000::BIGINT AS dist_grid FROM c1
+    UNION ALL {picks}
+    """
+
+
+ORACLE_SQL["kcenter_select"] = _kcenter_oracle_sql()
+
 
 
 # DSIR importance resampling: hashed uni+bigram buckets, add-1-smoothed

@@ -44,6 +44,8 @@ ALLOWED = {
     "dsir_select": {"BroadcastNestedLoopJoin"},
     # 1-row N/V training-totals broadcast for the smoothed unigram fallback
     "backoff_logprob": {"BroadcastNestedLoopJoin"},
+    # k 1-row new-center broadcasts in the farthest-point iteration
+    "kcenter_select": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

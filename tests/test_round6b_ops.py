@@ -290,3 +290,75 @@ def test_mmr_skips_redundant_neighbor(spark):
     picks = {r["pick"]: r["neighbor_id"] for r in out}
     assert picks[1] in (1, 2)
     assert picks[2] == 3
+
+
+# ------------------------------------------------------ kcenter_select
+
+
+def test_kcenter_matches_pure_python_greedy(spark):
+    """Farthest-point selection replayed in pure numpy on the real
+    corpus: identical centers in identical order."""
+    import numpy as np
+
+    from name_match_ml_spark.operators.simsearch import kcenter_select
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sorted(
+        [(r["pick"], r["vec_id"], r["dist_grid"]) for r in kcenter_select(emb, k=6).collect()]
+    )
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def dist_grid(i, j):
+        return 1_000_000 - round(float(Vn[i] @ Vn[j]) * 1_000_000)
+
+    sel = [0]  # min vec_id is first (rows sorted by vec_id)
+    want = [(1, int(ids[0]), 2_000_000)]
+    dmin = {j: dist_grid(j, 0) for j in range(len(ids)) if j != 0}
+    for pick in range(2, 7):
+        nxt = max(dmin, key=lambda j: (dmin[j], -ids[j]))
+        # tie rule: dmin desc, vec_id asc
+        best = max(dmin.values())
+        nxt = min(j for j, d in dmin.items() if d == best)
+        want.append((pick, int(ids[nxt]), dmin[nxt]))
+        del dmin[nxt]
+        for j in list(dmin):
+            dmin[j] = min(dmin[j], dist_grid(j, nxt))
+    assert got == sorted(want)
+
+
+def test_kcenter_centers_are_spread(spark):
+    """The k centers' pairwise min distance exceeds a random top-k's —
+    the diversification property."""
+    from name_match_ml_spark.operators.dedup import cosine_expr
+    from name_match_ml_spark.operators.simsearch import kcenter_select
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centers = kcenter_select(emb, k=6)
+    ce = centers.join(emb, centers["vec_id"] == emb["vec_id"]).select(
+        centers["vec_id"], F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = ce.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = ce.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pair_max_cos = (
+        a.crossJoin(b)
+        .filter("a < b")
+        .select(cosine_expr(F.col("va"), F.col("vb")).alias("c"))
+        .agg(F.max("c"))
+        .head()[0]
+    )
+    first6 = emb.orderBy("vec_id").limit(6).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fa = first6.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    fb = first6.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    naive_max_cos = (
+        fa.crossJoin(fb)
+        .filter("a < b")
+        .select(cosine_expr(F.col("va"), F.col("vb")).alias("c"))
+        .agg(F.max("c"))
+        .head()[0]
+    )
+    assert pair_max_cos < naive_max_cos
