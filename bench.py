@@ -199,6 +199,16 @@ EXTENDED = [
     "model_quality_filter",
     "unigram_tokenize_docs",
     "bpe_tokenize_docs",
+    # round 6 continuation: DSIR selection, WordPiece family, fuzzy
+    # decontamination, backoff LM, MMR/k-center diversity selection
+    "dsir_select",
+    "fuzzy_decontaminate",
+    "backoff_logprob",
+    "tokenizer_compression",
+    "wordpiece_merges",
+    "wordpiece_tokenize_docs",
+    "mmr_topk",
+    "kcenter_select",
 ]
 
 HEADLINE = [

@@ -50,6 +50,7 @@ __all__ = [
     "image_features",
     "resize_images",
     "audio_features",
+    "audio_energy_segments",
     "sample_video_frames",
 ]
 
@@ -412,3 +413,90 @@ def image_tile_stats(assets: DataFrame, *, tiles: int = 2) -> DataFrame:
         "asset_id", "data"
     )
     return imgs.mapInPandas(kernel, IMAGE_TILES_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_energy_segments(assets: DataFrame, *, frame: int = 32) -> DataFrame:
+    """Energy-based audio segmentation (VAD-style): PCM16 payloads are
+    framed into non-overlapping ``frame``-sample windows (partial tail
+    dropped), each frame's energy is the EXACT int64 sum of squared
+    int16 samples, frames louder than the asset's mean frame energy are
+    active (compared by integer cross-multiplication — no division
+    anywhere), and consecutive active frames merge into segments
+    (gaps-and-islands).  The speech-detection pass of an audio
+    training-data pipeline, with the decode step real (numpy int16) and
+    everything after it native Catalyst.
+
+    Fully integer arithmetic end to end, so the DuckDB oracle replays
+    the byte decode (hex pairs), framing, energy, threshold and merge
+    bit-for-bit.
+
+    Scale: the Arrow decode emits one row per frame (payload-bounded);
+    threshold needs one per-asset aggregate joined back (AQE broadcasts
+    when small); the island merge is one window over the per-asset
+    frame order.
+
+    Returns ``(asset_id, seg_id, start_frame, end_frame, n_frames,
+    seg_energy)``.
+    """
+    from pyspark.sql import Window
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                raw = bytes(row["data"] or b"")
+                raw = raw[: len(raw) - (len(raw) % 2)]
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(s) // frame
+                if not n:
+                    continue
+                e = (s[: n * frame].reshape(n, frame) ** 2).sum(axis=1)
+                for i in range(n):
+                    out.append(
+                        {
+                            "asset_id": row["asset_id"],
+                            "frame_idx": i,
+                            "energy": int(e[i]),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FRAME_SCHEMA])
+
+    audio = assets.filter(F.col("meta.media_type") == "audio").select(
+        "asset_id", "data"
+    )
+    fr = audio.mapInPandas(frames, AUDIO_FRAME_SCHEMA)
+    tot = fr.groupBy("asset_id").agg(
+        F.sum("energy").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    act = fr.join(tot, "asset_id").filter(
+        F.col("energy") * F.col("_n") > F.col("_tot")
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    segs = (
+        act.withColumn("_grp", F.col("frame_idx") - (F.row_number().over(w) - 1))
+        .groupBy("asset_id", "_grp")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("seg_energy"),
+        )
+    )
+    ws = Window.partitionBy("asset_id").orderBy("start_frame")
+    return segs.select(
+        "asset_id",
+        F.row_number().over(ws).cast("int").alias("seg_id"),
+        "start_frame",
+        "end_frame",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("seg_energy").cast("long").alias("seg_energy"),
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "decontaminate_ngrams",
     "repetition_stats",
     "mixture_sample",
+    "temperature_mixture",
     "split_thresholds",
     "leak_safe_split",
     "select_keepers",
@@ -847,4 +848,68 @@ def fuzzy_decontaminate(
             F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    *,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+    seed: str = "temp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: rebalance strata so the
+    post-sample share of stratum i is proportional to ``q_i^alpha``
+    (q_i = its corpus share) — the multilingual/multi-source
+    pre-training recipe (mBERT/XLM-R exponent sampling; alpha = 0.5 is
+    temperature 2).  Down-sample-only: the keep rate is
+
+        r_i = (n_min / n_i)^(1 - alpha)
+
+    (the rarest stratum keeps everything; over-represented strata
+    shrink toward the tempered share).  Unlike :func:`mixture_sample`,
+    the rates are DERIVED FROM THE CORPUS — no hand-written rate map.
+
+    Determinism across engines: ``1 - alpha`` must be a dyadic quarter
+    (0.25 / 0.5 / 0.75) so the power is a composition of IEEE ``sqrt``
+    — correctly rounded BY THE STANDARD in both engines, unlike
+    ``pow``, whose last-ulp differences would shift the 2^60 keep
+    threshold.  The per-stratum threshold is ``floor(r_i * 2^60)`` and
+    the keep test is the :func:`mixture_sample` seeded md5_60 device.
+
+    Scale: one stratum-count aggregate; the threshold table is
+    #strata rows, broadcast; the keep test is a per-row hash compare.
+    """
+    if alpha not in (0.25, 0.5, 0.75):
+        raise ValueError("alpha must be 0.25, 0.5 or 0.75 (sqrt-composable)")
+
+    def _qpow(x: Column) -> Column:
+        p = 1.0 - alpha
+        if p == 0.5:
+            return F.sqrt(x)
+        if p == 0.25:
+            return F.sqrt(F.sqrt(x))
+        return F.sqrt(x) * F.sqrt(F.sqrt(x))  # p == 0.75
+
+    from pyspark.sql import Window
+
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    thr = cnt.select(
+        stratum_col,
+        F.floor(
+            _qpow(F.min("_n").over(wall).cast("double") / F.col("_n"))
+            * F.lit(1 << 60).cast("double")
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    u = _gram_hash(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")), "md5_60"
+    )
+    return (
+        docs.join(F.broadcast(thr), stratum_col)
+        .filter(u < F.col("_thr"))
+        .drop("_thr")
     )

@@ -1108,6 +1108,23 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling
+    (operators/cleaning.py::temperature_mixture): per-LANG keep rates
+    (n_min/n_i)^0.5 derived from the corpus itself (temperature-2 /
+    mBERT exponent sampling — lang is the skewed stratum: en is ~3.4x
+    the rarest language, so its keep rate is ~0.54), thresholds on the
+    2^60 grid via IEEE sqrt (correctly rounded in both engines — pow is
+    not), seeded md5_60 keep test.  Docs selected: (doc_id, lang,
+    source)."""
+    from .operators.cleaning import temperature_mixture
+
+    d = table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        d, stratum_col="lang", alpha=0.5, seed="temp"
+    ).select("doc_id", "lang", "source")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style statistical quality score: mean unigram log-prob of
     each doc under the corpus's own unigram LM
@@ -2466,6 +2483,19 @@ def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("sym")).cast("double") / F.count(F.lit(1)), 6
         ).alias("chars_per_token"),
     )
+
+
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based VAD segmentation of the PCM16 payloads
+    (multimodal/columns.py::audio_energy_segments): 32-sample frames,
+    EXACT int64 squared-sample energies, above-mean gate by integer
+    cross-multiplication, gaps-and-islands merge — every step integer,
+    so the oracle replays decode-to-segments bit-for-bit via the
+    hex-of-bytes trick."""
+    from .multimodal.columns import audio_energy_segments, synthesize_media_assets
+
+    d = table(spark, sf_dir, "documents")
+    return audio_energy_segments(synthesize_media_assets(d), frame=32)
 
 
 def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4192,6 +4222,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_tokenize_docs": q_unigram_tokenize_docs,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "tokenizer_compression": q_tokenizer_compression,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
     "wordpiece_merges": q_wordpiece_merges,
     "wordpiece_tokenize_docs": q_wordpiece_tokenize_docs,
     "source_divergence": q_source_divergence,
@@ -4291,6 +4322,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "backoff_logprob": q_backoff_logprob,
+    "temperature_mixture": q_temperature_mixture,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5827,6 +5859,61 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 
 ORACLE_SQL["kcenter_select"] = _kcenter_oracle_sql()
+
+
+ORACLE_SQL["temperature_mixture"] = """
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    thr AS (
+      SELECT lang,
+             floor(sqrt((min(n) OVER ())::DOUBLE / n)
+                   * 1152921504606846976::DOUBLE)::BIGINT AS thr
+      FROM cnt)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN thr USING (lang)
+    WHERE ('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT < thr
+"""
+
+
+ORACLE_SQL["multimodal_audio_segments"] = """
+    WITH aud AS (
+      SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE doc_id % 3 = 1),
+    s0 AS (SELECT asset_id, hx, unnest(range((nb // 2)::BIGINT)) AS k FROM aud),
+    smp AS (
+      SELECT asset_id, k,
+             ('0x' || substr(hx, (4*k + 1)::INT, 2))::INT
+             + 256 * ('0x' || substr(hx, (4*k + 3)::INT, 2))::INT AS u
+      FROM s0),
+    sgn AS (
+      SELECT asset_id, k,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM smp),
+    fr AS (
+      SELECT asset_id, (k // 32)::INT AS frame_idx, sum(s * s)::BIGINT AS energy
+      FROM sgn GROUP BY 1, 2 HAVING count(*) = 32),
+    tot AS (SELECT asset_id, sum(energy) AS tot, count(*) AS n
+            FROM fr GROUP BY asset_id),
+    act AS (
+      SELECT f.asset_id, f.frame_idx, f.energy
+      FROM fr f JOIN tot t USING (asset_id)
+      WHERE f.energy * t.n > t.tot),
+    isl AS (
+      SELECT *, frame_idx - (row_number() OVER (
+               PARTITION BY asset_id ORDER BY frame_idx) - 1) AS grp
+      FROM act),
+    seg AS (
+      SELECT asset_id, min(frame_idx) AS start_frame,
+             max(frame_idx) AS end_frame,
+             count(*)::BIGINT AS n_frames, sum(energy)::BIGINT AS seg_energy
+      FROM isl GROUP BY asset_id, grp)
+    SELECT asset_id,
+           (row_number() OVER (
+              PARTITION BY asset_id ORDER BY start_frame))::INT AS seg_id,
+           start_frame, end_frame, n_frames, seg_energy
+    FROM seg
+"""
+
 
 
 

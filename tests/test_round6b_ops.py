@@ -362,3 +362,71 @@ def test_kcenter_centers_are_spread(spark):
         .head()[0]
     )
     assert pair_max_cos < naive_max_cos
+
+
+# ------------------------------------------- temperature_mixture / VAD
+
+
+def test_temperature_mixture_rates_and_floor(spark):
+    """Rarest stratum keeps everything; the dominant stratum's realized
+    keep share tracks sqrt(n_min/n_i); invalid alpha raises."""
+    from name_match_ml_spark.operators.cleaning import temperature_mixture
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(counts.values())
+    out = temperature_mixture(d, stratum_col="lang", alpha=0.5, seed="temp")
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rare = min(counts, key=counts.get)
+    assert kept[rare] == counts[rare]
+    import math
+
+    for lang, n in counts.items():
+        rate = math.sqrt(n_min / n)
+        share = kept.get(lang, 0) / n
+        assert abs(share - rate) < 0.25  # hash-uniformity tolerance
+    with pytest.raises(ValueError, match="sqrt-composable"):
+        temperature_mixture(d, alpha=0.3)
+
+
+def test_audio_segments_match_numpy_replay(spark):
+    """Decode + frame + threshold + merge replayed in pure numpy —
+    identical segments for every audio asset."""
+    import numpy as np
+
+    from name_match_ml_spark.multimodal.columns import (
+        audio_energy_segments,
+        synthesize_media_assets,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        (r["asset_id"], r["seg_id"], r["start_frame"], r["end_frame"], r["n_frames"], r["seg_energy"])
+        for r in audio_energy_segments(synthesize_media_assets(d), frame=32).collect()
+    )
+    want = []
+    for row in d.filter("doc_id % 3 = 1").collect():
+        raw = row["text"].encode("utf-8")
+        raw = raw[: len(raw) - (len(raw) % 2)]
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        n = len(s) // 32
+        if not n:
+            continue
+        e = (s[: n * 32].reshape(n, 32) ** 2).sum(axis=1)
+        tot, cnt = int(e.sum()), n
+        active = [i for i in range(n) if int(e[i]) * cnt > tot]
+        segs, cur = [], None
+        for i in active:
+            if cur and i == cur[1] + 1:
+                cur[1] = i
+            else:
+                if cur:
+                    segs.append(cur)
+                cur = [i, i]
+        if cur:
+            segs.append(cur)
+        for sid, (a, b) in enumerate(segs, 1):
+            want.append(
+                (row["doc_id"], sid, a, b, b - a + 1, int(e[a : b + 1].sum()))
+            )
+    assert got == sorted(want)

@@ -57,6 +57,9 @@ DEFAULT_QUERIES = [
     # both families, frozen linear quality gate
     "pipeline_clean_corpus", "unigram_lm_vocab", "unigram_lm_segments",
     "unigram_tokenize_docs", "bpe_tokenize_docs", "model_quality_filter",
+    "dsir_select", "fuzzy_decontaminate", "backoff_logprob",
+    "tokenizer_compression", "wordpiece_merges", "wordpiece_tokenize_docs",
+    "mmr_topk", "kcenter_select",
 ]
 
 NOTES = {
