@@ -70,12 +70,21 @@ def ordered_index(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     out_cols = df.columns
+    # MATERIALIZE the tagged table: two jobs consume it (the offsets
+    # aggregate, then the final join), and both monotonically_increasing_id
+    # and the range partitioner's sampled boundaries are only stable
+    # across jobs if the input is — a shuffled/joined upstream recomputes
+    # in a different row order, the two jobs then disagree on _pid/_ord,
+    # and the emitted index is silently NOT the global rank (caught by
+    # dsir_select's sf0.1 hash mismatch; a plain scan upstream never
+    # trips it, which is why curriculum_order stayed green).
     tagged = (
         df.repartitionByRange(num_partitions, *full_order)
         .sortWithinPartitions(*full_order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid", _ORD_BITS))
         .withColumn("_ord", F.col("_mid").bitwiseAND(F.lit((1 << _ORD_BITS) - 1)))
+        .localCheckpoint()
     )
     counts = tagged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
