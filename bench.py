@@ -209,6 +209,9 @@ EXTENDED = [
     "wordpiece_tokenize_docs",
     "mmr_topk",
     "kcenter_select",
+    "bitext_mine",
+    "temperature_mixture",
+    "multimodal_audio_segments",
 ]
 
 HEADLINE = [

@@ -32,6 +32,7 @@ __all__ = [
     "cosine_topk_exact",
     "mmr_topk",
     "kcenter_select",
+    "bitext_margin_mine",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "quantize_embeddings",
@@ -992,3 +993,93 @@ def kcenter_select(
             .localCheckpoint()
         )
     return selected
+
+
+def bitext_margin_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix recipe): mine aligned pairs across two embedding sets by
+    the RATIO margin
+
+        margin(x, y) = cos(x, y) / ( mean_k cos(x, NN_B(x)) / 2
+                                   + mean_k cos(y, NN_A(y)) / 2 )
+
+    keeping MUTUAL best pairs (x's best y is also y's best x) — raw
+    cosine over-selects hub sentences; the margin normalizes by each
+    side's local density.
+
+    Arithmetic is pure int64: cosines on the 1e6 grid, per-vector
+    denominators are exact integer sums of the k neighbor grid-cosines,
+    and ``margin_grid = (c * 2k * 1e6) div (dx + dy)`` — one integer
+    floor division, engine-replayable (both operands positive by the
+    ``dx + dy > 0`` guard).  Ties break by partner id.
+
+    Scale: two :func:`cosine_topk_exact` passes (GEMM-batched,
+    shuffle-free) bound all candidate pairs to k per vector; the rest
+    is joins over top-k-sized tables.
+
+    Returns ``(src_id, tgt_id, cos_grid, margin_grid)`` — the mutual
+    pairs, src from ``side_a``, tgt from ``side_b``.
+    """
+    fwd = cosine_topk_exact(side_b, side_a, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = cosine_topk_exact(side_a, side_b, k=k, id_col=id_col, vec_col=vec_col)
+    ci = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    fwd = fwd.select(
+        F.col("query_id").alias("x"), F.col("neighbor_id").alias("y"), ci(F.col("cosine")).alias("c")
+    ).localCheckpoint()
+    bwd = bwd.select(
+        F.col("query_id").alias("y"), F.col("neighbor_id").alias("x"), ci(F.col("cosine")).alias("c")
+    ).localCheckpoint()
+    dx = fwd.groupBy("x").agg(F.sum("c").alias("dx"))
+    dy = bwd.groupBy("y").agg(F.sum("c").alias("dy"))
+
+    def margins(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(dx, "x")
+            .join(dy, "y")
+            # c > 0: anti-aligned pairs are never bitext, and a negative
+            # numerator would split Spark's truncating `div` from
+            # DuckDB's flooring `//`
+            .filter((F.col("c") > 0) & (F.col("dx") + F.col("dy") > 0))
+            .select(
+                "x",
+                "y",
+                "c",
+                F.expr(f"(c * {2 * k} * 1000000) div (dx + dy)").alias(
+                    "margin_grid"
+                ),
+            )
+        )
+
+    wf = Window.partitionBy("x").orderBy(F.desc("margin_grid"), "y")
+    best_fwd = (
+        margins(fwd)
+        .withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") == 1)
+        .select("x", "y", "c", "margin_grid")
+    )
+    wb = Window.partitionBy("y").orderBy(F.desc("margin_grid"), "x")
+    best_bwd = (
+        margins(bwd)
+        .withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    )
+    return (
+        best_fwd.join(
+            best_bwd,
+            (F.col("x") == F.col("bx")) & (F.col("y") == F.col("by")),
+        )
+        .select(
+            F.col("x").alias("src_id"),
+            F.col("y").alias("tgt_id"),
+            F.col("c").alias("cos_grid"),
+            "margin_grid",
+        )
+    )

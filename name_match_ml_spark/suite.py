@@ -968,6 +968,24 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(emb, queries, k=5)
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining
+    (operators/simsearch.py::bitext_margin_mine): even-label vectors
+    mined against odd-label vectors (the two "languages"), ratio margin
+    over each side's k=4 neighborhood density, mutual-best pairs only —
+    the LASER/CCMatrix parallel-corpus recipe.  All selection
+    arithmetic int64 (grid cosines, exact denominator sums, ONE integer
+    floor division per pair)."""
+    from .operators.simsearch import bitext_margin_mine
+
+    emb = table(spark, sf_dir, "embeddings")
+    return bitext_margin_mine(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+    )
+
+
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (operators/simsearch.py::mmr_topk): greedy
     relevance-minus-redundancy selection (lambda=0.7) from each query's
@@ -4309,6 +4327,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "mmr_topk": q_mmr_topk,
     "kcenter_select": q_kcenter_select,
+    "bitext_mine": q_bitext_mine,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "text_quality": q_text_quality,
@@ -5859,6 +5878,61 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 
 ORACLE_SQL["kcenter_select"] = _kcenter_oracle_sql()
+
+
+ORACLE_SQL["bitext_mine"] = """
+    WITH a AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label % 2 = 0),
+    b AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE label % 2 = 1),
+    fwd AS MATERIALIZED (
+      SELECT x, y, c FROM (
+        SELECT qa.vec_id AS x, cb.vec_id AS y,
+               round(round(list_cosine_similarity(qa.v, cb.v), 6)
+                     * 1000000)::BIGINT AS c,
+               row_number() OVER (
+                 PARTITION BY qa.vec_id
+                 ORDER BY round(list_cosine_similarity(qa.v, cb.v), 6) DESC,
+                          cb.vec_id) AS rnk
+        FROM a qa JOIN b cb ON cb.vec_id <> qa.vec_id)
+      WHERE rnk <= 4),
+    bwd AS MATERIALIZED (
+      SELECT y, x, c FROM (
+        SELECT qb.vec_id AS y, ca.vec_id AS x,
+               round(round(list_cosine_similarity(qb.v, ca.v), 6)
+                     * 1000000)::BIGINT AS c,
+               row_number() OVER (
+                 PARTITION BY qb.vec_id
+                 ORDER BY round(list_cosine_similarity(qb.v, ca.v), 6) DESC,
+                          ca.vec_id) AS rnk
+        FROM b qb JOIN a ca ON ca.vec_id <> qb.vec_id)
+      WHERE rnk <= 4),
+    dx AS MATERIALIZED (SELECT x, sum(c) AS dx FROM fwd GROUP BY x),
+    dy AS MATERIALIZED (SELECT y, sum(c) AS dy FROM bwd GROUP BY y),
+    mf AS (
+      SELECT f.x, f.y, f.c, ((f.c * 8 * 1000000) // (dx.dx + dy.dy))::BIGINT AS margin_grid
+      FROM fwd f JOIN dx USING (x) JOIN dy USING (y)
+      WHERE f.c > 0 AND dx.dx + dy.dy > 0),
+    mb AS (
+      SELECT g.x, g.y, g.c, ((g.c * 8 * 1000000) // (dx.dx + dy.dy))::BIGINT AS margin_grid
+      FROM bwd g JOIN dx USING (x) JOIN dy USING (y)
+      WHERE g.c > 0 AND dx.dx + dy.dy > 0),
+    bf AS (
+      SELECT x, y, c, margin_grid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY x ORDER BY margin_grid DESC, y) AS rn FROM mf)
+      WHERE rn = 1),
+    bb AS (
+      SELECT x, y FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY y ORDER BY margin_grid DESC, x) AS rn FROM mb)
+      WHERE rn = 1)
+    SELECT bf.x AS src_id, bf.y AS tgt_id, bf.c AS cos_grid, bf.margin_grid
+    FROM bf JOIN bb ON bb.x = bf.x AND bb.y = bf.y
+"""
+
 
 
 ORACLE_SQL["temperature_mixture"] = """

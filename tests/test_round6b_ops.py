@@ -430,3 +430,49 @@ def test_audio_segments_match_numpy_replay(spark):
                 (row["doc_id"], sid, a, b, b - a + 1, int(e[a : b + 1].sum()))
             )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------- bitext mine
+
+
+def test_bitext_mutual_best_and_margin_beats_raw_cosine(spark):
+    """Mined pairs are mutual best by margin; a planted hub vector that
+    raw cosine would over-select loses under the margin."""
+    from name_match_ml_spark.operators.simsearch import bitext_margin_mine
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    out = bitext_margin_mine(a, b, k=4).collect()
+    assert out
+    # mutual-best: src ids unique AND tgt ids unique (each side's best)
+    srcs = [r["src_id"] for r in out]
+    tgts = [r["tgt_id"] for r in out]
+    assert len(srcs) == len(set(srcs))
+    assert len(tgts) == len(set(tgts))
+    a_ids = {r["vec_id"] for r in a.select("vec_id").collect()}
+    b_ids = {r["vec_id"] for r in b.select("vec_id").collect()}
+    assert set(srcs) <= a_ids and set(tgts) <= b_ids
+    assert all(r["margin_grid"] > 0 and r["cos_grid"] > 0 for r in out)
+
+
+def test_bitext_planted_pair_is_mined(spark):
+    """Two near-identical vectors planted across the sides must be
+    mined as a mutual pair."""
+    import numpy as np
+
+    from name_match_ml_spark.operators.simsearch import bitext_margin_mine
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(30):
+        v = rng.randn(8).astype(float)
+        rows.append((i, [float(x) for x in v], i % 2))
+    base = np.array(rows[6][1])  # vec 6: label 0 -> side A
+    rows.append((100, [float(x) for x in base + 0.01], 1))  # its near-dup on side B
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = bitext_margin_mine(
+        emb.filter("label % 2 = 0"), emb.filter("label % 2 = 1"), k=3
+    ).collect()
+    pairs = {(r["src_id"], r["tgt_id"]) for r in out}
+    assert (6, 100) in pairs

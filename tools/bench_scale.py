@@ -59,7 +59,8 @@ DEFAULT_QUERIES = [
     "unigram_tokenize_docs", "bpe_tokenize_docs", "model_quality_filter",
     "dsir_select", "fuzzy_decontaminate", "backoff_logprob",
     "tokenizer_compression", "wordpiece_merges", "wordpiece_tokenize_docs",
-    "mmr_topk", "kcenter_select",
+    "mmr_topk", "kcenter_select", "bitext_mine", "temperature_mixture",
+    "multimodal_audio_segments",
 ]
 
 NOTES = {
