@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ordered_index"]
+__all__ = ["ordered_index", "ordered_cumsum"]
 
 _ORD_BITS = 33  # documented monotonically_increasing_id layout
 
@@ -95,4 +95,66 @@ def ordered_index(
         tagged.join(F.broadcast(offsets), "_pid")
         .withColumn(index_col, (F.col("_ord") + F.col("_off")).cast("long"))
         .select(*out_cols, index_col)
+    )
+
+
+def ordered_cumsum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    *,
+    tiebreak: str,
+    value_col: str,
+    cumsum_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global INCLUSIVE running sum of ``value_col`` in ``order_by``
+    order (ties broken by the unique ``tiebreak``) — the
+    budget-selection primitive ("take documents in quality order until
+    the token budget is spent"), with the same one-shuffle shape as
+    :func:`ordered_index`:
+
+    1. range-partition + sort on the total order (materialized — the
+       :func:`ordered_index` lesson: sampled range boundaries are only
+       stable across the two consuming jobs if the tagged table is),
+    2. per-partition running sums via a window partitioned by the
+       range-partition id — Catalyst can't see that the checkpointed
+       data is already clustered by ``_pid``, so this costs one more
+       exchange, but a BALANCED one (exactly one group per original
+       range partition; never the single-task empty-spec window),
+    3. per-partition totals → cumulative offsets (an
+       ``n_partitions``-row aggregate, the only unpartitioned window),
+    4. broadcast offsets back: ``running = local_running + offset``.
+
+    ``value_col`` must be integral (the running sum is exact int64 —
+    floats would make the result partition-dependent)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    full_order = [*cols, F.col(tiebreak)]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    out_cols = df.columns
+    tagged = (
+        df.repartitionByRange(num_partitions, *full_order)
+        .sortWithinPartitions(*full_order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(*full_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn(
+        "_run", F.sum(F.col(value_col).cast("long")).over(wloc)
+    )
+    totals = tagged.groupBy("_pid").agg(
+        F.sum(F.col(value_col).cast("long")).alias("_t")
+    )
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(wo), F.lit(0)).cast("long").alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cumsum_col, (F.col("_run") + F.col("_off")).cast("long"))
+        .select(*out_cols, cumsum_col)
     )

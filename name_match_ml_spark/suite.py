@@ -1393,6 +1393,47 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered_index(scored, [F.col("quality").desc()], tiebreak="doc_id")
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: take documents in
+    (quality desc, doc_id) order until 25% of the corpus's tokens are
+    spent — the fixed-compute data-selection pass ("best docs that fit
+    the training budget").  The global running token sum comes from
+    operators/ordering.py::ordered_cumsum (range shuffle + balanced
+    pid-window, never a single-task window); the budget is one exact
+    integer floor division of the corpus token total (1-row broadcast,
+    allowlisted).  A doc is selected iff it STARTS before the budget
+    boundary."""
+    from .functions.text import _words, quality_score
+    from .operators.ordering import ordered_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text", _words(F.col("text")).alias("_w"))
+    scored = staged.select(
+        "doc_id",
+        quality_score(F.col("text"), words=F.col("_w")).alias("quality"),
+        F.size("_w").cast("long").alias("n_tokens"),
+    )
+    cum = ordered_cumsum(
+        scored,
+        [F.col("quality").desc()],
+        tiebreak="doc_id",
+        value_col="n_tokens",
+        cumsum_col="cum_tokens",
+    )
+    budget = cum.groupBy().agg(
+        F.expr("sum(n_tokens) div 4").cast("long").alias("_budget")
+    )
+    return cum.crossJoin(F.broadcast(budget)).select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget")).alias(
+            "selected"
+        ),
+    )
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (exact
     Jaccard >= 0.5 pairs -> connected components) are placed whole, so
@@ -4342,6 +4383,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "backoff_logprob": q_backoff_logprob,
     "temperature_mixture": q_temperature_mixture,
+    "token_budget_select": q_token_budget_select,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5933,6 +5975,42 @@ ORACLE_SQL["bitext_mine"] = """
     FROM bf JOIN bb ON bb.x = bf.x AND bb.y = bf.y
 """
 
+
+
+ORACLE_SQL["token_budget_select"] = """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS words
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             ROUND(
+               0.3 * (CASE WHEN n >= 200 THEN least(1.0, 8000.0 / n)
+                           ELSE n / 200.0 END)
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        / CAST(greatest(n, 1) AS DOUBLE))
+               + 0.2 * least(1.0, len(list_filter(words, w -> list_contains(
+                   ['and','das','de','den','der','des','die','ein','eine','el','en',
+                    'es','est','et','for','in','is','ist','it','la','le','les','los',
+                    'of','que','that','the','to','un','una','und','une','von','was',
+                    'y','zu'], w))) * 4.0 / greatest(len(words), 1))
+               + 0.2 * (CASE WHEN COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+                                  / CAST(greatest(len(words), 1) AS DOUBLE) BETWEEN 2 AND 12
+                             THEN 1.0 ELSE 0.3 END), 6) AS quality,
+             len(words)::BIGINT AS n_tokens
+      FROM base),
+    cum AS (
+      SELECT doc_id, quality, n_tokens,
+             (sum(n_tokens) OVER (
+                ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_tokens
+      FROM scored),
+    tot AS (SELECT (sum(n_tokens) // 4)::BIGINT AS budget FROM scored)
+    SELECT doc_id, quality, n_tokens, cum_tokens,
+           cum_tokens - n_tokens < budget AS selected
+    FROM cum, tot
+"""
 
 
 ORACLE_SQL["temperature_mixture"] = """

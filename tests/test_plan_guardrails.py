@@ -46,6 +46,8 @@ ALLOWED = {
     "backoff_logprob": {"BroadcastNestedLoopJoin"},
     # k 1-row new-center broadcasts in the farthest-point iteration
     "kcenter_select": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-token-budget broadcast for the selection boundary
+    "token_budget_select": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

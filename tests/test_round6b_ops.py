@@ -476,3 +476,44 @@ def test_bitext_planted_pair_is_mined(spark):
     ).collect()
     pairs = {(r["src_id"], r["tgt_id"]) for r in out}
     assert (6, 100) in pairs
+
+
+# ----------------------------------------- ordered_cumsum / token budget
+
+
+def test_ordered_cumsum_matches_window_ground_truth(spark):
+    """Global running sum over a SHUFFLED upstream (joins/aggregates)
+    equals the single-partition window answer — the ordered_index
+    materialization lesson applied to cumsum."""
+    from name_match_ml_spark.operators.ordering import ordered_cumsum
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # shuffled upstream: an aggregate then a join
+    t = d.groupBy("doc_id").agg(F.max("n_chars").alias("v"))
+    t = t.join(d.select("doc_id", "lang"), "doc_id")
+    out = ordered_cumsum(
+        t, [F.col("v").desc()], tiebreak="doc_id", value_col="v"
+    ).collect()
+    rows = sorted(((r["v"], r["doc_id"]) for r in out), key=lambda x: (-x[0], x[1]))
+    run, want = 0, {}
+    for v, did in rows:
+        run += v
+        want[did] = run
+    assert all(r["running_total"] == want[r["doc_id"]] for r in out)
+
+
+def test_token_budget_select_boundary_semantics(spark):
+    """Selected docs are exactly those starting before the 25% token
+    boundary, in (quality desc, doc_id) order."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["token_budget_select"](spark, SF_DIR).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total // 4
+    order = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+    run = 0
+    for r in order:
+        assert r["selected"] == (run < budget)
+        run += r["n_tokens"]
+    sel_tokens = sum(r["n_tokens"] for r in rows if r["selected"])
+    assert sel_tokens >= budget  # budget fully spent (last doc may overshoot)
