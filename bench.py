@@ -212,6 +212,7 @@ EXTENDED = [
     "bitext_mine",
     "temperature_mixture",
     "multimodal_audio_segments",
+    "token_budget_select",
 ]
 
 HEADLINE = [

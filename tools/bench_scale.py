@@ -60,7 +60,7 @@ DEFAULT_QUERIES = [
     "dsir_select", "fuzzy_decontaminate", "backoff_logprob",
     "tokenizer_compression", "wordpiece_merges", "wordpiece_tokenize_docs",
     "mmr_topk", "kcenter_select", "bitext_mine", "temperature_mixture",
-    "multimodal_audio_segments",
+    "multimodal_audio_segments", "token_budget_select",
 ]
 
 NOTES = {
