@@ -213,6 +213,8 @@ EXTENDED = [
     "temperature_mixture",
     "multimodal_audio_segments",
     "token_budget_select",
+    "label_propagation",
+    "char_entropy",
 ]
 
 HEADLINE = [

@@ -28,6 +28,7 @@ __all__ = [
     "unigram_logprob_scores",
     "bigram_logprob_scores",
     "backoff_logprob_scores",
+    "char_entropy_scores",
     "chunk_documents",
     "vocab_oov_stats",
     "inverted_index",
@@ -532,6 +533,39 @@ def backoff_logprob_scores(
         F.round(F.sum(F.col("tf") * F.log(score)) / F.sum("tf"), 6).alias(
             "avg_logscore"
         ),
+    )
+
+
+def char_entropy_scores(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shannon character entropy per document — the gibberish /
+    binary-noise detector of a cleaning stack (near-zero entropy =
+    repeated filler, near-log(alphabet) entropy on short docs = random
+    noise).  ``H = ln(n) - sum_c count_c * ln(count_c) / n`` over the
+    document's character multiset, rounded to 6 dp (the
+    unigram_logprob summation device: per-doc term counts are bounded
+    by the alphabet, so the rounded sum is engine-stable).
+
+    Characters come from one ``explode(sequence(1, length))`` +
+    ``substr`` — both engines index UTF-8 strings by CHARACTER, so
+    multi-byte text (zh) counts identically.  One (doc, char)
+    aggregate with map-side combine; no UDF, no broadcast."""
+    ch = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("_i"),
+        F.col(text_col).alias("_t"),
+    ).select("doc_id", F.col("_t").substr(F.col("_i"), F.lit(1)).alias("ch"))
+    cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
     )
 
 

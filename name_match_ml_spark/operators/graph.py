@@ -50,6 +50,7 @@ __all__ = [
     "bfs_hops",
     "bellman_ford_k",
     "k_core",
+    "label_propagation",
 ]
 
 # Rounds used by the most recent connected_components call (label rounds
@@ -596,3 +597,54 @@ def k_core(
             .localCheckpoint()
         )
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+
+
+def label_propagation(
+    pairs: DataFrame,
+    *,
+    rounds: int = 4,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected pair graph: every node starts labeled with its own id;
+    each round every node adopts its neighbors' MAJORITY label
+    (ties → smallest label) — the community-detection complement of
+    connected components (CC merges any bridge; LPA communities stop at
+    sparse cuts).  The classic asynchronous LPA is order-dependent; the
+    synchronous variant with a deterministic tie rule is exactly
+    replayable as an unrolled-CTE oracle.
+
+    Scale shape: per round ONE (node, label) count aggregate over the
+    symmetrized edge join and one per-node argmax window — all keyed on
+    node, partial-combining; labels checkpoint eagerly per round (the
+    iterative-operator convention).  Output covers graph nodes (docs
+    with at least one near-dup edge): ``(doc_id, label)``.
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(rounds):
+        cnt = (
+            edges.join(
+                labels.select(F.col("node").alias("d"), "lbl"), "d"
+            )
+            .groupBy(F.col("s").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("label"))

@@ -1188,6 +1188,16 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, span_words=10, hash_fn="md5_60")
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc
+    (functions/text.py::char_entropy_scores) — the gibberish/noise
+    cleaning signal; character indexing is UTF-8-character-based in
+    both engines so zh docs count identically."""
+    from .functions.text import char_entropy_scores
+
+    return char_entropy_scores(table(spark, sf_dir, "documents"))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate (functions/text.py): word
     count, mean word length, symbol ratio, alpha-word ratio, stopword
@@ -1918,6 +1928,19 @@ def q_time_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the near-dup
+    graph (operators/graph.py::label_propagation): 4 rounds of
+    deterministic neighbor-majority (ties to the smallest label) —
+    the community structure CC's any-bridge merging cannot see.
+    Oracle unrolls the 4 rounds as MATERIALIZED CTEs over the same
+    exact-Jaccard pair derivation dedup_clusters uses."""
+    from .operators.graph import label_propagation, near_dup_graph
+
+    d = table(spark, sf_dir, "documents")
+    return label_propagation(near_dup_graph(d, materialize=False), rounds=4)
 
 
 def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4384,6 +4407,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "backoff_logprob": q_backoff_logprob,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
+    "label_propagation": q_label_propagation,
+    "char_entropy": q_char_entropy,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -6012,6 +6037,86 @@ ORACLE_SQL["token_budget_select"] = """
     FROM cum, tot
 """
 
+
+ORACLE_SQL["label_propagation"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    pairs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS MATERIALIZED (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    lab0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM edges),
+    cnt1 AS (
+      SELECT e.s AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN lab0 l ON l.node = e.d
+      GROUP BY 1, 2),
+    lab1 AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM cnt1)
+      WHERE rn = 1),
+    cnt2 AS (
+      SELECT e.s AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN lab1 l ON l.node = e.d
+      GROUP BY 1, 2),
+    lab2 AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM cnt2)
+      WHERE rn = 1),
+    cnt3 AS (
+      SELECT e.s AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN lab2 l ON l.node = e.d
+      GROUP BY 1, 2),
+    lab3 AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM cnt3)
+      WHERE rn = 1),
+    cnt4 AS (
+      SELECT e.s AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN lab3 l ON l.node = e.d
+      GROUP BY 1, 2),
+    lab4 AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM cnt4)
+      WHERE rn = 1)
+    SELECT node AS doc_id, lbl AS label FROM lab4
+"""
+
+ORACLE_SQL["char_entropy"] = """
+    WITH ch AS (
+      SELECT doc_id, substr(text, i::INT, 1) AS ch
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+            FROM documents)),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_chars,
+           count(*)::BIGINT AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM cnt GROUP BY doc_id
+"""
 
 ORACLE_SQL["temperature_mixture"] = """
     WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -517,3 +517,65 @@ def test_token_budget_select_boundary_semantics(spark):
         run += r["n_tokens"]
     sel_tokens = sum(r["n_tokens"] for r in rows if r["selected"])
     assert sel_tokens >= budget  # budget fully spent (last doc may overshoot)
+
+
+# ---------------------------------------- label propagation / entropy
+
+
+def test_label_propagation_splits_sparse_bridge(spark):
+    """Two triangles joined by one bridge edge: CC merges everything
+    into one component; LPA keeps two communities."""
+    from name_match_ml_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["label"] for r in label_propagation(pairs, rounds=4).collect()}
+    assert len(set(out.values())) >= 2
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11] == out[12]
+    assert out[0] != out[10]
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """4 synchronous rounds replayed in pure Python on the real
+    near-dup graph — identical labels."""
+    from collections import Counter
+
+    from name_match_ml_spark.operators.graph import label_propagation, near_dup_graph
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = near_dup_graph(d, materialize=False)
+    prows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    got = {r["doc_id"]: r["label"] for r in label_propagation(pairs, rounds=4).collect()}
+    adj = {}
+    for a, b in prows:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lbl[m] for m in nbrs)
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        lbl = new
+    assert got == lbl
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from name_match_ml_spark.functions.text import char_entropy_scores
+
+    docs = spark.createDataFrame(
+        [(0, "aaaaaaaa"), (1, "abcdefgh"), (2, "你你好好")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy_scores(docs).collect()}
+    assert got[0]["entropy"] == 0.0 and got[0]["n_distinct"] == 1
+    assert abs(got[1]["entropy"] - round(math.log(8), 6)) < 1e-9
+    # multi-byte chars count as characters: 4 chars, 2 distinct, H=ln 2
+    assert got[2]["n_chars"] == 4 and got[2]["n_distinct"] == 2
+    assert abs(got[2]["entropy"] - round(math.log(2), 6)) < 1e-9
