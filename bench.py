@@ -215,6 +215,7 @@ EXTENDED = [
     "token_budget_select",
     "label_propagation",
     "char_entropy",
+    "charngram_langid",
 ]
 
 HEADLINE = [

@@ -29,6 +29,7 @@ __all__ = [
     "bigram_logprob_scores",
     "backoff_logprob_scores",
     "char_entropy_scores",
+    "charngram_langid",
     "chunk_documents",
     "vocab_oov_stats",
     "inverted_index",
@@ -972,4 +973,96 @@ def rrf_fuse(
         )
         .orderBy(F.col("rrf_grid").desc(), F.col(id_col).asc())
         .limit(top_n)
+    )
+
+
+def charngram_langid(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n: int = 3,
+    profile_size: int = 100,
+    doc_top: int = 20,
+) -> DataFrame:
+    """Cavnar–Trenkle (1994) character-n-gram language ID — the
+    classical profile-ranking method, fully integer and therefore
+    bit-replayable:
+
+    1. per-language profile: the ``profile_size`` most frequent char
+       n-grams of that language's documents, ranked (count desc, gram
+       asc);
+    2. per-document profile: its ``doc_top`` most frequent n-grams,
+       ranked the same way;
+    3. out-of-place distance to each language = sum over the document's
+       profile of |doc_rank - lang_rank|, with ``profile_size`` charged
+       for n-grams absent from the language profile;
+    4. prediction = argmin distance (ties -> lang asc).
+
+    Trained on the corpus's OWN ``lang`` labels — the declared query
+    reports the prediction AND whether it matches the label, making the
+    operator's accuracy itself part of the hash-checked surface.
+
+    Scale: one (doc, gram) aggregate; language profiles are
+    ``n_langs * profile_size`` rows (broadcast); the scoring join is
+    doc_top-bounded per document.  No UDF, no transcendentals."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("_lang"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (n - 1), F.lit(1))),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            )
+        ).alias("g"),
+    ).filter(F.length("g") == n)
+    lang_cnt = grams.groupBy("_lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("_lang").orderBy(F.desc("c"), "g")
+    lang_prof = (
+        lang_cnt.withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= profile_size)
+        .select("_lang", "g", "lrank")
+    )
+    doc_cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("c"), "g")
+    doc_prof = (
+        doc_cnt.withColumn("drank", F.row_number().over(wd))
+        .filter(F.col("drank") <= doc_top)
+        .select("doc_id", "g", "drank")
+    )
+    langs = lang_prof.select("_lang").distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["_lang", "g"], "left")
+        .groupBy("doc_id", "_lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")),
+                    F.lit(profile_size),
+                )
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy("dist", "_lang")
+    best = (
+        scored.withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("_lang").alias("pred_lang"), "dist")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+        .join(best, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "dist",
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
     )

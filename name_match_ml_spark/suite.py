@@ -1198,6 +1198,18 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy_scores(table(spark, sf_dir, "documents"))
 
 
+def q_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle char-trigram language ID
+    (functions/text.py::charngram_langid): per-language top-100 trigram
+    profiles, per-doc top-20 profiles, integer out-of-place distance,
+    argmin prediction with the correctness flag hash-checked — the
+    classical langid method beside the stopword heuristic
+    (doc_lang_profile)."""
+    from .functions.text import charngram_langid
+
+    return charngram_langid(table(spark, sf_dir, "documents"))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate (functions/text.py): word
     count, mean word length, symbol ratio, alpha-word ratio, stopword
@@ -4409,6 +4421,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select": q_token_budget_select,
     "label_propagation": q_label_propagation,
     "char_entropy": q_char_entropy,
+    "charngram_langid": q_charngram_langid,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -6116,6 +6129,45 @@ ORACLE_SQL["char_entropy"] = """
            count(*)::BIGINT AS n_distinct,
            round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
     FROM cnt GROUP BY doc_id
+"""
+
+ORACLE_SQL["charngram_langid"] = """
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, lang, g FROM (
+        SELECT doc_id, lang, substr(text, i::INT, 3) AS g
+        FROM (SELECT doc_id, lang, text,
+                     unnest(range(1, greatest(length(text) - 2, 1) + 1)) AS i
+              FROM documents))
+      WHERE length(g) = 3),
+    lc AS (SELECT lang AS l, g, count(*) AS c FROM g GROUP BY 1, 2),
+    lp AS MATERIALIZED (
+      SELECT l, g, lrank FROM (
+        SELECT l, g, row_number() OVER (
+          PARTITION BY l ORDER BY c DESC, g) AS lrank
+        FROM lc)
+      WHERE lrank <= 100),
+    dc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+    dp AS MATERIALIZED (
+      SELECT doc_id, g, drank FROM (
+        SELECT doc_id, g, row_number() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, g) AS drank
+        FROM dc)
+      WHERE drank <= 20),
+    langs AS (SELECT DISTINCT l FROM lp),
+    sc AS (
+      SELECT d.doc_id, ls.l,
+             sum(coalesce(abs(d.drank - lp.lrank), 100))::BIGINT AS dist
+      FROM dp d CROSS JOIN langs ls
+      LEFT JOIN lp ON lp.l = ls.l AND lp.g = d.g
+      GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, l AS pred_lang, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY dist, l) AS rn FROM sc)
+      WHERE rn = 1)
+    SELECT d.doc_id, d.lang, b.pred_lang, b.dist,
+           b.pred_lang = d.lang AS correct
+    FROM documents d JOIN best b USING (doc_id)
 """
 
 ORACLE_SQL["temperature_mixture"] = """

@@ -48,6 +48,9 @@ ALLOWED = {
     "kcenter_select": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
+    # n_langs-row (bounded dimension) broadcast: every doc scores every
+    # language profile in the out-of-place distance
+    "charngram_langid": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -579,3 +579,31 @@ def test_char_entropy_extremes(spark):
     # multi-byte chars count as characters: 4 chars, 2 distinct, H=ln 2
     assert got[2]["n_chars"] == 4 and got[2]["n_distinct"] == 2
     assert abs(got[2]["entropy"] - round(math.log(2), 6)) < 1e-9
+
+
+# -------------------------------------------------- charngram langid
+
+
+def test_charngram_langid_beats_chance_and_is_deterministic(spark):
+    from name_match_ml_spark.functions.text import charngram_langid
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = charngram_langid(d).collect()
+    assert len(out) == d.count()
+    acc = sum(r["correct"] for r in out) / len(out)
+    n_langs = d.select("lang").distinct().count()
+    assert acc > 1.5 / n_langs  # beats chance on the synthetic corpus
+    again = {r["doc_id"]: r["pred_lang"] for r in charngram_langid(d).collect()}
+    assert all(again[r["doc_id"]] == r["pred_lang"] for r in out)
+
+
+def test_charngram_langid_separable_toy(spark):
+    """Two alphabet-disjoint 'languages' classify perfectly."""
+    from name_match_ml_spark.functions.text import charngram_langid
+
+    rows = [(i, "abc abd abe abf " * 5, "aa") for i in range(6)] + [
+        (10 + i, "xyz xyw xyv xyu " * 5, "xx") for i in range(6)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = charngram_langid(d, profile_size=50, doc_top=10).collect()
+    assert all(r["correct"] for r in out)

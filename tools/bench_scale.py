@@ -61,7 +61,7 @@ DEFAULT_QUERIES = [
     "tokenizer_compression", "wordpiece_merges", "wordpiece_tokenize_docs",
     "mmr_topk", "kcenter_select", "bitext_mine", "temperature_mixture",
     "multimodal_audio_segments", "token_budget_select",
-    "label_propagation", "char_entropy",
+    "label_propagation", "char_entropy", "charngram_langid",
 ]
 
 NOTES = {
