@@ -958,6 +958,8 @@ def kcenter_select(
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).localCheckpoint()
     first = base.orderBy("vec_id").limit(1)
+    if not first.head(1):
+        raise ValueError("kcenter_select: empty corpus")
     selected = first.select(
         "vec_id",
         F.lit(1).alias("pick"),

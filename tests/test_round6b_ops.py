@@ -632,3 +632,11 @@ def test_pipeline_select_stage_invariants(spark):
     # budget semantics over the mixed survivors
     mixed_rows = em.queries()["pipeline_select_corpus"](spark, SF_DIR)  # plan builds fine twice
     assert len(ids) > 0 and len(ids) < len(mixed)
+
+
+def test_kcenter_empty_corpus_raises_clearly(spark):
+    from name_match_ml_spark.operators.simsearch import kcenter_select
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        kcenter_select(empty, k=3)
