@@ -217,6 +217,8 @@ EXTENDED = [
     "char_entropy",
     "charngram_langid",
     "pipeline_select_corpus",
+    "graph_walks",
+    "zipf_fit",
 ]
 
 HEADLINE = [

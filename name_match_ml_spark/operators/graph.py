@@ -51,6 +51,7 @@ __all__ = [
     "bellman_ford_k",
     "k_core",
     "label_propagation",
+    "graph_walks",
 ]
 
 # Rounds used by the most recent connected_components call (label rounds
@@ -648,3 +649,75 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("label"))
+
+
+def graph_walks(
+    pairs: DataFrame,
+    *,
+    steps: int = 3,
+    seed: str = "walk",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Deterministic random walks over the undirected pair graph — the
+    positive-pair sampler of a node2vec/DeepWalk-style embedding
+    trainer, with the RNG replaced by the repo's seeded md5_60 device
+    so every walk is a pure function of (seed, start, step) and the
+    whole walk table replays bit-exactly in the oracle.
+
+    One walk starts at every node; at step r the walker at ``cur``
+    moves to neighbor ``md5_60(seed:start:r) % degree(cur)`` in the
+    (cur, neighbor-ascending) adjacency order.  Emits ``(start, step,
+    node)`` rows including step 0.
+
+    Scale shape: the adjacency table carries a per-neighbor rank (one
+    window over the edge list); each step is ONE equi-join of the
+    walker frontier against it on (cur, chosen rank) — no gather of
+    neighbor lists, no RNG state, walkers stay (start, cur) longs.
+    Steps checkpoint eagerly (the iterative convention)."""
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    w = Window.partitionBy("s").orderBy("d")
+    adj = (
+        edges.withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .localCheckpoint()
+    )
+    cur = adj.select(F.col("s").alias("start")).distinct().select(
+        "start", F.col("start").alias("node")
+    ).localCheckpoint()
+    out = cur.select("start", F.lit(0).alias("step"), "node")
+    for r in range(1, steps + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.lit(":"),
+                            F.col("start").cast("string"),
+                            F.lit(":"),
+                            F.lit(str(r)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+        nxt = (
+            cur.join(adj, cur["node"] == adj["s"])
+            .filter(F.col("idx") == pick % F.col("deg"))
+            .select("start", F.col("d").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt.select("start", F.lit(r).alias("step"), "node"))
+        cur = nxt
+    return out

@@ -1210,6 +1210,48 @@ def q_charngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charngram_langid(table(spark, sf_dir, "documents"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope/intercept of ln(freq) on
+    ln(rank) over each source's top-50 terms — the corpus-card statistic
+    that flags machine-generated or templated sources (natural text
+    slopes cluster near -1; flat slopes mean templating).  Bounded
+    per-group term lists (50), exact integer ranks, ln the only
+    transcendental, everything else one partial-combining aggregate."""
+    from .functions.text import _words
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), "w")
+    top = tf.withColumn("rnk", F.row_number().over(wr)).filter(F.col("rnk") <= 50)
+    xy = top.select(
+        "source",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality gate (functions/text.py): word
     count, mean word length, symbol ratio, alpha-word ratio, stopword
@@ -2002,6 +2044,18 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return label_propagation(near_dup_graph(d, materialize=False), rounds=4)
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the near-dup graph
+    (operators/graph.py::graph_walks): 3 seeded-hash steps from every
+    node — the node2vec/DeepWalk positive-pair sampler with the RNG
+    replaced by md5_60(seed:start:step) % degree, so the entire walk
+    table is hash-checked against a 3-step unrolled oracle."""
+    from .operators.graph import graph_walks, near_dup_graph
+
+    d = table(spark, sf_dir, "documents")
+    return graph_walks(near_dup_graph(d, materialize=False), steps=3)
 
 
 def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4472,6 +4526,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "charngram_langid": q_charngram_langid,
     "pipeline_select_corpus": q_pipeline_select_corpus,
+    "graph_walks": q_graph_walks,
+    "zipf_fit": q_zipf_fit,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -6305,6 +6361,81 @@ ORACLE_SQL["charngram_langid"] = """
     SELECT d.doc_id, d.lang, b.pred_lang, b.dist,
            b.pred_lang = d.lang AS correct
     FROM documents d JOIN best b USING (doc_id)
+"""
+
+ORACLE_SQL["graph_walks"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    pairs AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS MATERIALIZED (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    adj AS MATERIALIZED (
+      SELECT s, d,
+             row_number() OVER (PARTITION BY s ORDER BY d) - 1 AS idx,
+             count(*) OVER (PARTITION BY s) AS deg
+      FROM edges),
+    w0 AS MATERIALIZED (SELECT DISTINCT s AS start, s AS node FROM edges),
+    w1 AS MATERIALIZED (
+      SELECT c.start, a.d AS node
+      FROM w0 c JOIN adj a ON a.s = c.node
+      WHERE a.idx = ('0x' || substr(md5('walk:' || c.start || ':1'),
+                                    1, 15))::BIGINT % a.deg),
+    w2 AS MATERIALIZED (
+      SELECT c.start, a.d AS node
+      FROM w1 c JOIN adj a ON a.s = c.node
+      WHERE a.idx = ('0x' || substr(md5('walk:' || c.start || ':2'),
+                                    1, 15))::BIGINT % a.deg),
+    w3 AS MATERIALIZED (
+      SELECT c.start, a.d AS node
+      FROM w2 c JOIN adj a ON a.s = c.node
+      WHERE a.idx = ('0x' || substr(md5('walk:' || c.start || ':3'),
+                                    1, 15))::BIGINT % a.deg)
+    SELECT start, 0 AS step, node FROM w0
+    UNION ALL SELECT start, 1 AS step, node FROM w1
+    UNION ALL SELECT start, 2 AS step, node FROM w2
+    UNION ALL SELECT start, 3 AS step, node FROM w3
+"""
+
+ORACLE_SQL["zipf_fit"] = """
+    WITH w AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS wd
+      FROM documents),
+    tf AS (SELECT source, wd, count(*) AS c FROM w GROUP BY 1, 2),
+    top AS (
+      SELECT source, c, rnk FROM (
+        SELECT source, c, row_number() OVER (
+          PARTITION BY source ORDER BY c DESC, wd) AS rnk
+        FROM tf)
+      WHERE rnk <= 50),
+    xy AS (SELECT source, ln(rnk::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM top),
+    agg AS (
+      SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sx2
+      FROM xy GROUP BY source)
+    SELECT source, n::BIGINT AS n_terms,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM agg
 """
 
 ORACLE_SQL["temperature_mixture"] = """

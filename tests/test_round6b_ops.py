@@ -640,3 +640,38 @@ def test_kcenter_empty_corpus_raises_clearly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         kcenter_select(empty, k=3)
+
+
+# -------------------------------------------------- walks / zipf
+
+
+def test_graph_walks_follow_edges_and_are_deterministic(spark):
+    from name_match_ml_spark.operators.graph import graph_walks, near_dup_graph
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = near_dup_graph(d, materialize=False)
+    prows = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    und = prows | {(b, a) for a, b in prows}
+    out = graph_walks(pairs, steps=3).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    for start, path in walks.items():
+        assert path[0] == start
+        for s in range(1, 4):
+            if s in path:
+                assert (path[s - 1], path[s]) in und  # every hop is an edge
+    again = graph_walks(pairs, steps=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # every node walks the full 3 steps (walkers never die on this graph)
+    assert all(len(p) == 4 for p in walks.values())
+
+
+def test_zipf_slope_negative_and_bounded(spark):
+    import __spark_entry__ as em
+
+    rows = em.queries()["zipf_fit"](spark, SF_DIR).collect()
+    # the synthetic vocabulary is ~31 distinct terms per source
+    assert rows and all(5 < r["n_terms"] <= 50 for r in rows)
+    for r in rows:
+        assert -3.0 < r["zipf_slope"] < 0.0  # frequencies decay with rank
