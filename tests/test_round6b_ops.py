@@ -675,3 +675,30 @@ def test_zipf_slope_negative_and_bounded(spark):
     assert rows and all(5 < r["n_terms"] <= 50 for r in rows)
     for r in rows:
         assert -3.0 < r["zipf_slope"] < 0.0  # frequencies decay with rank
+
+
+# ------------------------------------------- tokenizer artifact round trip
+
+
+def test_tokenizer_merge_table_persists_and_reapplies(spark, tmp_path):
+    """The merge table IS the tokenizer artifact: save it to parquet,
+    reload in a fresh lineage, replay over the corpus — identical
+    tokenization to the in-session apply path, for BOTH merge-list
+    families."""
+    from name_match_ml_spark.operators.bpe import (
+        bpe_train,
+        replay_merges_over_docs,
+    )
+    from name_match_ml_spark.operators.wordpiece import wordpiece_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    for fam, train in (("bpe", bpe_train), ("wordpiece", wordpiece_train)):
+        merges, _ = train(docs, n_merges=8, max_words=1000)
+        path = str(tmp_path / f"{fam}_merges")
+        merges.write.mode("overwrite").parquet(path)
+        reloaded = spark.read.parquet(path)
+        direct = replay_merges_over_docs(docs, merges, n_rounds=8)
+        from_disk = replay_merges_over_docs(docs, reloaded, n_rounds=8)
+        a = sorted(map(tuple, direct.collect()))
+        b = sorted(map(tuple, from_disk.collect()))
+        assert a == b and a
