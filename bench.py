@@ -219,6 +219,7 @@ EXTENDED = [
     "pipeline_select_corpus",
     "graph_walks",
     "zipf_fit",
+    "graph_summary",
 ]
 
 HEADLINE = [

@@ -2058,6 +2058,77 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_walks(near_dup_graph(d, materialize=False), steps=3)
 
 
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card of the near-dup graph: node/edge/wedge/
+    triangle counts, global transitivity (3*tri/wedges) and degree
+    assortativity (Pearson over edge-endpoint degrees; symmetric
+    marginals so r = (n*Sxy - Sx^2)/(n*Sx2 - Sx^2)) — the structural
+    summary read before trusting transitive dedup merges.  All
+    sufficient statistics are exact int64 over the STAGED pair graph
+    (one derivation feeds degrees, wedges, triangles, assortativity);
+    the two ratios are one double division each, rounded to 6 dp."""
+    from .operators.graph import near_dup_graph
+
+    d = table(spark, sf_dir, "documents")
+    pairs = near_dup_graph(d)  # staged: 4 consumers below
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("wedges"),
+    )
+    ecnt = pairs.agg(F.count(F.lit(1)).alias("edges"))
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    tri = (
+        p1.join(p2, "a")
+        .filter(F.col("c") > F.col("b"))
+        .join(p3, ["b", "c"])
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    exy = (
+        edges.join(deg.select(F.col("s"), F.col("deg").alias("dx")), "s")
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("deg").alias("dy")), "d"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dx").alias("sx"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sx2"),
+        )
+    )
+    out = (
+        base.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(exy))
+    )
+    trans = F.when(
+        F.col("wedges") > 0,
+        F.round(3 * F.col("tri").cast("double") / F.col("wedges"), 6),
+    ).otherwise(F.lit(0.0))
+    denom = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    assort = F.when(
+        denom != 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+            / denom,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("nodes").cast("long").alias("nodes"),
+        F.col("edges").cast("long").alias("edges"),
+        F.col("wedges").cast("long").alias("wedges"),
+        F.col("tri").cast("long").alias("triangles"),
+        trans.alias("transitivity"),
+        assort.alias("assortativity"),
+    )
+
+
 def q_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the exact-Jaccard near-dup graph (operators/graph.py
     ::triangles, degree-oriented node-iterator): ordered (a, b, c)
@@ -4528,6 +4599,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_select_corpus": q_pipeline_select_corpus,
     "graph_walks": q_graph_walks,
     "zipf_fit": q_zipf_fit,
+    "graph_summary": q_graph_summary,
     "leak_safe_split": q_leak_safe_split,
     "unigram_logprob": q_unigram_logprob,
     "select_keepers": q_select_keepers,
@@ -6436,6 +6508,58 @@ ORACLE_SQL["zipf_fit"] = """
            round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 6)
              AS zipf_intercept
     FROM agg
+"""
+
+ORACLE_SQL["graph_summary"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+              WHERE len(shingles) > 0),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sized a JOIN sized b
+        ON a.doc_id < b.doc_id
+       AND least(a.n, b.n) >= 0.5 * greatest(a.n, b.n)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS MATERIALIZED (
+      SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+    deg AS MATERIALIZED (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+    b0 AS (SELECT count(*) AS nodes,
+                  sum(deg * (deg - 1) // 2)::BIGINT AS wedges FROM deg),
+    ec AS (SELECT count(*) AS edges FROM pairs),
+    tr AS (
+      SELECT count(*) AS tri
+      FROM pairs p1
+      JOIN pairs p2 ON p2.s = p1.s AND p2.d > p1.d
+      JOIN pairs p3 ON p3.s = p1.d AND p3.d = p2.d),
+    exy AS (
+      SELECT count(*) AS n, sum(dx.deg) AS sx,
+             sum(dx.deg * dy.deg) AS sxy,
+             sum(dx.deg * dx.deg) AS sx2
+      FROM edges e
+      JOIN deg dx ON dx.s = e.s
+      JOIN deg dy ON dy.s = e.d)
+    SELECT b0.nodes::BIGINT AS nodes, ec.edges::BIGINT AS edges,
+           b0.wedges, tr.tri::BIGINT AS triangles,
+           CASE WHEN b0.wedges > 0
+                THEN round(3 * tr.tri::DOUBLE / b0.wedges, 6)
+                ELSE 0.0 END AS transitivity,
+           CASE WHEN exy.n * exy.sx2 - exy.sx * exy.sx <> 0
+                THEN round((exy.n * exy.sxy - exy.sx * exy.sx)::DOUBLE
+                           / (exy.n * exy.sx2 - exy.sx * exy.sx), 6)
+                ELSE 0.0 END AS assortativity
+    FROM b0, ec, tr, exy
 """
 
 ORACLE_SQL["temperature_mixture"] = """

@@ -53,6 +53,8 @@ ALLOWED = {
     "charngram_langid": {"BroadcastNestedLoopJoin"},
     # 1-row surviving-token-budget broadcast for the composed pipeline
     "pipeline_select_corpus": {"BroadcastNestedLoopJoin"},
+    # 1-row x 1-row stat combines in the graph corpus card
+    "graph_summary": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (

@@ -702,3 +702,49 @@ def test_tokenizer_merge_table_persists_and_reapplies(spark, tmp_path):
         a = sorted(map(tuple, direct.collect()))
         b = sorted(map(tuple, from_disk.collect()))
         assert a == b and a
+
+
+# ----------------------------------------------------- graph summary
+
+
+def test_graph_summary_matches_networkx_free_replay(spark):
+    """All six numbers replayed in pure Python on the real near-dup
+    graph (adjacency sets, wedge formula, brute triangles, Pearson)."""
+    import itertools
+    import math
+
+    import __spark_entry__ as em
+    from name_match_ml_spark.operators.graph import near_dup_graph
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prows = {(r["doc_a"], r["doc_b"]) for r in near_dup_graph(d, materialize=False).collect()}
+    row = em.queries()["graph_summary"](spark, SF_DIR).collect()[0]
+    adj = {}
+    for a, b in prows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = len(adj)
+    edges = len(prows)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    tri = sum(
+        1
+        for a, b in prows
+        for c in adj[a] & adj[b]
+        if c > b  # a < b by pair order; count each triangle once
+    )
+    assert (row["nodes"], row["edges"], row["wedges"], row["triangles"]) == (
+        nodes,
+        edges,
+        wedges,
+        tri,
+    )
+    xs, ys = [], []
+    for a, b in prows:
+        for x, y in ((a, b), (b, a)):
+            xs.append(len(adj[x]))
+            ys.append(len(adj[y]))
+    n = len(xs)
+    sx, sxy, sx2 = sum(xs), sum(x * y for x, y in zip(xs, ys)), sum(x * x for x in xs)
+    want_assort = round((n * sxy - sx * sx) / (n * sx2 - sx * sx), 6)
+    assert abs(row["assortativity"] - want_assort) < 1e-9
+    assert abs(row["transitivity"] - round(3 * tri / wedges, 6)) < 1e-9

@@ -62,7 +62,7 @@ DEFAULT_QUERIES = [
     "mmr_topk", "kcenter_select", "bitext_mine", "temperature_mixture",
     "multimodal_audio_segments", "token_budget_select",
     "label_propagation", "char_entropy", "charngram_langid",
-    "pipeline_select_corpus", "graph_walks", "zipf_fit",
+    "pipeline_select_corpus", "graph_walks", "zipf_fit", "graph_summary",
 ]
 
 NOTES = {
