@@ -554,10 +554,19 @@ def char_entropy_scores(
     Characters come from one ``explode(sequence(1, length))`` +
     ``substr`` — both engines index UTF-8 strings by CHARACTER, so
     multi-byte text (zh) counts identically.  One (doc, char)
-    aggregate with map-side combine; no UDF, no broadcast."""
+    aggregate with map-side combine; no UDF, no broadcast.
+
+    Empty documents yield NO row (matching DuckDB's ``range(1, len+1)``,
+    which is empty for len=0): Spark's ``sequence(1, 0)`` would default
+    to step -1 and emit the phantom positions [1, 0], so the sequence is
+    gated on ``length >= 1``."""
+    positions = F.when(
+        F.length(F.col(text_col)) >= 1,
+        F.sequence(F.lit(1), F.length(F.col(text_col))),
+    ).otherwise(F.array().cast("array<int>"))
     ch = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("_i"),
+        F.explode(positions).alias("_i"),
         F.col(text_col).alias("_t"),
     ).select("doc_id", F.col("_t").substr(F.col("_i"), F.lit(1)).alias("ch"))
     cnt = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
@@ -1006,7 +1015,12 @@ def charngram_langid(
 
     Scale: one (doc, gram) aggregate; language profiles are
     ``n_langs * profile_size`` rows (broadcast); the scoring join is
-    doc_top-bounded per document.  No UDF, no transcendentals."""
+    doc_top-bounded per document.  No UDF, no transcendentals.
+
+    Totality: documents shorter than ``n`` characters have no n-grams
+    and hence no profile; they are emitted with the deterministic
+    sentinel ``(pred_lang='', dist=-1, correct=false)`` instead of
+    being silently dropped by an inner join (ADVICE r6 #5)."""
     from pyspark.sql import Window
 
     grams = docs.select(
@@ -1057,12 +1071,14 @@ def charngram_langid(
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
-        .join(best, "doc_id")
+        .join(best, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
-            "pred_lang",
-            "dist",
-            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+            F.coalesce("pred_lang", F.lit("")).alias("pred_lang"),
+            F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"),
+            F.coalesce(
+                F.col("pred_lang") == F.col("lang"), F.lit(False)
+            ).alias("correct"),
         )
     )

@@ -786,7 +786,12 @@ def fuzzy_decontaminate(
     (:func:`..operators.dedup.band_signatures`), candidates are corpus×
     bench band collisions only (never corpus×corpus), and every
     candidate is exact-Jaccard verified.  Returns one row per corpus
-    document: ``(doc_id, n_matches, best_jaccard, contaminated)``.
+    document: ``(doc_id, n_matches, best_jaccard_grid, contaminated)``
+    with ``best_jaccard_grid = (|∩| * 1_000_000) div |∪|`` — the
+    threshold test and the reported similarity both live on the exact
+    int64 millionths grid (ADVICE r6 #4: ``round()`` on a raw double
+    quotient is the known Spark-vs-DuckDB divergence class; the
+    mmr/kcenter convention applies here too).
 
     100 TB notes: the band join ships three longs per (doc, band); the
     bench side is eval-set sized, so its banded table broadcasts and
@@ -794,9 +799,12 @@ def fuzzy_decontaminate(
     only for band-colliding candidates — work tracks true contamination
     volume, not |corpus|×|bench|.
     """
+    from fractions import Fraction
+
     from .dedup import _staged_shingle_hashes, band_signatures
     from ..plans.staging import stage
 
+    _thr_frac = Fraction(threshold).limit_denominator(1_000_000)
     base_c = stage(
         _staged_shingle_hashes(corpus, text_col, id_col, shingle_n),
         "doc_id",
@@ -830,13 +838,22 @@ def fuzzy_decontaminate(
         )
         .select(
             "doc_id",
-            (F.col("_i").cast("double") / (F.col("_sz") - F.col("_i"))).alias("_j"),
+            F.col("_i").cast("long").alias("_in"),
+            (F.col("_sz") - F.col("_i")).cast("long").alias("_un"),
         )
-        .filter(F.col("_j") >= threshold)
+        # exact rational test: |∩|/|∪| >= threshold, on integers
+        # (Fraction recovers the intended rational from the float arg:
+        # 0.3 -> 3/10, 2/3 -> 2/3 — no half-grid-point boundary loss)
+        .filter(
+            F.col("_in") * F.lit(_thr_frac.denominator)
+            >= F.lit(_thr_frac.numerator) * F.col("_un")
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_matches"),
-            F.round(F.max("_j"), 6).alias("best_jaccard"),
+            F.max(
+                F.expr("_in * 1000000 DIV _un").cast("long")
+            ).alias("best_jaccard_grid"),
         )
     )
     return (
@@ -845,7 +862,9 @@ def fuzzy_decontaminate(
         .select(
             "doc_id",
             F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
-            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+            F.coalesce("best_jaccard_grid", F.lit(0))
+            .cast("long")
+            .alias("best_jaccard_grid"),
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
         )
     )

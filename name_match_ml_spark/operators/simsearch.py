@@ -948,6 +948,9 @@ def kcenter_select(
     1..k in selection order, dist_grid = the center's min cosine
     distance to the previously selected set at selection time
     (2_000_000 sentinel for the seed — farther than any real vector).
+    If ``k`` exceeds the corpus size the loop stops early and returns
+    every vector as a center (ADVICE r6 #3: previously a mid-loop
+    ``NoneType`` crash once the remaining-state table emptied).
     """
     if k < 1:
         raise ValueError("k >= 1")
@@ -976,6 +979,8 @@ def kcenter_select(
     )
     for r in range(2, k + 1):
         nxt = state.orderBy(F.desc("dmin"), "vec_id").limit(1).localCheckpoint()
+        if not nxt.head(1):
+            break  # k exceeds corpus size: every vector already selected
         selected = selected.unionByName(
             nxt.select(
                 "vec_id", F.lit(r).alias("pick"), F.col("dmin").alias("dist_grid")

@@ -340,9 +340,15 @@ def unigram_tokenize_docs(
     The apply path that makes the tokenizer usable downstream of
     training (the unigram twin of "replaying BPE merges"): the DISTINCT
     corpus word table is segmented ONCE under the final learned costs —
-    including words outside the capped training lexicon, which still
-    segment fine because every single character is in the vocabulary —
-    and documents join their words against that per-word segmentation.
+    including words outside the capped training lexicon — and documents
+    join their words against that per-word segmentation.  Single-char
+    coverage at apply time is TOTAL: corpus characters absent from the
+    trained vocabulary (possible when a char occurs only in words ranked
+    below the ``max_words`` training-lexicon cap) are unioned into the
+    cost table as UNK single-char tokens at a pinned cost of
+    ``max(trained cost) + 1_000_000`` — strictly worse than any trained
+    token, so trained segmentations are unchanged, but no word is ever
+    silently dropped by the segmentation join (ADVICE r6 #2).
     At 100 TB the per-word table is the vocabulary-bounded artifact you
     materialize; the corpus-sized work is one explode + one hash join.
     """
@@ -371,7 +377,26 @@ def unigram_tokenize_docs(
         .localCheckpoint()
     )
     _assert_word_len(allw, "unigram_tokenize_docs")
-    segs = _segment(allw, final_cost, max_token_len)
+    # UNK coverage: apply-time single chars missing from the trained
+    # vocabulary, at a pinned cost above every trained token (1-row max
+    # broadcast — the allowlisted corpus-stat pattern).
+    chars_apply = (
+        allw.select(
+            "wid",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n") - 1)).alias("i"),
+        )
+        .select(F.expr("substr(wid, CAST(i + 1 AS INT), 1)").alias("tok"))
+        .distinct()
+    )
+    missing = chars_apply.join(final_cost.select("tok"), "tok", "left_anti")
+    maxc = final_cost.agg((F.max("cost") + F.lit(1000000)).alias("unk_cost"))
+    unk = missing.crossJoin(F.broadcast(maxc)).select(
+        "tok",
+        F.lit(0).cast("long").alias("cnt"),
+        F.col("unk_cost").cast("long").alias("cost"),
+    )
+    cost_apply = final_cost.select("tok", "cnt", "cost").unionByName(unk)
+    segs = _segment(allw, cost_apply, max_token_len)
     return dw.join(segs.select("wid", "pos", "sym"), "wid").select(
         "doc_id", F.col("wpos").cast("int").alias("wpos"), "pos", "sym"
     )

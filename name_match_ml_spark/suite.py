@@ -5532,16 +5532,17 @@ ORACLE_SQL["fuzzy_decontaminate"] = """
       SELECT doc_id, sh AS sh_c FROM g WHERE doc_id % 5 <> 0),
     j AS (
       SELECT c.doc_id,
-             len(list_intersect(sh_c, sh_b))::DOUBLE
-               / (len(sh_c) + len(sh_b) - len(list_intersect(sh_c, sh_b)))
-               AS jac
+             len(list_intersect(sh_c, sh_b))::BIGINT AS i_n,
+             (len(sh_c) + len(sh_b) - len(list_intersect(sh_c, sh_b)))::BIGINT
+               AS u_n
       FROM c, b),
     v AS (
-      SELECT doc_id, count(*) AS n_matches, round(max(jac), 6) AS best_jaccard
-      FROM j WHERE jac >= 0.3 GROUP BY doc_id)
+      SELECT doc_id, count(*) AS n_matches,
+             max(i_n * 1000000 // u_n)::BIGINT AS best_jaccard_grid
+      FROM j WHERE i_n * 1000000 >= 300000 * u_n GROUP BY doc_id)
     SELECT c.doc_id,
            coalesce(n_matches, 0)::BIGINT AS n_matches,
-           coalesce(best_jaccard, 0.0) AS best_jaccard,
+           coalesce(best_jaccard_grid, 0)::BIGINT AS best_jaccard_grid,
            coalesce(n_matches, 0) > 0 AS contaminated
     FROM c LEFT JOIN v USING (doc_id)
 """
@@ -6430,9 +6431,11 @@ ORACLE_SQL["charngram_langid"] = """
         SELECT *, row_number() OVER (
           PARTITION BY doc_id ORDER BY dist, l) AS rn FROM sc)
       WHERE rn = 1)
-    SELECT d.doc_id, d.lang, b.pred_lang, b.dist,
-           b.pred_lang = d.lang AS correct
-    FROM documents d JOIN best b USING (doc_id)
+    SELECT d.doc_id, d.lang,
+           coalesce(b.pred_lang, '') AS pred_lang,
+           coalesce(b.dist, -1)::BIGINT AS dist,
+           coalesce(b.pred_lang = d.lang, false) AS correct
+    FROM documents d LEFT JOIN best b USING (doc_id)
 """
 
 ORACLE_SQL["graph_walks"] = """
@@ -8106,12 +8109,14 @@ def _unigram_oracle_sql(
         )
         return "".join(blocks)
 
-    def seg_chain(wordsrc: str, occsrc: str, diagsrc: str) -> str:
+    def seg_chain(
+        wordsrc: str, occsrc: str, diagsrc: str, costsrc: str = "cF"
+    ) -> str:
         out = [
             f""",
     eF AS MATERIALIZED (
       SELECT o.wid, o.freq, o.n, o.i, o.j, o.tok, c.cost
-      FROM {occsrc} o JOIN cF c USING (tok)),{closure("dF_", "eF", diagsrc)},
+      FROM {occsrc} o JOIN {costsrc} c USING (tok)),{closure("dF_", "eF", diagsrc)},
     dsn AS MATERIALIZED (
       SELECT d.wid, d.i AS si, d.cost AS scost
       FROM dF_{D} d JOIN {wordsrc} l USING (wid) WHERE d.j = l.n),
@@ -8164,9 +8169,17 @@ def _unigram_oracle_sql(
             FROM posA p)),
     diagA AS MATERIALIZED (
       SELECT wid, i, i AS j, 0::BIGINT AS cost
-      FROM (SELECT wid, unnest(range(n + 1)) AS i FROM allw))"""
+      FROM (SELECT wid, unnest(range(n + 1)) AS i FROM allw)),
+    chA AS (SELECT DISTINCT substr(wid, (i + 1)::INT, 1) AS tok FROM posA),
+    unkA AS MATERIALIZED (
+      SELECT c.tok, 0::BIGINT AS cnt,
+             ((SELECT max(cost) FROM cF) + 1000000)::BIGINT AS cost
+      FROM chA c WHERE c.tok NOT IN (SELECT tok FROM cF)),
+    cA AS MATERIALIZED (
+      SELECT tok, cnt, cost FROM cF
+      UNION ALL SELECT tok, cnt, cost FROM unkA)"""
     )
-    blocks.append(seg_chain("allw", "occA", "diagA"))
+    blocks.append(seg_chain("allw", "occA", "diagA", costsrc="cA"))
     blocks.append(
         f""",
     dw AS (
