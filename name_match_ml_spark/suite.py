@@ -1339,6 +1339,19 @@ def q_shared_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over int8-quantized embeddings
+    (operators/clustering.py::grid_kmeans): farthest-point-seeded
+    centers, exact int64 squared distances, truncating-integer updates —
+    the hash-checkable clustering representative for cluster-based
+    curation (SemDeDup cells, cluster-balanced sampling) that float
+    KMeans cannot provide (VERDICT r6 #5).  k=10 matches the synthetic
+    label cluster count; 4 Lloyd rounds pinned with the oracle."""
+    from .operators.clustering import grid_kmeans
+
+    return grid_kmeans(table(spark, sf_dir, "embeddings"), k=10)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column
     (operators/simsearch.py::quantize_embeddings): per-vector max-abs
@@ -4611,6 +4624,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shared_substring_winnow": q_shared_substring_winnow,
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
+    "grid_kmeans": q_grid_kmeans,
     "curriculum_order": q_curriculum_order,
     "weighted_sample": q_weighted_sample,
     "novelty_score": q_novelty_score,
@@ -7049,6 +7063,96 @@ ORACLE_SQL["quantized_cosine_topk"] = """
       FROM p)
     SELECT query_id, neighbor_id, qcos, rank FROM r WHERE rank <= 5
 """
+
+
+def _grid_kmeans_oracle_sql(k: int = 10, rounds: int | None = None) -> str:
+    """DuckDB mirror of ``q_grid_kmeans``
+    (operators/clustering.py::grid_kmeans): int8 quantization, k-1
+    unrolled Gonzalez farthest-point seeding rounds, ``rounds`` unrolled
+    Lloyd iterations (squared distance via the exact integer
+    polarization identity ``<a,a> + <b,b> - 2<a,b>``; centroid update
+    ``sum // count`` — DuckDB ``//`` truncates toward zero exactly like
+    Spark ``DIV``), then the assignment under the final centroids.
+    Multiply-referenced CTEs MATERIALIZED per the repo convention."""
+    if rounds is None:
+        from .operators.clustering import GRID_KMEANS_ROUNDS
+
+        rounds = GRID_KMEANS_ROUNDS
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_inner_product({a}, {a}) + list_inner_product({b}, {b})"
+            f" - 2 * list_inner_product({a}, {b}))::BIGINT"
+        )
+
+    seed_blocks = []
+    for i in range(2, k + 1):
+        seed_blocks.append(f""",
+    g{i} AS MATERIALIZED (
+      SELECT vec_id, q FROM fs{i - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+    fs{i} AS MATERIALIZED (
+      SELECT s.vec_id, s.q, least(s.dmin, {dist("s.q", "g.q")}) AS dmin
+      FROM fs{i - 1} s, g{i} g WHERE s.vec_id <> g.vec_id)""")
+    seed_picks = "\n      UNION ALL ".join(
+        [f"SELECT 1::INTEGER AS cid, q AS cv FROM g1"]
+        + [f"SELECT {i}::INTEGER, q FROM g{i}" for i in range(2, k + 1)]
+    )
+    blocks = [
+        f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS sc
+          FROM base),
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / sc * 127.0 + 0.5)::BIGINT) AS q
+      FROM s),
+    g1 AS MATERIALIZED (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 1),
+    fs1 AS MATERIALIZED (
+      SELECT z.vec_id, z.q, {dist("z.q", "g.q")} AS dmin
+      FROM qz z, g1 g WHERE z.vec_id <> g.vec_id){"".join(seed_blocks)},
+    c0 AS MATERIALIZED (
+      {seed_picks})"""
+    ]
+
+    def assign_block(tag: str, censrc: str) -> str:
+        return f"""
+    {tag} AS MATERIALIZED (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM (SELECT z.vec_id, c.cid,
+                     (list_inner_product(z.q, z.q)
+                      + list_inner_product(c.cv, c.cv)
+                      - 2 * list_inner_product(z.q, c.cv))::BIGINT AS dist
+              FROM qz z CROSS JOIN {censrc} c))
+      WHERE rn = 1)"""
+
+    for r in range(1, rounds + 1):
+        blocks.append("," + assign_block(f"a{r}", f"c{r - 1}"))
+        blocks.append(
+            f""",
+    u{r} AS (
+      SELECT cid, pos, sum(q[(pos + 1)::INT])::BIGINT AS sv,
+             count(*)::BIGINT AS cnt
+      FROM (SELECT a.cid, z.q, unnest(range(len(z.q))) AS pos
+            FROM a{r} a JOIN qz z USING (vec_id))
+      GROUP BY cid, pos),
+    cn{r} AS (
+      SELECT cid, list(sv // cnt ORDER BY pos) AS cv FROM u{r} GROUP BY cid),
+    c{r} AS MATERIALIZED (
+      SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM c{r - 1} p LEFT JOIN cn{r} n USING (cid))"""
+        )
+    blocks.append("," + assign_block("af", f"c{rounds}"))
+    blocks.append(
+        "\n    SELECT vec_id, cid AS cluster, dist AS dist_grid FROM af"
+    )
+    return "".join(blocks)
+
+
+ORACLE_SQL["grid_kmeans"] = _grid_kmeans_oracle_sql()
 
 
 # --------------------------------------------------------------------------

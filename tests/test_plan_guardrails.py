@@ -46,6 +46,9 @@ ALLOWED = {
     "backoff_logprob": {"BroadcastNestedLoopJoin"},
     # k 1-row new-center broadcasts in the farthest-point iteration
     "kcenter_select": {"BroadcastNestedLoopJoin"},
+    # k 1-row seeding broadcasts + the k-row (bounded dimension)
+    # centroid-table broadcast in every Lloyd assignment pass
+    "grid_kmeans": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
     # n_langs-row (bounded dimension) broadcast: every doc scores every
