@@ -34,8 +34,8 @@ DRIVER_ROTATION: list[str] = [
     "unigram_lm_vocab", "unigram_lm_segments", "unigram_tokenize_docs",
     "wordpiece_merges", "wordpiece_tokenize_docs", "bpe_tokenize_docs",
     "tokenizer_compression", "dsir_select", "fuzzy_decontaminate",
-    "mmr_topk", "kcenter_select", "grid_kmeans", "bitext_mine",
-    "pipeline_clean_corpus",
+    "mmr_topk", "kcenter_select", "grid_kmeans", "url_dedup",
+    "domain_priors", "bitext_mine", "pipeline_clean_corpus",
     "pipeline_select_corpus", "model_quality_filter", "graph_walks",
     "graph_summary", "label_propagation",
     # oldest never-sampled r3/r4 entries

@@ -220,6 +220,10 @@ EXTENDED = [
     "graph_walks",
     "zipf_fit",
     "graph_summary",
+    # round 7: integer-grid k-means, URL dedup, per-domain priors
+    "grid_kmeans",
+    "url_dedup",
+    "domain_priors",
 ]
 
 HEADLINE = [
@@ -309,7 +313,13 @@ def main() -> None:
     # load_1m (≈ 0 at start, 12-15 by the tail) systematically inflated
     # late queries in every round — min over two well-separated passes
     # decorrelates a query's readings from any single contention window.
-    spread_bound = float(os.environ.get("SPARK_GRAFT_SPREAD_BOUND", "2.0"))
+    # Spread semantics (round 7): the noise indicator is the ratio of the
+    # two SMALLEST runs, not max/min — the first execution of a plan pays
+    # one-time planning/codegen cost, so max/min conflates that
+    # systematic pass-1 premium with genuine host noise (measured on an
+    # idle host: max/min spreads 1.0-2.8 while best-two ratios sit near
+    # 1.0).  Retries fire until the two best runs agree within the bound.
+    spread_bound = float(os.environ.get("SPARK_GRAFT_SPREAD_BOUND", "1.25"))
     run_log: dict[str, list[float]] = {n: [] for n in headline if n in queries}
     load_log: dict[str, list[float]] = {n: [] for n in run_log}
 
@@ -321,12 +331,16 @@ def main() -> None:
         run_log[name].append(dt)
         load_log[name].append(max(l0, os.getloadavg()[0]))
 
+    def _best_two_ratio(runs: list[float]) -> float:
+        lo = sorted(runs)[:2]
+        return lo[1] / lo[0] if len(lo) == 2 else 1.0
+
     for _pass in range(runs_per_query):
         for name in run_log:
             _run_once(name)
-    # up to 2 extra runs for queries whose passes still disagree > bound
+    # up to 2 extra runs for queries whose two best runs disagree > bound
     for name, runs in run_log.items():
-        while max(runs) / min(runs) > spread_bound and len(runs) < runs_per_query + 2:
+        while _best_two_ratio(runs) > spread_bound and len(runs) < runs_per_query + 2:
             _run_once(name)
 
     timings: dict[str, float] = {}
@@ -336,15 +350,32 @@ def main() -> None:
         best = min(range(len(runs)), key=lambda i: runs[i])
         timings[name] = round(runs[best], 3)
         query_load[name] = round(load_log[name][best], 2)
-        query_spread[name] = round(max(runs) / min(runs), 2)
+        query_spread[name] = round(_best_two_ratio(runs), 2)
 
-    ext_log: dict[str, list[float]] = {n: [] for n in EXTENDED if n in queries}
+    skip_ext = os.environ.get("SPARK_GRAFT_SKIP_EXTENDED", "") == "1"
+    ext_log: dict[str, list[float]] = (
+        {} if skip_ext else {n: [] for n in EXTENDED if n in queries}
+    )
     for _pass in range(runs_per_query):
         for name in ext_log:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             ext_log[name].append(time.perf_counter() - t0)
     extended = {n: round(min(r), 3) for n, r in ext_log.items()}
+
+    # Quiet-run discipline (VERDICT r6 "what's wrong" #1): a reading is
+    # only comparable quiet-vs-quiet when the host was actually quiet.
+    # quiet = AMBIENT load_1m < 4 when the bench started (per-query
+    # load_1m is dominated by the bench's own 32-core work — measured
+    # 3-13 on a fully idle host — so an absolute per-query bound cannot
+    # separate self-load from contention) AND every headline query's two
+    # best runs agree within 1.25x after retries.  The tag is always
+    # written; with SPARK_GRAFT_REQUIRE_QUIET=1 a non-quiet run refuses
+    # to overwrite the artifact (exits non-zero) instead of silently
+    # recording noise.
+    QUIET_AMBIENT, QUIET_SPREAD = 4.0, 1.25
+    not_quiet = sorted(n for n in run_log if query_spread[n] > QUIET_SPREAD)
+    quiet = load_start[0] < QUIET_AMBIENT and not not_quiet
 
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -368,10 +399,14 @@ def main() -> None:
         # concurrent load; compare rounds with similar load.
         "load_1m_start": round(load_start[0], 2),
         "load_1m_end": round(os.getloadavg()[0], 2),
+        "quiet": quiet,
     }
     full = dict(compact)
     full.update(
         {
+            # headline queries violating the quiet thresholds
+            # (load_1m < 4 at best run, spread <= 1.2)
+            "not_quiet_queries": not_quiet,
             # load_1m observed around each query's BEST run, and the
             # max/min spread across its runs: spread near 1.0 means a
             # trustworthy reading, spread >2 means the host was noisy
@@ -386,6 +421,19 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_FULL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_local.json"),
     )
+    if os.environ.get("SPARK_GRAFT_REQUIRE_QUIET", "") == "1" and not quiet:
+        print(
+            json.dumps(
+                {
+                    "error": "quiet run required but host was noisy",
+                    "not_quiet_queries": not_quiet,
+                    "load_1m_start": compact["load_1m_start"],
+                }
+            ),
+            file=sys.stderr,
+        )
+        spark.stop()
+        sys.exit(3)
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
     line = json.dumps(compact)

@@ -1339,6 +1339,70 @@ def q_shared_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a deterministic synthetic ``url`` column (the
+    corpus carries no URLs; VERDICT r6 #8 says derive one from
+    source+id).  Variants exercise every normalization rule: www. and
+    cdn. prefixes, trailing slash, utm query, fragment — so documents
+    sharing (source, doc_id % 40) collapse under normalization."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".com/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.withColumn("url", url)
+
+
+_SYNTHETIC_URL_SQL = """
+      SELECT doc_id, text,
+             'https://'
+             || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END)
+             || source || '.com/p/' || (doc_id % 40)::VARCHAR
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents"""
+
+_NORM_URL_SQL = """
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''), '#.*$', ''), '\\?.*$', ''), '/$', '')
+               AS norm_url
+      FROM u"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-normalized exact dedup (operators/web.py::url_dedup): one row
+    per normalized URL with the min-doc_id keeper and collapse count —
+    the cheapest dedup pass of a web-corpus pipeline (re-crawls and
+    tracking-parameter variants collapse before any text is shingled)."""
+    from .operators.web import url_dedup
+
+    return url_dedup(_synthetic_url(spark, sf_dir))
+
+
+def q_domain_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality priors (operators/web.py::
+    domain_quality_priors): registrable-domain grouping with
+    within-domain duplication and mean-length priors on the int64
+    millionths grid — the whole-host boost/demote signal of
+    CCNet/RefinedWeb-style curation."""
+    from .operators.web import domain_quality_priors
+
+    return domain_quality_priors(_synthetic_url(spark, sf_dir))
+
+
 def q_grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means over int8-quantized embeddings
     (operators/clustering.py::grid_kmeans): farthest-point-seeded
@@ -4625,6 +4689,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "grid_kmeans": q_grid_kmeans,
+    "url_dedup": q_url_dedup,
+    "domain_priors": q_domain_priors,
     "curriculum_order": q_curriculum_order,
     "weighted_sample": q_weighted_sample,
     "novelty_score": q_novelty_score,
@@ -7153,6 +7219,44 @@ def _grid_kmeans_oracle_sql(k: int = 10, rounds: int | None = None) -> str:
 
 
 ORACLE_SQL["grid_kmeans"] = _grid_kmeans_oracle_sql()
+
+ORACLE_SQL["url_dedup"] = f"""
+    WITH u AS ({_SYNTHETIC_URL_SQL}),
+    n AS ({_NORM_URL_SQL})
+    SELECT norm_url, min(doc_id)::BIGINT AS keeper_id,
+           count(*)::BIGINT AS n_dups
+    FROM n GROUP BY norm_url
+"""
+
+ORACLE_SQL["domain_priors"] = f"""
+    WITH u AS ({_SYNTHETIC_URL_SQL}),
+    n AS ({_NORM_URL_SQL}),
+    d AS (
+      SELECT doc_id, text, string_split(norm_url, '/')[1] AS dom FROM n),
+    r AS (
+      SELECT doc_id, text,
+             CASE WHEN len(string_split(dom, '.')) >= 2
+                  THEN string_split(dom, '.')[-2] || '.'
+                       || string_split(dom, '.')[-1]
+                  ELSE dom END AS domain
+      FROM d),
+    w AS (
+      SELECT domain, doc_id, text,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''))::BIGINT AS wc
+      FROM r),
+    g AS (
+      SELECT domain, count(*)::BIGINT AS n_docs,
+             count(DISTINCT text)::BIGINT AS uq, sum(wc)::BIGINT AS tw
+      FROM w GROUP BY domain)
+    SELECT domain, n_docs,
+           (uq * 1000000 // n_docs)::BIGINT AS uniq_grid,
+           (tw * 1000000 // n_docs)::BIGINT AS words_grid,
+           (((uq * 1000000 // n_docs)
+             + (least(tw * 1000000 // n_docs, 100000000) // 100)) // 2)::BIGINT
+             AS prior_grid
+    FROM g
+"""
 
 
 # --------------------------------------------------------------------------
