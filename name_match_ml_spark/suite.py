@@ -1681,9 +1681,13 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import pack_documents
 
     d = table(spark, sf_dir, "documents")
-    # 1. rule-based quality gate (same thresholds as gopher_quality)
+    # 1. rule-based quality gate (same thresholds as gopher_quality);
+    #    `kept` feeds THREE consumers (pair graph, keeper ranking, the
+    #    dedup join), so it materializes once — same staging rationale
+    #    as the pair graph itself (measured: the gopher agg+join
+    #    re-executed per consumer cost ~8s of the sf0.1 pipeline)
     gq = gopher_quality(d, min_words=40, min_stopword_hits=1)
-    kept = d.join(gq.filter("passes").select("doc_id"), "doc_id")
+    kept = d.join(gq.filter("passes").select("doc_id"), "doc_id").localCheckpoint()
     # 2. near-dup dedup: ONE staged pair derivation + component map;
     #    at 100 TB the graph is materialized once and every consumer
     #    reads the stored rows
@@ -1695,12 +1699,17 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = kept.join(keep_ids, "doc_id")
     # 3. benchmark decontamination: the eval slice (doc_id % 97 == 0)
-    #    is removed outright and docs sharing any 4-gram with it drop
+    #    is removed outright and docs sharing any 4-gram with it drop;
+    #    `corpus` feeds the flag derivation AND the clean join — stage it
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = deduped.filter(F.col("doc_id") % 97 != 0)
+    corpus = deduped.filter(F.col("doc_id") % 97 != 0).localCheckpoint()
     flags = decontaminate_ngrams(corpus, bench, n=4, min_hits=1, hash_fn="md5_60")
     clean = corpus.join(flags.filter("NOT contaminated").select("doc_id"), "doc_id")
-    # 4. deterministic mixture rebalance (seeded hash threshold)
+    # 4. deterministic mixture rebalance (seeded hash threshold).
+    #    `mixed` feeds the packer AND the final metadata join, but the
+    #    recompute above the staged `corpus` is cheap — a checkpoint
+    #    here measured SLOWER (21s vs 19s: the barrier costs more than
+    #    the saved recompute), so it stays lazy.
     mixed = mixture_sample(clean, {"en": 0.35, "zh": 0.9}, seed="mix")
     # 5. greedy fixed-budget packing into training sequences
     packed = pack_documents(mixed, budget=256, n_buckets=32)
