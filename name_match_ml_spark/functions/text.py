@@ -37,6 +37,8 @@ __all__ = [
     "source_kl_divergence",
     "tfidf_query_rank",
     "rrf_fuse",
+    "blocklist_filter",
+    "perplexity_buckets",
 ]
 
 # Top stopwords per language — enough signal for a coarse heuristic ID.
@@ -1082,3 +1084,155 @@ def charngram_langid(
             ).alias("correct"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    soft_terms: tuple[str, ...] = ("slow", "dup", "big", "the"),
+    severe_terms: tuple[str, ...] = ("dup",),
+    max_soft_ppm: int = 100_000,
+) -> DataFrame:
+    """Word-boundary blocklist gate — the badwords filter every web-scale
+    curation pipeline runs (C4 drops pages containing any "bad words"
+    list hit; RefinedWeb/Gopher soften that to a density threshold
+    because zero-tolerance over-filters medical/legal text).  Both
+    policies in one pass:
+
+    * ``severe_terms``: zero tolerance — one whole-word hit blocks the
+      document (C4 rule);
+    * ``soft_terms``: density rule — blocked if blocked-token fraction
+      exceeds ``max_soft_ppm`` parts-per-million of the document's
+      tokens (RefinedWeb-style), the fraction computed as the exact
+      integer ``(hits * 1e6) DIV n_words`` so the gate replays
+      bit-identically in any engine (no float division).
+
+    Matching is whole-token over the corpus tokenization (lowercased
+    whitespace split — the same ``_words`` every text operator here
+    uses), NOT substring: "scunthorpe" never matches "horp".  The term
+    lists are tiny compile-time literals folded into the row expression
+    — at 100 TB this is pure map-side codegen at scan speed, no UDF, no
+    shuffle, no dictionary broadcast (the lists ship inside the plan).
+    Default terms are drawn from the synthetic corpus vocabulary so the
+    gate splits the driver corpus non-trivially (~56% keep at sf0.01);
+    real deployments swap in their published badwords list.
+
+    Returns per-doc counts, the integer ppm density, per-rule booleans
+    and the combined ``keep`` flag.  Reference note: the reference repo
+    (227-LoC pandas Flask app) has no corpus-filter surface; this
+    extends the LLM-pipeline cleaning family (SURVEY §2.10).
+    """
+    w = _words(F.col(text_col))
+    soft_arr = F.array(*[F.lit(t) for t in sorted(set(soft_terms))])
+    severe_arr = F.array(*[F.lit(t) for t in sorted(set(severe_terms))])
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: F.array_contains(soft_arr, x)))
+        .cast("long")
+        .alias("soft_hits"),
+        F.size(F.filter(w, lambda x: F.array_contains(severe_arr, x)))
+        .cast("long")
+        .alias("severe_hits"),
+        F.size(F.array_intersect(F.array_distinct(w), soft_arr))
+        .cast("long")
+        .alias("distinct_blocked"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "soft_hits",
+        "severe_hits",
+        "distinct_blocked",
+        F.expr("(soft_hits * 1000000) DIV greatest(n_words, 1)").alias("soft_ppm"),
+    ).select(
+        "*",
+        (F.col("severe_hits") == 0).alias("ok_severe"),
+        (F.col("soft_ppm") <= max_soft_ppm).alias("ok_soft"),
+        ((F.col("severe_hits") == 0) & (F.col("soft_ppm") <= max_soft_ppm)).alias(
+            "keep"
+        ),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score every document under the corpus LM, then split each
+    language into ``head`` / ``middle`` / ``tail`` equal-count buckets —
+    the standard device for keeping the best third of a crawl per
+    language without a global threshold that would starve low-resource
+    languages.  Scoring reuses :func:`unigram_logprob_scores` (the
+    KenLM stand-in already hash-checked as ``unigram_logprob``); higher
+    avg_logprob = lower perplexity = ``head``.
+
+    Scale shape — the part that matters at 100 TB: the obvious spelling
+    ``ntile(k) OVER (PARTITION BY lang ORDER BY score)`` funnels every
+    document of a language through ONE reducer (a handful of languages
+    ⇒ a handful of tasks for the whole corpus).  Here the per-language
+    rank comes instead from :func:`..operators.ordering.ordered_index`
+    over the total order ``(lang, -score, doc_id)`` — one balanced
+    RANGE shuffle in which heavy languages split across many partitions
+    (the unique tiebreak participates in the range key) — and the
+    bucket is then the closed-form NTILE arithmetic over
+    ``(rank_in_lang, n_lang)``: with ``q = n DIV k``, ``rem = n % k``,
+    0-based rank ``r`` lands in bucket ``r DIV (q+1) + 1`` while
+    ``r < rem*(q+1)`` else ``rem + (r - rem*(q+1)) DIV q + 1`` — exactly
+    SQL NTILE's larger-buckets-first split, as pure int64 codegen.  The
+    per-language offsets/counts are an ``n_langs``-row broadcast.  The
+    DuckDB oracle states the semantics directly with ``ntile() OVER
+    (PARTITION BY lang ...)`` — the equivalence of the two spellings is
+    what the hash check proves.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets >= 1")
+    from ..operators.ordering import ordered_index
+
+    scores = unigram_logprob_scores(docs, text_col=text_col, id_col=id_col)
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+        .join(scores, "doc_id")
+    )
+    idx = ordered_index(
+        scored,
+        [F.col("lang").asc(), F.col("avg_logprob").desc()],
+        tiebreak="doc_id",
+        index_col="_gidx",
+    )
+    per_lang = idx.groupBy("lang").agg(
+        F.min("_gidx").alias("_base"), F.count(F.lit(1)).alias("_n")
+    )
+    k = F.lit(n_buckets)
+    r = F.col("_gidx") - F.col("_base")
+    q = F.expr(f"_n DIV {n_buckets}")
+    rem = F.col("_n") % n_buckets
+    bucket = F.when(r < rem * (q + 1), _int_div(r, q + 1) + 1).otherwise(
+        rem + _int_div(r - rem * (q + 1), F.greatest(q, F.lit(1))) + 1
+    )
+    label = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == F.least(k, F.col("_n")), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        idx.join(F.broadcast(per_lang), "lang")
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn("bucket_label", label)
+        .select("doc_id", "lang", "n_tokens", "avg_logprob", "bucket", "bucket_label")
+    )
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Integer division for non-negative operands as a Column op:
+    ``(a - a % b) / b`` — the dividend is made exactly divisible first,
+    so the double division is exact (equivalent to Spark ``DIV`` /
+    DuckDB ``//`` on the non-negative ranks used here)."""
+    return ((a - a % b) / b).cast("long")

@@ -1403,6 +1403,31 @@ def q_domain_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality_priors(_synthetic_url(spark, sf_dir))
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary blocklist gate (functions/text.py::
+    blocklist_filter): C4-style zero-tolerance severe terms +
+    RefinedWeb-style soft-density rule on an exact integer ppm grid —
+    pure map-side codegen, term lists folded into the plan.  Default
+    lists drawn from the synthetic vocabulary split the corpus ~56/44
+    on the soft rule."""
+    from .functions.text import blocklist_filter
+
+    return blocklist_filter(table(spark, sf_dir, "documents"))
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail perplexity buckets
+    (functions/text.py::perplexity_buckets): unigram-LM scores ranked
+    per language WITHOUT the single-reducer `ntile OVER (PARTITION BY
+    lang)` — the rank comes from the one-shuffle ordered_index over
+    (lang, -score, doc_id) and the bucket from closed-form NTILE
+    arithmetic; the oracle states the plain window, the hash check
+    proves the two spellings equivalent."""
+    from .functions.text import perplexity_buckets
+
+    return perplexity_buckets(table(spark, sf_dir, "documents"))
+
+
 def q_grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means over int8-quantized embeddings
     (operators/clustering.py::grid_kmeans): farthest-point-seeded
@@ -4507,6 +4532,8 @@ def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "blocklist_filter": q_blocklist_filter,
+    "perplexity_buckets": q_perplexity_buckets,
     "k_core": q_k_core,
     "clustering_coeff": q_clustering_coeff,
     "rrf_fusion": q_rrf_fusion,
@@ -7235,6 +7262,58 @@ ORACLE_SQL["url_dedup"] = f"""
     SELECT norm_url, min(doc_id)::BIGINT AS keeper_id,
            count(*)::BIGINT AS n_dups
     FROM n GROUP BY norm_url
+"""
+
+ORACLE_SQL["blocklist_filter"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(ws)::BIGINT AS n_words,
+             len(list_filter(ws,
+                 x -> x IN ('big', 'dup', 'slow', 'the')))::BIGINT AS soft_hits,
+             len(list_filter(ws, x -> x IN ('dup')))::BIGINT AS severe_hits,
+             len(list_intersect(list_distinct(ws),
+                 ['big', 'dup', 'slow', 'the']))::BIGINT AS distinct_blocked
+      FROM w)
+    SELECT doc_id, n_words, soft_hits, severe_hits, distinct_blocked,
+           (soft_hits * 1000000 // greatest(n_words, 1))::BIGINT AS soft_ppm,
+           severe_hits = 0 AS ok_severe,
+           (soft_hits * 1000000 // greatest(n_words, 1)) <= 100000 AS ok_soft,
+           (severe_hits = 0
+            AND (soft_hits * 1000000 // greatest(n_words, 1)) <= 100000) AS keep
+    FROM m
+"""
+
+ORACLE_SQL["perplexity_buckets"] = """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                w -> w <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT sum(cf) AS total FROM cf),
+    sc AS (
+      SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+             round(sum(tf * ln(cf / total)) / sum(tf), 6) AS avg_logprob
+      FROM tf JOIN cf USING (term), tot GROUP BY doc_id),
+    j AS (
+      SELECT d.doc_id, d.lang, s.n_tokens, s.avg_logprob
+      FROM documents d JOIN sc s ON d.doc_id = s.doc_id),
+    b AS (
+      SELECT *,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_logprob DESC, doc_id) AS bucket,
+             count(*) OVER (PARTITION BY lang) AS _n
+      FROM j)
+    SELECT doc_id, lang, n_tokens, avg_logprob, bucket::INTEGER AS bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = least(3, _n) THEN 'tail'
+                ELSE 'middle' END AS bucket_label
+    FROM b
 """
 
 ORACLE_SQL["domain_priors"] = f"""
