@@ -1428,6 +1428,20 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(table(spark, sf_dir, "documents"))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py::pq_topk): per-subspace
+    integer codebooks (Gonzalez seeding + pinned Lloyd rounds on the
+    global-scale int8 grid), 16 subspaces x 4-bit codes (32x smaller
+    than float32), asymmetric table-lookup distances pruning to 100
+    candidates, exact full-width refine — the FAISS ADC+refine shape,
+    every stage bit-replayed by a generated unrolled-CTE oracle;
+    recall@5 vs the exact scan 0.96 (pytest-pinned).  Same query set
+    as cosine_topk (vec_id % 10 == 0)."""
+    from .operators.pq import pq_topk
+
+    return pq_topk(table(spark, sf_dir, "embeddings"))
+
+
 def q_grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means over int8-quantized embeddings
     (operators/clustering.py::grid_kmeans): farthest-point-seeded
@@ -4534,6 +4548,7 @@ def q_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_filter": q_blocklist_filter,
     "perplexity_buckets": q_perplexity_buckets,
+    "pq_topk": q_pq_topk,
     "k_core": q_k_core,
     "clustering_coeff": q_clustering_coeff,
     "rrf_fusion": q_rrf_fusion,
@@ -7255,6 +7270,138 @@ def _grid_kmeans_oracle_sql(k: int = 10, rounds: int | None = None) -> str:
 
 
 ORACLE_SQL["grid_kmeans"] = _grid_kmeans_oracle_sql()
+
+
+def _pq_topk_oracle_sql(
+    m: int = 16,
+    k_codes: int = 16,
+    rounds: int | None = None,
+    k: int = 5,
+    rerank: int = 100,
+    query_mod: int = 10,
+) -> str:
+    """DuckDB mirror of ``q_pq_topk`` (operators/pq.py::pq_topk): one
+    global int8 scale, per-subspace sub-vectors, k_codes-1 unrolled
+    per-subspace Gonzalez seeding rounds (per-s argmax via window),
+    ``rounds`` unrolled Lloyd iterations keyed by (s, cid), the final
+    code assignment, the ADC candidate top-``rerank``, and the exact
+    full-width refine top-``k``.  Distances use the exact integer
+    polarization identity; centroid updates ``sum // count``.
+    Multiply-referenced CTEs MATERIALIZED per the repo convention."""
+    if rounds is None:
+        from .operators.pq import PQ_LLOYD_ROUNDS
+
+        rounds = PQ_LLOYD_ROUNDS
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_inner_product({a}, {a}) + list_inner_product({b}, {b})"
+            f" - 2 * list_inner_product({a}, {b}))::BIGINT"
+        )
+
+    seed_blocks = []
+    for i in range(2, k_codes + 1):
+        seed_blocks.append(f""",
+    g{i} AS MATERIALIZED (
+      SELECT s, vec_id, sq FROM (
+        SELECT s, vec_id, sq,
+               row_number() OVER (PARTITION BY s
+                                  ORDER BY dmin DESC, vec_id) AS rn
+        FROM fs{i - 1}) WHERE rn = 1),
+    fs{i} AS MATERIALIZED (
+      SELECT z.s, z.vec_id, z.sq, least(z.dmin, {dist("z.sq", "g.sq")}) AS dmin
+      FROM fs{i - 1} z JOIN g{i} g ON z.s = g.s AND z.vec_id <> g.vec_id)""")
+    seed_picks = "\n      UNION ALL ".join(
+        ["SELECT s, 1 AS cid, sq AS cv FROM g1"]
+        + [f"SELECT s, {i}, sq FROM g{i}" for i in range(2, k_codes + 1)]
+    )
+    blocks = [
+        f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    gsc AS (
+      SELECT greatest(max(list_max(list_transform(v, x -> abs(x)))), 1e-30) AS g
+      FROM base),
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / g * 127.0 + 0.5)::BIGINT) AS q,
+             (len(v) // {m}) AS sub
+      FROM base, gsc),
+    subq AS MATERIALIZED (
+      SELECT vec_id, s, q[(s * sub + 1):((s + 1) * sub)] AS sq
+      FROM qz, (SELECT unnest(range({m})) AS s)),
+    g1 AS MATERIALIZED (
+      SELECT s, vec_id, sq FROM (
+        SELECT s, vec_id, sq,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+        FROM subq) WHERE rn = 1),
+    fs1 AS MATERIALIZED (
+      SELECT z.s, z.vec_id, z.sq, {dist("z.sq", "g.sq")} AS dmin
+      FROM subq z JOIN g1 g ON z.s = g.s AND z.vec_id <> g.vec_id){"".join(seed_blocks)},
+    c0 AS MATERIALIZED (
+      {seed_picks})"""
+    ]
+
+    def assign_block(tag: str, censrc: str) -> str:
+        return f"""
+    {tag} AS MATERIALIZED (
+      SELECT vec_id, s, cid FROM (
+        SELECT z.vec_id, z.s, c.cid,
+               row_number() OVER (PARTITION BY z.vec_id, z.s
+                                  ORDER BY {dist("z.sq", "c.cv")}, c.cid) AS rn
+        FROM subq z JOIN {censrc} c ON z.s = c.s) WHERE rn = 1)"""
+
+    for r in range(1, rounds + 1):
+        blocks.append("," + assign_block(f"a{r}", f"c{r - 1}"))
+        blocks.append(
+            f""",
+    u{r} AS (
+      SELECT s, cid, pos, sum(sq[(pos + 1)::INT])::BIGINT AS sv,
+             count(*)::BIGINT AS cnt
+      FROM (SELECT a.s, a.cid, z.sq, unnest(range(len(z.sq))) AS pos
+            FROM a{r} a JOIN subq z ON a.vec_id = z.vec_id AND a.s = z.s)
+      GROUP BY s, cid, pos),
+    cn{r} AS (
+      SELECT s, cid, list(sv // cnt ORDER BY pos) AS cv
+      FROM u{r} GROUP BY s, cid),
+    c{r} AS MATERIALIZED (
+      SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM c{r - 1} p LEFT JOIN cn{r} n ON p.s = n.s AND p.cid = n.cid)"""
+        )
+    blocks.append("," + assign_block("af", f"c{rounds}"))
+    blocks.append(f""",
+    qsel AS (
+      SELECT vec_id AS query_id, s, sq FROM subq
+      WHERE vec_id % {query_mod} = 0),
+    dtab AS MATERIALIZED (
+      SELECT q.query_id, q.s, c.cid, {dist("q.sq", "c.cv")} AS d
+      FROM qsel q JOIN c{rounds} c ON q.s = c.s),
+    sc AS (
+      SELECT t.query_id, a.vec_id AS neighbor_id, sum(t.d)::BIGINT AS pq_dist
+      FROM af a JOIN dtab t ON a.s = t.s AND a.cid = t.cid
+      WHERE a.vec_id <> t.query_id
+      GROUP BY t.query_id, a.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id, pq_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pq_dist, neighbor_id) AS crn
+        FROM sc)
+      WHERE crn <= {rerank}),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, c.pq_dist,
+             {dist("nq.q", "qq.q")} AS dist_grid
+      FROM cand c
+      JOIN qz nq ON c.neighbor_id = nq.vec_id
+      JOIN qz qq ON c.query_id = qq.vec_id)
+    SELECT query_id, neighbor_id, pq_dist, dist_grid,
+           rank::INTEGER AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_grid, neighbor_id) AS rank
+      FROM rer)
+    WHERE rank <= {k}""")
+    return "".join(blocks)
+
+
+ORACLE_SQL["pq_topk"] = _pq_topk_oracle_sql()
 
 ORACLE_SQL["url_dedup"] = f"""
     WITH u AS ({_SYNTHETIC_URL_SQL}),

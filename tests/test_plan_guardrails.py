@@ -58,6 +58,8 @@ ALLOWED = {
     "pipeline_select_corpus": {"BroadcastNestedLoopJoin"},
     # 1-row x 1-row stat combines in the graph corpus card
     "graph_summary": {"BroadcastNestedLoopJoin"},
+    # 1-row global-quantization-scale broadcast before the subspace split
+    "pq_topk": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
