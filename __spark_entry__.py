@@ -35,7 +35,8 @@ DRIVER_ROTATION: list[str] = [
     "wordpiece_merges", "wordpiece_tokenize_docs", "bpe_tokenize_docs",
     "tokenizer_compression", "dsir_select", "fuzzy_decontaminate",
     "mmr_topk", "kcenter_select", "grid_kmeans", "url_dedup",
-    "domain_priors", "bitext_mine", "pipeline_clean_corpus",
+    "domain_priors", "blocklist_filter", "perplexity_buckets", "pq_topk",
+    "bitext_mine", "pipeline_clean_corpus",
     "pipeline_select_corpus", "model_quality_filter", "graph_walks",
     "graph_summary", "label_propagation",
     # oldest never-sampled r3/r4 entries
