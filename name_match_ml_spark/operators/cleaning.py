@@ -46,6 +46,7 @@ __all__ = [
     "leak_safe_split",
     "select_keepers",
     "span_dedup",
+    "boilerplate_spans",
     "epoch_upsample",
     "weighted_sample",
     "novelty_stats",
@@ -203,6 +204,115 @@ def mixture_sample(
     return docs.filter(u < threshold)
 
 
+def _doc_spans(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    id_col: str,
+    span_words: int,
+    hash_fn: str,
+) -> DataFrame:
+    """``(doc_id, span_idx, span, h)``: each document split into
+    contiguous ``span_words``-word windows (the C4/CCNet "line" unit for
+    a corpus with no sentence boundaries), with the span's join hash.
+    Shared by :func:`span_dedup` and :func:`boilerplate_spans`."""
+    w = _words(text_col)
+    n_spans = F.ceil(F.size(w) / F.lit(float(span_words))).cast("int")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"), n_spans.alias("_n"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                # sequence(1, 0) yields DESCENDING [1, 0], not [] — guard
+                # zero-word docs explicitly (they re-enter via the final
+                # left join with text = '').
+                F.when(
+                    F.col("_n") >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n")),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_w"), (i - 1) * span_words + 1, span_words)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("span_idx", "span"),
+        )
+        .select("doc_id", "span_idx", "span", _gram_hash(F.col("span"), hash_fn).alias("h"))
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    max_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: a span occurring in
+    MORE THAN ``max_docs`` distinct documents is boilerplate (headers,
+    footers, navigation chrome, license blurbs) and is removed from
+    EVERY document — including its first occurrence, which is what
+    distinguishes this from :func:`span_dedup` (C4-style "keep exactly
+    one copy").  Both passes run in real pretraining pipelines: line
+    frequency kills chrome, span dedup kills copied content.
+
+    Returns one row per input document: ``(doc_id, n_spans, n_boiler,
+    text)`` — ``n_boiler`` the number of this document's spans that were
+    boilerplate, ``text`` the surviving spans re-joined in order (''
+    when everything was chrome).
+
+    Plan / 100 TB notes: the frequency table is
+    ``groupBy(h).agg(count_distinct(doc_id))`` — Spark's two-phase
+    distinct aggregate partially dedups ``(h, doc_id)`` map-side, so a
+    boilerplate span repeated once per page of a billion-page site
+    shuffles one row per (task, span), not per page.  The boilerplate
+    hash set joins back LEFT ANTI on the 64-bit hash (no strings cross
+    the exchange) and AQE picks broadcast when the set is small — it is
+    corpus-dependent, so it is NOT collected driver-side.  Reassembly is
+    the same bounded ``collect_list`` per doc as :func:`span_dedup`.
+    """
+    spans = _doc_spans(
+        docs, text_col=text_col, id_col=id_col, span_words=span_words, hash_fn=hash_fn
+    )
+    boiler = (
+        spans.groupBy("h")
+        .agg(F.count_distinct(F.col("doc_id")).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("h")
+    )
+    kept = (
+        spans.join(boiler, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            (
+                F.coalesce(F.col("n_spans"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_boiler"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     *,
@@ -236,28 +346,8 @@ def span_dedup(
     Spans join as 64-bit hashes, never strings (``md5_60`` makes the
     whole operator oracle-replayable, as in :func:`mixture_sample`).
     """
-    w = _words(text_col)
-    n_spans = F.ceil(F.size(w) / F.lit(float(span_words))).cast("int")
-    spans = (
-        docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"), n_spans.alias("_n"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                # sequence(1, 0) yields DESCENDING [1, 0], not [] — guard
-                # zero-word docs explicitly (they re-enter via the final
-                # left join with text = '').
-                F.when(
-                    F.col("_n") >= 1,
-                    F.transform(
-                        F.sequence(F.lit(1), F.col("_n")),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(F.col("_w"), (i - 1) * span_words + 1, span_words)
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("span_idx", "span"),
-        )
-        .select("doc_id", "span_idx", "span", _gram_hash(F.col("span"), hash_fn).alias("h"))
+    spans = _doc_spans(
+        docs, text_col=text_col, id_col=id_col, span_words=span_words, hash_fn=hash_fn
     )
     winners = spans.groupBy("h").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("first")

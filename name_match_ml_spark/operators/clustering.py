@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_kmeans", "GRID_KMEANS_ROUNDS"]
+__all__ = ["grid_kmeans", "cluster_balanced_sample", "GRID_KMEANS_ROUNDS"]
 
 # Pinned Lloyd iteration count, shared with the oracle generator
 # (suite._grid_kmeans_oracle_sql) — the unigram-LM/k-core convention:
@@ -163,4 +163,48 @@ def grid_kmeans(
         "vec_id",
         F.col("cid").alias("cluster"),
         F.col("dist").cast("long").alias("dist_grid"),
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    n_per: int = 20,
+    rounds: int = GRID_KMEANS_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced coreset: the ``n_per`` vectors closest to their
+    centroid from EACH :func:`grid_kmeans` cell — the cluster-based
+    curation pass (SemDeDup-style cell sampling / cluster-balanced data
+    selection) that motivated ``grid_kmeans``.  Uniform sampling
+    over-represents dense modes; taking a fixed per-cell budget keeps
+    every region of embedding space in the training mix.
+
+    Returns ``(vec_id, cluster, dist_grid, sel_rank)`` with ``sel_rank``
+    = 1..n_per by ``(dist_grid, vec_id)`` within the cluster —
+    deterministic, hash-checkable against the unrolled-CTE oracle
+    (suite._grid_kmeans_oracle_sql wrapped with the selection window).
+
+    Scale shape: everything corpus-sized is inherited from
+    :func:`grid_kmeans` (broadcast centroid assignment); the selection
+    itself is a per-cluster ``row_number`` — k partitions is a skew
+    risk at extreme scale, but the window input is the ASSIGNMENT table
+    (vec_id, cluster, dist int64 — three longs per row), not vectors,
+    and Spark's WindowGroupLimit pushes the ``<= n_per`` bound below the
+    exchange so each map task forwards at most ``k * n_per`` rows.
+    """
+    if n_per < 1:
+        raise ValueError("n_per >= 1")
+    from pyspark.sql import Window
+
+    asg = grid_kmeans(
+        embeddings, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    w = Window.partitionBy("cluster").orderBy("dist_grid", "vec_id")
+    return (
+        asg.withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= n_per)
+        .select("vec_id", "cluster", "dist_grid", "sel_rank")
     )

@@ -1188,6 +1188,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, span_words=10, hash_fn="md5_60")
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-frequency boilerplate removal
+    (operators/cleaning.py::boilerplate_spans): 10-word spans occurring
+    in more than 2 distinct documents are chrome and removed from EVERY
+    document (vs span_dedup's keep-first), docs rebuilt from surviving
+    spans.  md5_60 span hash so the count-distinct frequency table, the
+    anti join, and the ordered reassembly are hash-checked end to
+    end."""
+    from .operators.cleaning import boilerplate_spans
+
+    d = table(spark, sf_dir, "documents")
+    return boilerplate_spans(d, span_words=10, max_docs=2, hash_fn="md5_60")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon character entropy per doc
     (functions/text.py::char_entropy_scores) — the gibberish/noise
@@ -1453,6 +1467,21 @@ def q_grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import grid_kmeans
 
     return grid_kmeans(table(spark, sf_dir, "embeddings"), k=10)
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset selection
+    (operators/clustering.py::cluster_balanced_sample): the 20 vectors
+    closest to their centroid from each of the 10 grid_kmeans cells —
+    the SemDeDup-style cluster-balanced curation pass the deterministic
+    clustering was built to enable.  Oracle = the grid_kmeans
+    unrolled-CTE mirror wrapped with the per-cluster selection
+    window."""
+    from .operators.clustering import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        table(spark, sf_dir, "embeddings"), k=10, n_per=20
+    )
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4733,6 +4762,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_keepers": q_select_keepers,
     "bigram_logprob": q_bigram_logprob,
     "span_dedup": q_span_dedup,
+    "boilerplate_spans": q_boilerplate_spans,
     "gopher_quality": q_gopher_quality,
     "epoch_upsample": q_epoch_upsample,
     "shared_substring": q_shared_substring,
@@ -4740,6 +4770,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "grid_kmeans": q_grid_kmeans,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     "url_dedup": q_url_dedup,
     "domain_priors": q_domain_priors,
     "curriculum_order": q_curriculum_order,
@@ -6083,6 +6114,43 @@ ORACLE_SQL["span_dedup"] = """
     LEFT JOIN kept k USING (doc_id)
 """
 
+# Mirror of q_boilerplate_spans: same span construction as span_dedup;
+# a span hash held by more than 2 distinct docs is removed everywhere
+# (anti join), docs rebuilt from survivors.
+ORACLE_SQL["boilerplate_spans"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    sp0 AS (
+      SELECT doc_id, ws, unnest(range(1, ceil(len(ws) / 10.0)::INT + 1)) AS i
+      FROM w),
+    sp AS MATERIALIZED (
+      SELECT doc_id, (i - 1)::INT AS span_idx,
+             array_to_string(list_slice(ws, ((i-1)*10 + 1)::INT, ((i-1)*10 + 10)::INT),
+                             ' ') AS span,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(ws, ((i-1)*10 + 1)::INT, ((i-1)*10 + 10)::INT),
+                 ' ')), 1, 15))::BIGINT AS h
+      FROM sp0),
+    boiler AS (
+      SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 2),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY span_idx) AS text
+      FROM sp ANTI JOIN boiler USING (h)
+      GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(t.n_spans, 0)::BIGINT AS n_spans,
+           (coalesce(t.n_spans, 0) - coalesce(k.n_kept, 0))::BIGINT AS n_boiler,
+           coalesce(k.text, '') AS text
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+"""
+
 def _gopher_stopword_literals() -> str:
     from .functions.text import STOPWORDS
 
@@ -7182,7 +7250,9 @@ ORACLE_SQL["quantized_cosine_topk"] = """
 """
 
 
-def _grid_kmeans_oracle_sql(k: int = 10, rounds: int | None = None) -> str:
+def _grid_kmeans_oracle_sql(
+    k: int = 10, rounds: int | None = None, final_select: str | None = None
+) -> str:
     """DuckDB mirror of ``q_grid_kmeans``
     (operators/clustering.py::grid_kmeans): int8 quantization, k-1
     unrolled Gonzalez farthest-point seeding rounds, ``rounds`` unrolled
@@ -7264,12 +7334,27 @@ def _grid_kmeans_oracle_sql(k: int = 10, rounds: int | None = None) -> str:
         )
     blocks.append("," + assign_block("af", f"c{rounds}"))
     blocks.append(
-        "\n    SELECT vec_id, cid AS cluster, dist AS dist_grid FROM af"
+        final_select
+        if final_select is not None
+        else "\n    SELECT vec_id, cid AS cluster, dist AS dist_grid FROM af"
     )
     return "".join(blocks)
 
 
 ORACLE_SQL["grid_kmeans"] = _grid_kmeans_oracle_sql()
+
+# Mirror of q_cluster_balanced_sample: the same unrolled grid_kmeans
+# chain, final select wrapped with the per-cluster selection window
+# (n_per = 20; row_number is BIGINT in DuckDB, INT in Spark).
+ORACLE_SQL["cluster_balanced_sample"] = _grid_kmeans_oracle_sql(
+    final_select="""
+    SELECT vec_id, cluster, dist_grid, sel_rank FROM (
+      SELECT vec_id, cid AS cluster, dist AS dist_grid,
+             (row_number() OVER (PARTITION BY cid
+                                 ORDER BY dist, vec_id))::INT AS sel_rank
+      FROM af)
+    WHERE sel_rank <= 20"""
+)
 
 
 def _pq_topk_oracle_sql(

@@ -49,6 +49,8 @@ ALLOWED = {
     # k 1-row seeding broadcasts + the k-row (bounded dimension)
     # centroid-table broadcast in every Lloyd assignment pass
     "grid_kmeans": {"BroadcastNestedLoopJoin"},
+    # same bounded grid_kmeans broadcasts, inherited by its selection wrapper
+    "cluster_balanced_sample": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
     # n_langs-row (bounded dimension) broadcast: every doc scores every

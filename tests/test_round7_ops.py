@@ -160,3 +160,94 @@ def test_pq_codebooks_shape(spark):
     assign = _assign(subq, centers)
     cids = [r["cid"] for r in assign.select("cid").distinct().collect()]
     assert set(cids) <= set(range(1, 9))
+
+
+def test_boilerplate_spans_removes_all_occurrences(spark):
+    """A span in > max_docs distinct docs vanishes from EVERY doc —
+    including the first occurrence, unlike span_dedup's keep-first."""
+    from name_match_ml_spark.operators.cleaning import boilerplate_spans, span_dedup
+
+    chrome = "home about contact login"          # 4-word boilerplate span
+    docs = spark.createDataFrame(
+        [
+            (1, chrome + " alpha beta gamma delta"),
+            (2, chrome + " epsilon zeta eta theta"),
+            (3, chrome + " iota kappa lambda mu"),
+            (4, "nu xi omicron pi"),
+            (5, ""),                               # zero-word doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_spans(docs, span_words=4, max_docs=2).collect()
+    }
+    assert len(got) == 5
+    for d in (1, 2, 3):
+        assert got[d]["n_boiler"] == 1
+        assert chrome not in got[d]["text"]
+    assert got[1]["text"] == "alpha beta gamma delta"
+    assert got[4]["n_boiler"] == 0 and got[4]["text"] == "nu xi omicron pi"
+    assert got[5]["n_spans"] == 0 and got[5]["text"] == ""
+    # contrast: span_dedup KEEPS the first occurrence of the same span
+    sd = {r["doc_id"]: r for r in span_dedup(docs, span_words=4).collect()}
+    assert chrome in sd[1]["text"] and chrome not in sd[2]["text"]
+
+
+def test_boilerplate_spans_threshold_boundary(spark):
+    """Exactly max_docs distinct docs is NOT boilerplate (strict >);
+    repeats inside one doc don't count toward the doc threshold."""
+    from name_match_ml_spark.operators.cleaning import boilerplate_spans
+
+    s = "aa bb"
+    docs = spark.createDataFrame(
+        [(1, s + " " + s + " " + s), (2, s), (3, "cc dd")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_spans(docs, span_words=2, max_docs=2).collect()
+    }
+    # span s occurs in only 2 distinct docs (3 times in doc 1) -> kept
+    assert got[1]["n_boiler"] == 0 and got[1]["n_spans"] == 3
+    assert got[2]["n_boiler"] == 0
+
+
+def test_cluster_balanced_sample_budgets(spark):
+    """Per-cluster budget respected; selection = the n_per closest to
+    the centroid; output is a subset of grid_kmeans assignments."""
+    from name_match_ml_spark.operators.clustering import (
+        cluster_balanced_sample,
+        grid_kmeans,
+    )
+
+    # 3 tight clusters of 5/4/3 vectors around distinct corners
+    base = {0: [100.0, 0.0, 0.0], 1: [0.0, 100.0, 0.0], 2: [0.0, 0.0, 100.0]}
+    rows = []
+    vid = 0
+    for c, n in [(0, 5), (1, 4), (2, 3)]:
+        for i in range(n):
+            v = list(base[c])
+            v[c] += i  # increasing distance from the cluster core
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = cluster_balanced_sample(emb, k=3, n_per=2).collect()
+    by_cluster: dict[int, list] = {}
+    for r in sel:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert all(len(v) == 2 for v in by_cluster.values()) and len(by_cluster) == 3
+    for members in by_cluster.values():
+        assert sorted(m["sel_rank"] for m in members) == [1, 2]
+        assert all(m["dist_grid"] >= 0 for m in members)
+    asg = {(r["vec_id"], r["cluster"]) for r in grid_kmeans(emb, k=3).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in sel} <= asg
+
+
+def test_cluster_balanced_sample_n_per_validation(spark):
+    from name_match_ml_spark.operators.clustering import cluster_balanced_sample
+    import pytest
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(emb, k=1, n_per=0)
