@@ -36,7 +36,7 @@ DRIVER_ROTATION: list[str] = [
     "tokenizer_compression", "dsir_select", "fuzzy_decontaminate",
     "mmr_topk", "kcenter_select", "grid_kmeans", "url_dedup",
     "domain_priors", "blocklist_filter", "perplexity_buckets", "pq_topk",
-    "boilerplate_spans", "cluster_balanced_sample",
+    "boilerplate_spans", "cluster_balanced_sample", "grid_pca",
     "bitext_mine", "pipeline_clean_corpus",
     "pipeline_select_corpus", "model_quality_filter", "graph_walks",
     "graph_summary", "label_propagation",

@@ -1484,6 +1484,18 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component on the int64 grid
+    (operators/pca.py::grid_pca): global int8 quantization, truncating
+    integer centering, exact int64 scatter, 8 power-iteration rounds
+    with pure-integer renormalization, sign-canonicalized projection —
+    the hash-checkable PCA representative (all-but-the-top / OPQ seed /
+    spread-axis partitioning) that float SVD cannot be."""
+    from .operators.pca import grid_pca
+
+    return grid_pca(table(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column
     (operators/simsearch.py::quantize_embeddings): per-vector max-abs
@@ -4770,6 +4782,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "grid_kmeans": q_grid_kmeans,
+    "grid_pca": q_grid_pca,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "url_dedup": q_url_dedup,
     "domain_priors": q_domain_priors,
@@ -7342,6 +7355,74 @@ def _grid_kmeans_oracle_sql(
 
 
 ORACLE_SQL["grid_kmeans"] = _grid_kmeans_oracle_sql()
+
+
+def _grid_pca_oracle_sql(rounds: int | None = None) -> str:
+    """DuckDB mirror of ``q_grid_pca`` (operators/pca.py::grid_pca):
+    global int8 scale, truncating integer means, exact int64 scatter,
+    one integer rescale of S (``max|S| // 2^36 + 1``), ``rounds``
+    unrolled power-iteration CTEs with pure-integer renormalization
+    (``w // (max|w| // 2^20 + 1)``), sign canonicalization by the first
+    nonzero component, and the final centered projection."""
+    if rounds is None:
+        from .operators.pca import GRID_PCA_ROUNDS
+
+        rounds = GRID_PCA_ROUNDS
+    from .operators.pca import PCA_SBOUND, PCA_VSCALE
+
+    iter_blocks = []
+    for r in range(1, rounds + 1):
+        iter_blocks.append(f""",
+    w{r} AS (
+      SELECT sn.i AS j, sum(sn.s * v.val)::BIGINT AS wv
+      FROM sn JOIN v{r - 1} v ON sn.j = v.j GROUP BY sn.i),
+    v{r} AS MATERIALIZED (
+      SELECT j, wv // ((SELECT max(abs(wv)) FROM w{r}) // {PCA_VSCALE} + 1)
+                 AS val
+      FROM w{r})""")
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    gsc AS (
+      SELECT greatest(max(list_max(list_transform(v, x -> abs(x)))), 1e-30) AS g
+      FROM base),
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / g * 127.0 + 0.5)::BIGINT) AS q,
+             len(v) AS d
+      FROM base, gsc),
+    mu AS (
+      SELECT pos, sum(q[(pos + 1)::INT]) // count(*) AS m
+      FROM qz, (SELECT unnest(range((SELECT max(d) FROM qz))) AS pos)
+      GROUP BY pos),
+    cz AS MATERIALIZED (
+      SELECT vec_id, list(q[(pos + 1)::INT] - m ORDER BY pos) AS c
+      FROM qz, mu GROUP BY vec_id),
+    sc AS (
+      SELECT ii.pos AS i, jj.pos AS j,
+             sum(c[(ii.pos + 1)::INT] * c[(jj.pos + 1)::INT])::BIGINT AS s
+      FROM cz,
+           (SELECT unnest(range((SELECT max(d) FROM qz))) AS pos) ii,
+           (SELECT unnest(range((SELECT max(d) FROM qz))) AS pos) jj
+      GROUP BY 1, 2),
+    sn AS MATERIALIZED (
+      SELECT i, j, s // ((SELECT max(abs(s)) FROM sc) // {PCA_SBOUND} + 1) AS s
+      FROM sc),
+    v0 AS (
+      SELECT unnest(range((SELECT max(d) FROM qz))) AS j,
+             {PCA_VSCALE}::BIGINT AS val){"".join(iter_blocks)},
+    sg AS (
+      SELECT coalesce((SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END
+                       FROM v{rounds} WHERE val <> 0
+                       ORDER BY j LIMIT 1), 1)::BIGINT AS sgn)
+    SELECT cz.vec_id,
+           (sum(c[(v.j + 1)::INT] * v.val) * (SELECT sgn FROM sg))::BIGINT
+               AS proj_grid
+    FROM cz JOIN v{rounds} v ON true
+    GROUP BY cz.vec_id
+"""
+
+
+ORACLE_SQL["grid_pca"] = _grid_pca_oracle_sql()
 
 # Mirror of q_cluster_balanced_sample: the same unrolled grid_kmeans
 # chain, final select wrapped with the per-cluster selection window

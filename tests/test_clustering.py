@@ -114,3 +114,58 @@ def test_grid_kmeans_agrees_with_float_lloyd_reference(spark):
     ref = _float_lloyd_reference(X, ids, k=10, rounds=GRID_KMEANS_ROUNDS)
     agree = sum(1 for vid, c in grid.items() if ref[vid] == c)
     assert agree / len(grid) >= 0.95
+
+
+def test_grid_pca_matches_exact_pca_direction(spark):
+    """The integer power-iteration projection must track the exact
+    float PC1 projection (|corr| > 0.99) on an anisotropic corpus."""
+    import numpy as np
+
+    from name_match_ml_spark.operators.pca import grid_pca
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 300
+    a = rng.normal(size=(d, d))
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    x = rng.normal(size=(n, d)) @ a.T * 0.3 + np.outer(rng.normal(size=n) * 8, u)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = {r["vec_id"]: r["proj_grid"] for r in grid_pca(emb).collect()}
+    p = np.array([proj[i] for i in range(n)], dtype=float)
+    xc = x - x.mean(0)
+    _, evecs = np.linalg.eigh(xc.T @ xc)
+    ref = xc @ evecs[:, -1]
+    corr = abs(np.corrcoef(p, ref)[0, 1])
+    assert corr > 0.99, corr
+
+
+def test_grid_pca_sign_canonical_and_deterministic(spark):
+    """Same input twice -> identical output; negating the corpus keeps
+    the first-nonzero-positive sign convention meaningful (projections
+    negate together with the data)."""
+    from name_match_ml_spark.operators.pca import grid_pca
+
+    rows = [
+        (0, [3.0, 1.0, 0.0]),
+        (1, [-4.0, -1.5, 0.5]),
+        (2, [5.0, 2.0, -0.5]),
+        (3, [-2.0, -0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(tuple(r) for r in grid_pca(emb).collect())
+    b = sorted(tuple(r) for r in grid_pca(emb).collect())
+    assert a == b
+    assert any(p != 0 for _, p in a)
+
+
+def test_grid_pca_rounds_validation(spark):
+    import pytest
+
+    from name_match_ml_spark.operators.pca import grid_pca
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        grid_pca(emb, rounds=0)

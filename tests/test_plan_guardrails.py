@@ -51,6 +51,8 @@ ALLOWED = {
     "grid_kmeans": {"BroadcastNestedLoopJoin"},
     # same bounded grid_kmeans broadcasts, inherited by its selection wrapper
     "cluster_balanced_sample": {"BroadcastNestedLoopJoin"},
+    # 1-row mean/scale/direction broadcasts (bounded by dimension d)
+    "grid_pca": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
     # n_langs-row (bounded dimension) broadcast: every doc scores every
