@@ -44,7 +44,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_kmeans", "cluster_balanced_sample", "GRID_KMEANS_ROUNDS"]
+__all__ = [
+    "grid_kmeans",
+    "grid_kmeans_model",
+    "grid_ivf_topk",
+    "cluster_balanced_sample",
+    "GRID_KMEANS_ROUNDS",
+]
 
 # Pinned Lloyd iteration count, shared with the oracle generator
 # (suite._grid_kmeans_oracle_sql) — the unigram-LM/k-core convention:
@@ -61,21 +67,37 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def grid_kmeans(
+def _assign_to(qz: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (``(vec_id, cid, dist)``; ties →
+    smallest cid) — one bounded k-row broadcast against the streaming
+    code table."""
+    scored = qz.crossJoin(F.broadcast(cents)).select(
+        "vec_id", F.col("cid"), _sq_dist(F.col("q"), F.col("cv")).alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
+
+
+def grid_kmeans_model(
     embeddings: DataFrame,
     *,
     k: int = 10,
     rounds: int = GRID_KMEANS_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Deterministic k-means over int8-quantized embeddings; returns the
-    per-vector assignment ``(vec_id, cluster, dist_grid)`` under the
-    final centroids — cluster = 1..k (farthest-point selection order),
-    dist_grid = exact int64 squared quantized distance to the assigned
-    centroid.  If ``k`` exceeds the corpus size, seeding stops early and
-    every vector becomes its own center (the kcenter_select rule).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Train the deterministic grid k-means and return ``(qz, centers)``
+    — the checkpointed quantized code table ``(vec_id, q)`` and the
+    final centroid table ``(cid, cv)`` (k rows, broadcastable).  Shared
+    by :func:`grid_kmeans` (assignments) and :func:`grid_ivf_topk`
+    (inverted-list ANN over the same coarse quantizer)."""
     if k < 1:
         raise ValueError("k >= 1")
     from .simsearch import quantize_expr
@@ -123,20 +145,8 @@ def grid_kmeans(
         )
     centers = centers.localCheckpoint()
 
-    def _assign(cents: DataFrame) -> DataFrame:
-        scored = qz.crossJoin(F.broadcast(cents)).select(
-            "vec_id", F.col("cid"), _sq_dist(F.col("q"), F.col("cv")).alias("dist")
-        )
-        return scored.groupBy("vec_id").agg(
-            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("_b")
-        ).select(
-            "vec_id",
-            F.col("_b.cid").alias("cid"),
-            F.col("_b.dist").alias("dist"),
-        )
-
     for _ in range(rounds):
-        assign = _assign(centers)
+        assign = _assign_to(qz, centers)
         sums = (
             assign.join(qz, "vec_id")
             .select("cid", F.posexplode("q").alias("pos", "val"))
@@ -159,10 +169,101 @@ def grid_kmeans(
             .localCheckpoint()
         )
 
-    return _assign(centers).select(
+    return qz, centers
+
+
+def grid_kmeans(
+    embeddings: DataFrame,
+    *,
+    k: int = 10,
+    rounds: int = GRID_KMEANS_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means over int8-quantized embeddings; returns the
+    per-vector assignment ``(vec_id, cluster, dist_grid)`` under the
+    final centroids — cluster = 1..k (farthest-point selection order),
+    dist_grid = exact int64 squared quantized distance to the assigned
+    centroid.  If ``k`` exceeds the corpus size, seeding stops early and
+    every vector becomes its own center (the kcenter_select rule).
+    """
+    qz, centers = grid_kmeans_model(
+        embeddings, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    return _assign_to(qz, centers).select(
         "vec_id",
         F.col("cid").alias("cluster"),
         F.col("dist").cast("long").alias("dist_grid"),
+    )
+
+
+def grid_ivf_topk(
+    embeddings: DataFrame,
+    *,
+    k_cells: int = 10,
+    n_probe: int = 3,
+    k: int = 5,
+    query_mod: int = 10,
+    rounds: int = GRID_KMEANS_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with :func:`grid_kmeans` as the coarse quantizer — the
+    hash-checkable successor to the float-KMeans ``ivf_cosine_topk``
+    (rows-only since round 3 because MLlib centroid reductions aren't
+    bit-stable across engines; every step here is exact int64, so the
+    DuckDB oracle replays the full probe → inverted-list scan → top-k).
+
+    Per query (corpus rows with ``vec_id % query_mod == 0``, the
+    small-by-contract convention): probe the ``n_probe`` nearest
+    centroids, score EXACT int64 squared grid distance against only the
+    vectors assigned to probed cells, return the top ``k``
+    (self-matches excluded, ties → smallest neighbor_id).  Pruning loss
+    vs the same-grid brute force is pinned by pytest recall.
+
+    Scale shape: the probe table (|Q|·n_probe rows, query codes
+    attached) BROADCASTS against the streaming inverted lists — a
+    billion-vector corpus is never shuffled, each executor scans its
+    cells' lists once; a cid-key shuffle (k distinct keys → guaranteed
+    skew) never happens.  Returns ``(query_id, neighbor_id, dist_grid,
+    rank)``.
+    """
+    if n_probe < 1 or k < 1:
+        raise ValueError("n_probe >= 1 and k >= 1")
+    qz, centers = grid_kmeans_model(
+        embeddings, k=k_cells, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    inv = _assign_to(qz, centers).select("vec_id", "cid").join(qz, "vec_id")
+
+    from pyspark.sql import Window
+
+    queries = qz.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    wp = Window.partitionBy("query_id").orderBy("cdist", "cid")
+    probe = (
+        queries.crossJoin(F.broadcast(centers))
+        .select(
+            "query_id", "qq", "cid", _sq_dist(F.col("qq"), F.col("cv")).alias("cdist")
+        )
+        .withColumn("_pn", F.row_number().over(wp))
+        .filter(F.col("_pn") <= n_probe)
+        .select("query_id", "qq", "cid")
+    )
+    cand = (
+        inv.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_dist(F.col("q"), F.col("qq")).alias("dist_grid"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_grid", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist_grid", "rank")
     )
 
 

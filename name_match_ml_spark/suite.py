@@ -1484,6 +1484,21 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the grid_kmeans coarse quantizer
+    (operators/clustering.py::grid_ivf_topk): probe the 4 nearest of 10
+    cells per query, exact int64 scoring within probed inverted lists,
+    top-5 — the hash-checkable IVF representative that the float-KMeans
+    ivf_cosine_topk (rows-only since round 3) could not be.  Recall vs
+    the same-grid brute force is pinned >= 0.55 in pytest (the float
+    path's gate is 0.5)."""
+    from .operators.clustering import grid_ivf_topk
+
+    return grid_ivf_topk(
+        table(spark, sf_dir, "embeddings"), k_cells=10, n_probe=4, k=5
+    )
+
+
 def q_grid_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component on the int64 grid
     (operators/pca.py::grid_pca): global int8 quantization, truncating
@@ -4782,6 +4797,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "quantized_cosine_topk": q_quantized_cosine_topk,
     "grid_kmeans": q_grid_kmeans,
+    "grid_ivf_topk": q_grid_ivf_topk,
     "grid_pca": q_grid_pca,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "url_dedup": q_url_dedup,
@@ -7355,6 +7371,54 @@ def _grid_kmeans_oracle_sql(
 
 
 ORACLE_SQL["grid_kmeans"] = _grid_kmeans_oracle_sql()
+
+
+def _grid_ivf_final_select(
+    rounds_tag: str, n_probe: int = 4, k: int = 5, query_mod: int = 10
+) -> str:
+    """Final-select wrapper for _grid_kmeans_oracle_sql mirroring
+    ``q_grid_ivf_topk``: per-query probe of the ``n_probe`` nearest
+    final centroids, exact scoring against vectors assigned (``af``) to
+    probed cells, top-``k``."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_inner_product({a}, {a}) + list_inner_product({b}, {b})"
+            f" - 2 * list_inner_product({a}, {b}))::BIGINT"
+        )
+
+    return f""",
+    qs AS MATERIALIZED (
+      SELECT vec_id AS query_id, q FROM qz WHERE vec_id % {query_mod} = 0),
+    pr AS (
+      SELECT query_id, cid FROM (
+        SELECT s.query_id, c.cid,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {dist("s.q", "c.cv")}, c.cid) AS rn
+        FROM qs s CROSS JOIN {rounds_tag} c) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT s.query_id, a.vec_id AS neighbor_id, {dist("z.q", "s.q")} AS dist_grid
+      FROM pr p
+      JOIN af a USING (cid)
+      JOIN qz z ON z.vec_id = a.vec_id
+      JOIN qs s ON s.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, dist_grid, rank FROM (
+      SELECT query_id, neighbor_id, dist_grid,
+             (row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_grid, neighbor_id))::INT AS rank
+      FROM cand) WHERE rank <= {k}"""
+
+
+def _grid_ivf_oracle_sql() -> str:
+    from .operators.clustering import GRID_KMEANS_ROUNDS
+
+    return _grid_kmeans_oracle_sql(
+        final_select=_grid_ivf_final_select(f"c{GRID_KMEANS_ROUNDS}")
+    )
+
+
+ORACLE_SQL["grid_ivf_topk"] = _grid_ivf_oracle_sql()
 
 
 def _grid_pca_oracle_sql(rounds: int | None = None) -> str:

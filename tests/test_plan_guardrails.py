@@ -53,6 +53,8 @@ ALLOWED = {
     "cluster_balanced_sample": {"BroadcastNestedLoopJoin"},
     # 1-row mean/scale/direction broadcasts (bounded by dimension d)
     "grid_pca": {"BroadcastNestedLoopJoin"},
+    # grid_kmeans seeding broadcasts + the query-probe broadcast
+    "grid_ivf_topk": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
     # n_langs-row (bounded dimension) broadcast: every doc scores every
