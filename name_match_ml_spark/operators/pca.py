@@ -48,7 +48,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_pca", "GRID_PCA_ROUNDS", "PCA_VSCALE", "PCA_SBOUND"]
+__all__ = [
+    "grid_pca",
+    "grid_pca_components",
+    "pca_residual",
+    "GRID_PCA_ROUNDS",
+    "PCA_VSCALE",
+    "PCA_SBOUND",
+]
 
 # Pinned power-iteration depth, shared with suite._grid_pca_oracle_sql.
 GRID_PCA_ROUNDS = 8
@@ -66,20 +73,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def grid_pca(
+def grid_pca_components(
     embeddings: DataFrame,
     *,
     rounds: int = GRID_PCA_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Project every vector onto the corpus's dominant principal
-    direction, entirely on the int64 grid.  Returns ``(vec_id,
-    proj_grid)`` — the exact integer dot product of the centered
-    quantized vector with the (integer-scaled, sign-canonicalized)
-    power-iteration direction.  Downstream uses: 1-d diversity/layout
-    orderings, all-but-the-top removal, spread-axis partitioning.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """``(centered, direction)``: the checkpointed centered code table
+    ``(vec_id, c)`` and the 1-row sign-canonicalized power-iteration
+    direction ``(v)`` — shared by :func:`grid_pca` (projection) and
+    :func:`pca_residual` (all-but-the-top removal)."""
     if rounds < 1:
         raise ValueError("rounds >= 1")
     from .pq import _global_codes
@@ -172,6 +176,71 @@ def grid_pca(
         .select(F.transform("v", lambda x: x * F.col("sgn")).alias("v"))
     )
 
+    return centered, varr
+
+
+def grid_pca(
+    embeddings: DataFrame,
+    *,
+    rounds: int = GRID_PCA_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the corpus's dominant principal
+    direction, entirely on the int64 grid.  Returns ``(vec_id,
+    proj_grid)`` — the exact integer dot product of the centered
+    quantized vector with the (integer-scaled, sign-canonicalized)
+    power-iteration direction.  Downstream uses: 1-d diversity/layout
+    orderings, all-but-the-top removal, spread-axis partitioning.
+    """
+    centered, varr = grid_pca_components(
+        embeddings, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
     return centered.crossJoin(F.broadcast(varr)).select(
         "vec_id", _dot(F.col("c"), F.col("v")).alias("proj_grid")
+    )
+
+
+def pca_residual(
+    embeddings: DataFrame,
+    *,
+    rounds: int = GRID_PCA_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath 2018): remove the dominant
+    principal direction from every centered vector, exactly on the int64
+    grid.  Common-mode energy in an embedding corpus (the shared "top"
+    direction) washes out cosine contrast; stripping it is the standard
+    cheap post-processing before similarity search or clustering.
+
+    The rejection is computed WITHOUT division inside the vector math —
+    ``r = c·(v·v) − v·(c·v)`` is the exact integer rejection scaled by
+    ``|v|²`` (orthogonal to v by construction, and invariant to the
+    direction's sign since v appears an even number of times) — then
+    brought back to code magnitude by one exact integer downscale
+    ``r DIV (|v|² DIV 2^8 + 1)``.  Bounds: |c| ≤ 2^9, |v|² ≤ 2^46,
+    c·v ≤ 2^34 → every term ≤ 2^55 < int64.
+
+    Returns ``(vec_id, resid)`` with ``resid`` an int64 array.  Scale
+    shape: one 1-row direction broadcast, one codegen pass per row — no
+    shuffle beyond :func:`grid_pca_components`.
+    """
+    centered, varr = grid_pca_components(
+        embeddings, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    stats = varr.select(
+        F.col("v"),
+        _dot(F.col("v"), F.col("v")).alias("vv"),
+    ).select("v", "vv", (F.expr("vv DIV 256") + F.lit(1)).alias("den"))
+    return (
+        centered.crossJoin(F.broadcast(stats))
+        .withColumn("proj", _dot(F.col("c"), F.col("v")))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(zip_with(c, v, (ci, vi) -> ci * vv - vi * proj),"
+                " x -> x DIV den)"
+            ).alias("resid"),
+        )
     )

@@ -1511,6 +1511,17 @@ def q_grid_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_pca(table(spark, sf_dir, "embeddings"))
 
 
+def q_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding correction
+    (operators/pca.py::pca_residual): exact integer rejection of the
+    grid_pca dominant direction — r = c*|v|^2 - v*(c.v), one integer
+    downscale — the standard common-mode removal before similarity
+    search.  Residual arrays hash-checked end to end."""
+    from .operators.pca import pca_residual
+
+    return pca_residual(table(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column
     (operators/simsearch.py::quantize_embeddings): per-vector max-abs
@@ -4799,6 +4810,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_kmeans": q_grid_kmeans,
     "grid_ivf_topk": q_grid_ivf_topk,
     "grid_pca": q_grid_pca,
+    "pca_residual": q_pca_residual,
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "url_dedup": q_url_dedup,
     "domain_priors": q_domain_priors,
@@ -7421,13 +7433,16 @@ def _grid_ivf_oracle_sql() -> str:
 ORACLE_SQL["grid_ivf_topk"] = _grid_ivf_oracle_sql()
 
 
-def _grid_pca_oracle_sql(rounds: int | None = None) -> str:
+def _grid_pca_oracle_sql(
+    rounds: int | None = None, final_select: str | None = None
+) -> str:
     """DuckDB mirror of ``q_grid_pca`` (operators/pca.py::grid_pca):
     global int8 scale, truncating integer means, exact int64 scatter,
     one integer rescale of S (``max|S| // 2^36 + 1``), ``rounds``
     unrolled power-iteration CTEs with pure-integer renormalization
     (``w // (max|w| // 2^20 + 1)``), sign canonicalization by the first
-    nonzero component, and the final centered projection."""
+    nonzero component, and the final centered projection (or
+    ``final_select`` — used by the pca_residual mirror)."""
     if rounds is None:
         from .operators.pca import GRID_PCA_ROUNDS
 
@@ -7477,16 +7492,49 @@ def _grid_pca_oracle_sql(rounds: int | None = None) -> str:
     sg AS (
       SELECT coalesce((SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END
                        FROM v{rounds} WHERE val <> 0
-                       ORDER BY j LIMIT 1), 1)::BIGINT AS sgn)
+                       ORDER BY j LIMIT 1), 1)::BIGINT AS sgn){final_select if final_select is not None else f'''
     SELECT cz.vec_id,
            (sum(c[(v.j + 1)::INT] * v.val) * (SELECT sgn FROM sg))::BIGINT
                AS proj_grid
     FROM cz JOIN v{rounds} v ON true
-    GROUP BY cz.vec_id
+    GROUP BY cz.vec_id'''}
 """
 
 
 ORACLE_SQL["grid_pca"] = _grid_pca_oracle_sql()
+
+
+def _pca_residual_oracle_sql(rounds: int | None = None) -> str:
+    """Mirror of ``q_pca_residual``: same chain as grid_pca, final
+    select emits the downscaled integer rejection list.  Sign is
+    irrelevant here (v appears an even number of times), so the
+    unsigned v{rounds} is used directly."""
+    if rounds is None:
+        from .operators.pca import GRID_PCA_ROUNDS
+
+        rounds = GRID_PCA_ROUNDS
+    return _grid_pca_oracle_sql(
+        rounds=rounds,
+        final_select=f""",
+    st AS (
+      SELECT sum(val * val)::BIGINT AS vv,
+             (sum(val * val) // 256 + 1)::BIGINT AS den
+      FROM v{rounds}),
+    pj AS MATERIALIZED (
+      SELECT cz.vec_id, sum(c[(v.j + 1)::INT] * v.val)::BIGINT AS proj
+      FROM cz JOIN v{rounds} v ON true GROUP BY cz.vec_id)
+    SELECT cz.vec_id,
+           list(((c[(v.j + 1)::INT] * st.vv - v.val * pj.proj) // st.den)::BIGINT
+                ORDER BY v.j) AS resid
+    FROM cz
+    JOIN v{rounds} v ON true
+    JOIN pj ON pj.vec_id = cz.vec_id
+    CROSS JOIN st
+    GROUP BY cz.vec_id""",
+    )
+
+
+ORACLE_SQL["pca_residual"] = _pca_residual_oracle_sql()
 
 # Mirror of q_cluster_balanced_sample: the same unrolled grid_kmeans
 # chain, final select wrapped with the per-cluster selection window

