@@ -224,6 +224,17 @@ EXTENDED = [
     "grid_kmeans",
     "url_dedup",
     "domain_priors",
+    # round 7 continuation: blocklist gate, perplexity buckets, PQ ANN,
+    # line-frequency boilerplate removal, cluster-balanced coreset,
+    # integer-grid PCA + all-but-the-top, grid IVF
+    "blocklist_filter",
+    "perplexity_buckets",
+    "pq_topk",
+    "boilerplate_spans",
+    "cluster_balanced_sample",
+    "grid_pca",
+    "pca_residual",
+    "grid_ivf_topk",
 ]
 
 HEADLINE = [
