@@ -235,6 +235,7 @@ EXTENDED = [
     "grid_pca",
     "pca_residual",
     "grid_ivf_topk",
+    "unimax_mixture",
 ]
 
 HEADLINE = [

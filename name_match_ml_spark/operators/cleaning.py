@@ -42,6 +42,7 @@ __all__ = [
     "repetition_stats",
     "mixture_sample",
     "temperature_mixture",
+    "unimax_mixture",
     "split_thresholds",
     "leak_safe_split",
     "select_keepers",
@@ -956,6 +957,115 @@ def fuzzy_decontaminate(
             .cast("long")
             .alias("best_jaccard_grid"),
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def unimax_mixture(
+    docs: DataFrame,
+    *,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    epoch_cap: int = 2,
+    budget_permille: int = 1500,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total training-token budget across
+    strata by WATER-FILLING subject to a per-stratum repetition cap —
+    every stratum gets as close to an equal share as possible, but never
+    more than ``epoch_cap`` epochs of its own data.  This is the
+    principled successor to temperature sampling (no tuned exponent, no
+    over-repetition of tiny languages).
+
+    Budget ``B = budget_permille/1000 × total corpus tokens``; caps
+    ``c_i = epoch_cap × n_tokens_i``.  The water level solves
+    ``Σ min(c_i, L) = B`` and has a closed form over the caps sorted
+    ascending: stratum j is fully funded iff
+    ``prefix(c_1..c_{j-1}) + (n−j+1)·c_j ≤ B`` (the level clears its
+    cap), and the remaining strata share the leftover equally,
+    ``L = (B − prefix(funded caps)) DIV n_rest`` — all exact int64, no
+    iteration, ONE window pass over the per-stratum aggregate.
+
+    Returns one row per stratum: ``(stratum, n_tokens, cap_tokens,
+    alloc_tokens, epochs_grid)`` with ``epochs_grid = alloc·1e6 DIV
+    n_tokens`` (millionths of an epoch).  ``Σ alloc ≤ B`` with deficit
+    < n_rest from the floor division (documented, deterministic).
+
+    Scale shape: one map-side-combined corpus aggregate (tokens per
+    stratum), then pure window/broadcast arithmetic on an n_strata-row
+    table — nothing else touches the corpus.
+    """
+    if epoch_cap < 1 or budget_permille < 0:
+        raise ValueError("epoch_cap >= 1 and budget_permille >= 0")
+    from pyspark.sql import Window
+
+    sizes = (
+        docs.select(
+            F.col(strata_col).alias("stratum"), F.size(_words(text_col)).alias("_t")
+        )
+        .groupBy("stratum")
+        .agg(F.sum("_t").cast("long").alias("n_tokens"))
+    )
+    budget = sizes.agg(
+        F.expr(f"sum(n_tokens) * {int(budget_permille)} DIV 1000").alias("b")
+    )
+    w = Window.orderBy("cap_tokens", "stratum")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    capped = (
+        sizes.select(
+            "stratum",
+            "n_tokens",
+            (F.col("n_tokens") * epoch_cap).cast("long").alias("cap_tokens"),
+        )
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "*",
+            F.sum("cap_tokens").over(w).alias("_cum"),
+            F.row_number().over(w).alias("_idx"),
+            F.count(F.lit(1)).over(wall).alias("_n"),
+        )
+        # funded ⇔ the water level clears this stratum's cap:
+        # prefix_{j-1} + (n-j+1)·c_j ≤ B
+        .withColumn(
+            "_funded",
+            (F.col("_cum") - F.col("cap_tokens"))
+            + (F.col("_n") - F.col("_idx") + 1) * F.col("cap_tokens")
+            <= F.col("b"),
+        )
+    )
+    level = capped.agg(
+        F.coalesce(F.max(F.when(F.col("_funded"), F.col("_idx"))), F.lit(0)).alias(
+            "_j"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("_funded"), F.col("_cum"))), F.lit(0).cast("long")
+        ).alias("_prefix"),
+        F.max("_n").alias("_nn"),
+        F.max("b").alias("_b"),
+    ).select(
+        F.when(
+            F.col("_nn") > F.col("_j"),
+            F.expr("(_b - _prefix) DIV (_nn - _j)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_level")
+    )
+    return (
+        capped.crossJoin(F.broadcast(level))
+        .select(
+            "stratum",
+            "n_tokens",
+            "cap_tokens",
+            F.when(F.col("_funded"), F.col("cap_tokens"))
+            .otherwise(F.least(F.col("_level"), F.col("cap_tokens")))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs_grid",
+            F.expr("alloc_tokens * 1000000 DIV greatest(n_tokens, 1)").cast("long"),
         )
     )
 

@@ -1126,6 +1126,19 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023;
+    operators/cleaning.py::unimax_mixture): water-fill a 1.5x-corpus
+    training-token budget across languages with a 2-epoch repetition
+    cap — closed-form level via one window pass over the per-lang
+    aggregate, all exact int64; small languages fund to their cap,
+    large ones share the leftover equally."""
+    from .operators.cleaning import unimax_mixture
+
+    d = table(spark, sf_dir, "documents")
+    return unimax_mixture(d, strata_col="lang", epoch_cap=2, budget_permille=1500)
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture sampling
     (operators/cleaning.py::temperature_mixture): per-LANG keep rates
@@ -4787,6 +4800,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "backoff_logprob": q_backoff_logprob,
     "temperature_mixture": q_temperature_mixture,
+    "unimax_mixture": q_unimax_mixture,
     "token_budget_select": q_token_budget_select,
     "label_propagation": q_label_propagation,
     "char_entropy": q_char_entropy,
@@ -6803,6 +6817,41 @@ ORACLE_SQL["graph_summary"] = """
                            / (exy.n * exy.sx2 - exy.sx * exy.sx), 6)
                 ELSE 0.0 END AS assortativity
     FROM b0, ec, tr, exy
+"""
+
+ORACLE_SQL["unimax_mixture"] = """
+    WITH sizes AS (
+      SELECT lang AS stratum,
+             sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '')))::BIGINT AS n_tokens
+      FROM documents GROUP BY lang),
+    b AS (SELECT (sum(n_tokens) * 1500 // 1000)::BIGINT AS bb FROM sizes),
+    capped AS (
+      SELECT stratum, n_tokens, (n_tokens * 2)::BIGINT AS cap_tokens,
+             (sum(n_tokens * 2) OVER (ORDER BY n_tokens * 2, stratum))::BIGINT AS cum,
+             (row_number() OVER (ORDER BY n_tokens * 2, stratum))::BIGINT AS idx,
+             (count(*) OVER ())::BIGINT AS n
+      FROM sizes),
+    f AS MATERIALIZED (
+      SELECT c.*, b.bb,
+             ((cum - cap_tokens) + (n - idx + 1) * cap_tokens <= b.bb) AS funded
+      FROM capped c, b),
+    lvl AS (
+      SELECT coalesce(max(CASE WHEN funded THEN idx END), 0)::BIGINT AS j,
+             coalesce(max(CASE WHEN funded THEN cum END), 0)::BIGINT AS pref,
+             max(n)::BIGINT AS nn, max(bb)::BIGINT AS budget
+      FROM f),
+    lv AS (
+      SELECT (CASE WHEN nn > j THEN (budget - pref) // (nn - j)
+                   ELSE 0 END)::BIGINT AS level
+      FROM lvl)
+    SELECT stratum, n_tokens, cap_tokens,
+           (CASE WHEN funded THEN cap_tokens
+                 ELSE least(level, cap_tokens) END)::BIGINT AS alloc_tokens,
+           ((CASE WHEN funded THEN cap_tokens
+                  ELSE least(level, cap_tokens) END) * 1000000
+            // greatest(n_tokens, 1))::BIGINT AS epochs_grid
+    FROM f, lv
 """
 
 ORACLE_SQL["temperature_mixture"] = """

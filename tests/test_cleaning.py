@@ -260,3 +260,54 @@ def test_pack_documents_derives_bucket_count(spark):
         fills[(bucket, pack_seq)].append(n_tokens)
     for members in fills.values():
         assert sum(members) <= 64 or len(members) == 1
+
+
+def test_unimax_water_filling_invariants(spark):
+    """Budget conservation (sum alloc <= B, deficit < n), cap respected,
+    small strata fund fully before large ones, and the degenerate
+    regimes (budget >= sum caps -> everyone at cap; tiny budget ->
+    uniform level) both hold."""
+    from name_match_ml_spark.operators.cleaning import unimax_mixture
+
+    rows = []
+    did = 0
+    for lang, n_docs, words in [("aa", 2, 10), ("bb", 4, 10), ("cc", 20, 10)]:
+        for _ in range(n_docs):
+            rows.append((did, " ".join(["w"] * words), lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # total = 260 tokens; caps (E=2): aa 40, bb 80, cc 400
+    out = {
+        r["stratum"]: r
+        for r in unimax_mixture(
+            docs, epoch_cap=2, budget_permille=1000
+        ).collect()  # B = 260
+    }
+    assert out["aa"]["alloc_tokens"] == 40  # funded at cap
+    assert out["bb"]["alloc_tokens"] == 80  # funded at cap
+    assert out["cc"]["alloc_tokens"] == 140  # leftover level
+    assert out["aa"]["epochs_grid"] == 2_000_000
+    total_alloc = sum(r["alloc_tokens"] for r in out.values())
+    assert total_alloc <= 260 and 260 - total_alloc < 3
+    # budget >= sum caps: everyone at cap
+    big = {
+        r["stratum"]: r["alloc_tokens"]
+        for r in unimax_mixture(docs, epoch_cap=2, budget_permille=9000).collect()
+    }
+    assert big == {"aa": 40, "bb": 80, "cc": 400}
+    # tiny budget below n * min cap: uniform level, nobody funded
+    tiny = {
+        r["stratum"]: r["alloc_tokens"]
+        for r in unimax_mixture(docs, epoch_cap=2, budget_permille=100).collect()
+    }
+    assert tiny == {"aa": 8, "bb": 8, "cc": 8}  # 26 DIV 3
+
+
+def test_unimax_validation(spark):
+    import pytest
+
+    from name_match_ml_spark.operators.cleaning import unimax_mixture
+
+    docs = spark.createDataFrame([(0, "a", "x")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        unimax_mixture(docs, epoch_cap=0)

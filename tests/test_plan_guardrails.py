@@ -57,6 +57,8 @@ ALLOWED = {
     "grid_ivf_topk": {"BroadcastNestedLoopJoin"},
     # same bounded grid_pca broadcasts, inherited by the residual pass
     "pca_residual": {"BroadcastNestedLoopJoin"},
+    # 1-row budget + 1-row water-level broadcasts over the n_strata table
+    "unimax_mixture": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-budget broadcast for the selection boundary
     "token_budget_select": {"BroadcastNestedLoopJoin"},
     # n_langs-row (bounded dimension) broadcast: every doc scores every
