@@ -236,6 +236,7 @@ EXTENDED = [
     "pca_residual",
     "grid_ivf_topk",
     "unimax_mixture",
+    "decontaminate_spans",
 ]
 
 HEADLINE = [

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "decontaminate_ngrams",
+    "decontaminate_spans",
     "repetition_stats",
     "mixture_sample",
     "temperature_mixture",
@@ -957,6 +958,90 @@ def fuzzy_decontaminate(
             .cast("long")
             .alias("best_jaccard_grid"),
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: instead of dropping whole
+    documents that share an ``n``-gram with the eval set
+    (:func:`decontaminate_ngrams`), cut ONLY the overlapping spans and
+    keep the rest — the StarCoder/The-Stack-style treatment that
+    preserves training tokens when contamination is a quoted snippet
+    inside an otherwise-clean document.
+
+    Every POSITIONAL ``n``-gram of a corpus doc is tested against the
+    benchmark's distinct gram set; a hit poisons its ``n`` word
+    positions; the union of poisoned positions is removed and the
+    document rebuilt from the surviving words in order (lowercased
+    normalization, the span_dedup family convention).  Returns one row
+    per corpus document: ``(doc_id, n_words, n_removed, text)``.
+
+    Plan / 100 TB notes: the benchmark side is an eval set — its
+    distinct-gram table broadcasts (the decontaminate_ngrams contract);
+    corpus grams stream map-side through the broadcast hash join as
+    64-bit hashes.  Poisoned positions explode n rows per HIT (hits are
+    rare by nature), the removal is a left-anti join on ``(doc, widx)``
+    co-partitioned with the word table, and reassembly is one bounded
+    ``collect_list`` per doc.
+    """
+    w = _words(text_col)
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), w.alias("_w"), F.size(w).alias("_nw")
+    )
+    grams = base.filter(F.col("_nw") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nw") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+            )
+        ).alias("i", "_g"),
+    ).select("doc_id", "i", _gram_hash(F.col("_g"), hash_fn).alias("g"))
+    bset = F.broadcast(
+        benchmark.select(
+            F.explode(_ngram_hashes(text_col, n, hash_fn)).alias("g")
+        ).distinct()
+    )
+    hits = grams.join(bset, "g").select("doc_id", "i")
+    bad = hits.select(
+        "doc_id", F.explode(F.sequence(F.col("i") + 1, F.col("i") + n)).alias("widx")
+    ).distinct()
+    words = base.select(
+        "doc_id", F.posexplode("_w").alias("_p", "word")
+    ).select("doc_id", (F.col("_p") + 1).alias("widx"), "word")
+    kept = (
+        words.join(bad, ["doc_id", "widx"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return (
+        base.select("doc_id", "_nw")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_nw").cast("long").alias("n_words"),
+            (F.col("_nw") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
         )
     )
 

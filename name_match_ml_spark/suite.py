@@ -1083,6 +1083,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_ngrams(corpus, bench, n=4, min_hits=1, hash_fn="md5_60")
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span-level decontamination
+    (operators/cleaning.py::decontaminate_spans): positional 4-grams
+    shared with the eval slice (doc_id % 97 == 0) poison their word
+    positions; the poisoned union is cut and each doc rebuilt from
+    surviving words — the StarCoder/The-Stack treatment that keeps
+    training tokens whole-doc dropping (q_decontaminate) wastes.
+    md5_60 gram hash; rebuilt text hash-checked end to end."""
+    from .operators.cleaning import decontaminate_spans
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_spans(corpus, bench, n=4, hash_fn="md5_60")
+
+
 def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY benchmark decontamination
     (operators/cleaning.py::fuzzy_decontaminate): corpus docs that are
@@ -4791,6 +4807,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
+    "decontaminate_spans": q_decontaminate_spans,
     "repetition_filter": q_repetition_filter,
     "mixture_sample": q_mixture_sample,
     "pack_documents": q_pack_documents,
@@ -6817,6 +6834,44 @@ ORACLE_SQL["graph_summary"] = """
                            / (exy.n * exy.sx2 - exy.sx * exy.sx), 6)
                 ELSE 0.0 END AS assortativity
     FROM b0, ec, tr, exy
+"""
+
+ORACLE_SQL["decontaminate_spans"] = """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents),
+    corpus AS MATERIALIZED (
+      SELECT doc_id, ws, len(ws) AS nw FROM d WHERE doc_id % 97 <> 0),
+    bg AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(array_to_string(ws[(i+1)::INT:(i+4)::INT], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT ws, unnest(range(len(ws) - 3)) AS i
+            FROM d WHERE doc_id % 97 = 0 AND len(ws) >= 4)),
+    cg AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(ws[(i+1)::INT:(i+4)::INT], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT doc_id, ws, unnest(range(nw - 3)) AS i
+            FROM corpus WHERE nw >= 4)),
+    hits AS (SELECT doc_id, i FROM cg JOIN bg USING (g)),
+    bad AS (
+      SELECT DISTINCT doc_id, (i + x + 1)::BIGINT AS widx
+      FROM hits, (SELECT unnest(range(4)) AS x)),
+    words AS (
+      SELECT doc_id, (pos + 1)::BIGINT AS widx, ws[(pos + 1)::INT] AS word
+      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS pos FROM corpus)),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY widx) AS text
+      FROM words ANTI JOIN bad USING (doc_id, widx)
+      GROUP BY doc_id)
+    SELECT c.doc_id,
+           c.nw::BIGINT AS n_words,
+           (c.nw - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+           coalesce(k.text, '') AS text
+    FROM corpus c LEFT JOIN kept k USING (doc_id)
 """
 
 ORACLE_SQL["unimax_mixture"] = """

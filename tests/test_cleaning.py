@@ -311,3 +311,34 @@ def test_unimax_validation(spark):
     docs = spark.createDataFrame([(0, "a", "x")], "doc_id long, text string, lang string")
     with pytest.raises(ValueError):
         unimax_mixture(docs, epoch_cap=0)
+
+
+def test_decontaminate_spans_surgical(spark):
+    """Only the overlapping span is cut (not the whole doc); clean docs
+    pass through intact; a doc that IS an eval doc is fully emptied;
+    overlapping hits union their positions."""
+    from name_match_ml_spark.operators.cleaning import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta closing words here"),
+            (2, "totally clean document with no overlap at all"),
+            (3, "alpha beta gamma delta"),  # the eval text verbatim
+            (4, "x alpha beta gamma delta epsilon alpha beta gamma delta y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in decontaminate_spans(corpus, bench, n=4).collect()
+    }
+    assert got[1]["n_removed"] == 4
+    assert got[1]["text"] == "intro words closing words here"
+    assert got[2]["n_removed"] == 0
+    assert got[2]["text"] == "totally clean document with no overlap at all"
+    assert got[3]["n_removed"] == 4 and got[3]["text"] == ""
+    # two disjoint hits in doc 4: both spans cut, surroundings kept
+    assert got[4]["n_removed"] == 8
+    assert got[4]["text"] == "x epsilon y"
