@@ -237,6 +237,7 @@ EXTENDED = [
     "grid_ivf_topk",
     "unimax_mixture",
     "decontaminate_spans",
+    "hll_distinct",
 ]
 
 HEADLINE = [

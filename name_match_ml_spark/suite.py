@@ -1083,6 +1083,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_ngrams(corpus, bench, n=4, min_hits=1, hash_fn="md5_60")
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-trigram cardinality per language
+    (functions/sketches.py::hll_distinct): p=8/m=256 registers built per
+    (lang, source) then MAX-MERGED down to lang (the warehouse
+    per-partition sketch-merge pattern, in-plan), raw estimate as one
+    exact wide-integer division — bit_length via length(bin(w)), no
+    float log anywhere, so the estimate itself hash-checks."""
+    from .functions.sketches import hll_distinct
+    from .operators.cleaning import _ngram_strings
+
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang", "source", F.explode(_ngram_strings("text", 3)).alias("gram")
+    )
+    return hll_distinct(
+        grams, value_col="gram", group_cols=["lang"], merge_from=["source"]
+    )
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical span-level decontamination
     (operators/cleaning.py::decontaminate_spans): positional 4-grams
@@ -4783,6 +4802,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_profile": q_dq_profile,
     "apply_cdc": q_apply_cdc,
     "kmv_distinct": q_kmv_distinct,
+    "hll_distinct": q_hll_distinct,
     "label_centroids": q_label_centroids,
     "window_distribution": q_window_distribution,
     "salted_join": q_salted_join,
@@ -6834,6 +6854,39 @@ ORACLE_SQL["graph_summary"] = """
                            / (exy.n * exy.sx2 - exy.sx * exy.sx), 6)
                 ELSE 0.0 END AS assortativity
     FROM b0, ec, tr, exy
+"""
+
+ORACLE_SQL["hll_distinct"] = """
+    WITH w AS (
+      SELECT lang, source,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS (
+      SELECT DISTINCT lang, source,
+             array_to_string(ws[(i+1)::INT:(i+3)::INT], ' ') AS t
+      FROM (SELECT lang, source, ws, unnest(range(len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3)),
+    h AS (
+      SELECT lang, source,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+      FROM g),
+    rho AS (
+      SELECT lang, source, hv // 4503599627370496 AS b,
+             CASE WHEN hv % 4503599627370496 = 0 THEN 53
+                  ELSE 53 - length(bin(hv % 4503599627370496)) END AS r
+      FROM h),
+    fine AS (SELECT lang, source, b, max(r) AS r FROM rho GROUP BY 1, 2, 3),
+    regs AS (SELECT lang, b, max(r) AS r FROM fine GROUP BY 1, 2),
+    sums AS (
+      SELECT lang, sum(1::BIGINT << (53 - r)::INT)::BIGINT AS s,
+             count(*)::BIGINT AS nb
+      FROM regs GROUP BY lang)
+    SELECT lang,
+           (CAST('423993302490689634304' AS HUGEINT)
+            // (s + (256 - nb) * (1::BIGINT << 53)))::BIGINT AS hll_est,
+           (256 - nb)::BIGINT AS zero_registers
+    FROM sums
 """
 
 ORACLE_SQL["decontaminate_spans"] = """

@@ -109,3 +109,40 @@ def test_cms_rejects_bad_args(spark):
         cms_term_counts(df, [])
     with pytest.raises(ValueError):
         cms_term_counts(df, ["x"], depth=0)
+
+
+def test_hll_accuracy_and_merge(spark):
+    """Raw HLL within ~3 sigma (20%) of truth for n >> m; register
+    merge (fine -> coarse) equals building registers directly on the
+    coarse grouping; determinism across runs."""
+    from pyspark.sql import functions as F
+
+    from name_match_ml_spark.functions.sketches import hll_distinct
+
+    rows = [(f"g{i % 2}", f"p{i % 7}", f"value-{i}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "g string, p string, v string")
+    est = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(
+            df, value_col="v", group_cols=["g"], merge_from=["p"]
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.20, (g, est[g], n)
+    # merging per-p registers must equal building per-g directly
+    direct = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(df, value_col="v", group_cols=["g"]).collect()
+    }
+    assert est == direct
+    again = {
+        r["g"]: r["hll_est"]
+        for r in hll_distinct(
+            df, value_col="v", group_cols=["g"], merge_from=["p"]
+        ).collect()
+    }
+    assert est == again
