@@ -238,6 +238,7 @@ EXTENDED = [
     "unimax_mixture",
     "decontaminate_spans",
     "hll_distinct",
+    "pack_attention_spans",
 ]
 
 HEADLINE = [

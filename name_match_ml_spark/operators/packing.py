@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "pack_attention_spans"]
 
 
 def pack_documents(
@@ -108,4 +108,56 @@ def pack_documents(
 
     return base.groupBy("bucket").applyInPandas(
         _pack, "doc_id long, bucket int, n_tokens long, pack_seq long"
+    )
+
+
+def pack_attention_spans(
+    docs: DataFrame,
+    *,
+    budget: int = 256,
+    n_buckets: int | None = None,
+    target_docs_per_bucket: int = 250_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TOKEN SPANS inside each pack — the metadata a
+    trainer needs to mask cross-document attention in packed sequences
+    (every packed-pretraining recipe: block-diagonal attention over doc
+    boundaries; without the spans, packing silently lets documents
+    attend to each other).
+
+    For each document in its :func:`pack_documents` pack (taken in
+    ``doc_id`` order, the pack-fill order), emits the 0-based inclusive
+    token range it occupies: ``(bucket, pack_seq, doc_id, start_tok,
+    end_tok)`` with ``start_tok = cumsum(n_tokens) − n_tokens`` and
+    ``end_tok = cumsum(n_tokens) − 1``.
+
+    Scale shape: inherits the pack assignment (bucketed
+    ``applyInPandas`` groups bounded by ``target_docs_per_bucket``);
+    the span pass is ONE running-sum window partitioned by
+    ``(bucket, pack_seq)`` — pack-sized partitions (a few docs each),
+    never a global or bucket-wide sort.
+    """
+    from pyspark.sql import Window
+
+    p = pack_documents(
+        docs,
+        budget=budget,
+        n_buckets=n_buckets,
+        target_docs_per_bucket=target_docs_per_bucket,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    w = (
+        Window.partitionBy("bucket", "pack_seq")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return p.select(
+        "bucket",
+        "pack_seq",
+        "doc_id",
+        (cum - F.col("n_tokens")).cast("long").alias("start_tok"),
+        (cum - 1).cast("long").alias("end_tok"),
     )

@@ -1815,6 +1815,19 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(d, budget=256, n_buckets=32)
 
 
+def q_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token spans inside each pack
+    (operators/packing.py::pack_attention_spans): the block-diagonal
+    attention-mask metadata packed pretraining needs — start/end token
+    offsets per doc via one running-sum window over pack-sized
+    partitions.  Oracle = the pack recursive-CTE mirror with the span
+    window as its final select."""
+    from .operators.packing import pack_attention_spans
+
+    d = table(spark, sf_dir, "documents")
+    return pack_attention_spans(d, budget=256, n_buckets=32)
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-cleaning pipeline as ONE declared query:
     gopher quality gate -> near-dup keeper dedup over a SINGLE staged
@@ -4831,6 +4844,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_filter": q_repetition_filter,
     "mixture_sample": q_mixture_sample,
     "pack_documents": q_pack_documents,
+    "pack_attention_spans": q_pack_attention_spans,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "model_quality_filter": q_model_quality_filter,
     "dsir_select": q_dsir_select,
@@ -6160,6 +6174,24 @@ ORACLE_SQL["pack_documents"] = """
       FROM steps s JOIN ordered o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
     SELECT doc_id, bucket, n_tokens, pack_seq FROM steps
 """
+
+# Mirror of q_pack_attention_spans: the pack recursive-CTE chain with the
+# running-sum span window as the final select (0-based inclusive ranges).
+_PACK_FINAL = "SELECT doc_id, bucket, n_tokens, pack_seq FROM steps"
+assert _PACK_FINAL in ORACLE_SQL["pack_documents"]
+ORACLE_SQL["pack_attention_spans"] = ORACLE_SQL["pack_documents"].replace(
+    _PACK_FINAL,
+    """SELECT bucket, pack_seq, doc_id,
+           (ct - n_tokens)::BIGINT AS start_tok,
+           (ct - 1)::BIGINT AS end_tok
+    FROM (SELECT bucket, pack_seq, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY bucket, pack_seq
+                                     ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS ct
+          FROM steps)""",
+)
+
 
 ORACLE_SQL["mixture_sample"] = f"""
     SELECT doc_id, lang, source FROM documents

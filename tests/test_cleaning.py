@@ -342,3 +342,34 @@ def test_decontaminate_spans_surgical(spark):
     # two disjoint hits in doc 4: both spans cut, surroundings kept
     assert got[4]["n_removed"] == 8
     assert got[4]["text"] == "x epsilon y"
+
+
+def test_pack_attention_spans_partition_packs(spark):
+    """Spans inside each pack tile it exactly: start at 0, contiguous,
+    non-overlapping, ordered by doc_id, end at pack length - 1."""
+    from name_match_ml_spark.operators.packing import (
+        pack_attention_spans,
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    spans = pack_attention_spans(docs, budget=20, n_buckets=4).collect()
+    packs: dict[tuple, list] = {}
+    for r in spans:
+        packs.setdefault((r["bucket"], r["pack_seq"]), []).append(r)
+    assert packs
+    lens = {
+        (r["doc_id"]): r["n_tokens"]
+        for r in pack_documents(docs, budget=20, n_buckets=4).collect()
+    }
+    for members in packs.values():
+        members.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in members:
+            assert r["start_tok"] == expect_start
+            assert r["end_tok"] - r["start_tok"] + 1 == lens[r["doc_id"]]
+            expect_start = r["end_tok"] + 1
+        assert expect_start <= 20 or len(members) == 1  # oversize doc alone
