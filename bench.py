@@ -239,6 +239,7 @@ EXTENDED = [
     "decontaminate_spans",
     "hll_distinct",
     "pack_attention_spans",
+    "pipeline_pack_corpus",
 ]
 
 HEADLINE = [

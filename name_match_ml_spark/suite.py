@@ -1828,6 +1828,31 @@ def q_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_attention_spans(d, budget=256, n_buckets=32)
 
 
+def q_pipeline_pack_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 curation stages composed end-to-end as ONE declared
+    query: gopher quality gate -> CCNet line-frequency boilerplate
+    removal -> SURGICAL span-level decontamination (eval slice doc_id %
+    97 == 0) -> fixed-budget packing with per-document attention spans.
+    Every stage is the hash-checked single operator declared elsewhere;
+    this entry pins the COMPOSITION semantics (the boilerplate
+    frequency table counts only gate survivors; decontamination grams
+    run over the REBUILT text; fully-emptied docs drop before packing)
+    under a CTE-chained DuckDB twin replaying all four stages."""
+    from .functions.text import gopher_quality
+    from .operators.cleaning import boilerplate_spans, decontaminate_spans
+    from .operators.packing import pack_attention_spans
+
+    d = table(spark, sf_dir, "documents")
+    gq = gopher_quality(d, min_words=40, min_stopword_hits=1)
+    kept = d.join(gq.filter("passes").select("doc_id"), "doc_id").localCheckpoint()
+    bp = boilerplate_spans(kept, span_words=10, max_docs=2, hash_fn="md5_60")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = bp.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    ds = decontaminate_spans(corpus, bench, n=4, hash_fn="md5_60")
+    clean = ds.filter(F.col("text") != "").select("doc_id", "text")
+    return pack_attention_spans(clean, budget=256, n_buckets=32)
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-cleaning pipeline as ONE declared query:
     gopher quality gate -> near-dup keeper dedup over a SINGLE staged
@@ -4846,6 +4871,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents": q_pack_documents,
     "pack_attention_spans": q_pack_attention_spans,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "pipeline_pack_corpus": q_pipeline_pack_corpus,
     "model_quality_filter": q_model_quality_filter,
     "dsir_select": q_dsir_select,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -6886,6 +6912,110 @@ ORACLE_SQL["graph_summary"] = """
                            / (exy.n * exy.sx2 - exy.sx * exy.sx), 6)
                 ELSE 0.0 END AS assortativity
     FROM b0, ec, tr, exy
+"""
+
+ORACLE_SQL["pipeline_pack_corpus"] = f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    gm AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+                   / greatest(len(ws), 1), 6) AS mean_word_len,
+             round(((length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3)
+                   ::DOUBLE / greatest(len(ws), 1), 6) AS symbol_ratio,
+             round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / greatest(len(ws), 1), 6) AS alpha_word_ratio,
+             len(list_intersect(list_distinct(ws), [{_GOPHER_STOPWORDS}])) AS stopword_hits
+      FROM w),
+    gkeep AS MATERIALIZED (
+      SELECT doc_id FROM gm
+      WHERE n_words >= 40 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        AND stopword_hits >= 1),
+    sp0 AS (
+      SELECT doc_id, ws, unnest(range(1, ceil(len(ws) / 10.0)::INT + 1)) AS i
+      FROM w JOIN gkeep USING (doc_id)),
+    sp AS MATERIALIZED (
+      SELECT doc_id, (i - 1)::INT AS span_idx,
+             array_to_string(list_slice(ws, ((i-1)*10 + 1)::INT, ((i-1)*10 + 10)::INT),
+                             ' ') AS span,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(ws, ((i-1)*10 + 1)::INT, ((i-1)*10 + 10)::INT),
+                 ' ')), 1, 15))::BIGINT AS h
+      FROM sp0),
+    boiler AS (
+      SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 2),
+    bkept AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text
+      FROM sp ANTI JOIN boiler USING (h) GROUP BY doc_id),
+    bp AS MATERIALIZED (
+      SELECT g.doc_id, coalesce(k.text, '') AS text
+      FROM gkeep g LEFT JOIN bkept k USING (doc_id)),
+    dw AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+      FROM bp WHERE doc_id % 97 <> 0),
+    bg AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(array_to_string(ws[(i+1)::INT:(i+4)::INT], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT ws, unnest(range(len(ws) - 3)) AS i
+            FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 4)),
+    cg AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(array_to_string(ws[(i+1)::INT:(i+4)::INT], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 3)) AS i
+            FROM dw WHERE len(ws) >= 4)),
+    hits AS (SELECT doc_id, i FROM cg JOIN bg USING (g)),
+    bad AS (
+      SELECT DISTINCT doc_id, (i + x + 1)::BIGINT AS widx
+      FROM hits, (SELECT unnest(range(4)) AS x)),
+    wrds AS (
+      SELECT doc_id, (pos + 1)::BIGINT AS widx, ws[(pos + 1)::INT] AS word
+      FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS pos FROM dw)),
+    k2 AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS text
+      FROM wrds ANTI JOIN bad USING (doc_id, widx)
+      GROUP BY doc_id),
+    clean AS MATERIALIZED (
+      SELECT d2.doc_id, k2.text
+      FROM (SELECT doc_id FROM dw) d2 JOIN k2 USING (doc_id)
+      WHERE k2.text <> ''),
+    base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 32)::INT AS bucket,
+             coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')), 0)::BIGINT AS n_tokens
+      FROM clean),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM base),
+    steps AS (
+      SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS pack_seq, n_tokens AS cum
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN s.cum + o.n_tokens > 256
+                  THEN s.pack_seq + 1 ELSE s.pack_seq END,
+             CASE WHEN s.cum + o.n_tokens > 256
+                  THEN o.n_tokens ELSE s.cum + o.n_tokens END
+      FROM steps s JOIN ordered o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+    SELECT bucket, pack_seq, doc_id,
+           (ct - n_tokens)::BIGINT AS start_tok,
+           (ct - 1)::BIGINT AS end_tok
+    FROM (SELECT bucket, pack_seq, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY bucket, pack_seq
+                                     ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS ct
+          FROM steps)
 """
 
 ORACLE_SQL["hll_distinct"] = """

@@ -171,3 +171,44 @@ def test_near_dup_graph_staged_across_graph_consumers(spark, monkeypatch):
     assert clusters.count() == pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("id")
     ).distinct().count()
+
+
+def test_pipeline_pack_corpus_composition(spark):
+    """Cross-stage invariants of the round-7 composed pipeline: packed
+    docs are a subset of gate survivors minus the eval slice; no span
+    exceeds the budget unless its doc is alone in the pack; fully
+    emptied docs never reach the packer."""
+    from pyspark.sql import functions as F
+
+    from name_match_ml_spark.suite import SPARK_QUERIES, table
+
+    sf = "/root/testdata/sf0.001"
+    spans = SPARK_QUERIES["pipeline_pack_corpus"](spark, sf).cache()
+    rows = spans.collect()
+    assert rows
+    d = table(spark, sf, "documents")
+    packed_ids = {r["doc_id"] for r in rows}
+    assert all(i % 97 != 0 for i in packed_ids)
+    # every packed doc passed the gopher gate
+    from name_match_ml_spark.functions.text import gopher_quality
+
+    gate = {
+        r["doc_id"]
+        for r in gopher_quality(d, min_words=40, min_stopword_hits=1)
+        .filter("passes")
+        .select("doc_id")
+        .collect()
+    }
+    assert packed_ids <= gate
+    # spans tile their packs within the budget
+    packs: dict[tuple, list] = {}
+    for r in rows:
+        packs.setdefault((r["bucket"], r["pack_seq"]), []).append(r)
+    for members in packs.values():
+        members.sort(key=lambda r: r["start_tok"])
+        assert members[0]["start_tok"] == 0
+        for a, b in zip(members, members[1:]):
+            assert b["start_tok"] == a["end_tok"] + 1
+        assert members[-1]["end_tok"] < 256 or len(members) == 1
+        # no empty docs packed
+        assert all(m["end_tok"] >= m["start_tok"] for m in members)
