@@ -38,7 +38,7 @@ DRIVER_ROTATION: list[str] = [
     "domain_priors", "blocklist_filter", "perplexity_buckets", "pq_topk",
     "boilerplate_spans", "cluster_balanced_sample", "grid_pca",
     "grid_ivf_topk", "pca_residual", "unimax_mixture", "decontaminate_spans", "hll_distinct",
-    "pack_attention_spans", "pipeline_pack_corpus",
+    "pack_attention_spans", "pipeline_pack_corpus", "eval_contamination_report",
     "bitext_mine", "pipeline_clean_corpus",
     "pipeline_select_corpus", "model_quality_filter", "graph_walks",
     "graph_summary", "label_propagation",

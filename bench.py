@@ -240,6 +240,7 @@ EXTENDED = [
     "hll_distinct",
     "pack_attention_spans",
     "pipeline_pack_corpus",
+    "eval_contamination_report",
 ]
 
 HEADLINE = [

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "decontaminate_ngrams",
     "decontaminate_spans",
+    "eval_contamination_report",
     "repetition_stats",
     "mixture_sample",
     "temperature_mixture",
@@ -958,6 +959,62 @@ def fuzzy_decontaminate(
             .cast("long")
             .alias("best_jaccard_grid"),
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def eval_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The REVERSE view of :func:`decontaminate_ngrams`: which EVAL
+    items are burned, and how badly.  Decontamination cleans the
+    training side; the eval owner needs this report to drop or re-draw
+    compromised benchmark items (the direction GPT-3's appendix C and
+    every leakage audit actually publish).
+
+    Returns one row per benchmark document: ``(doc_id, n_corpus_docs,
+    n_shared_grams, burned)`` — the number of corpus documents sharing
+    at least one ``n``-gram, the number of this item's distinct grams
+    seen anywhere in the corpus, and ``burned = n_corpus_docs >= 1``.
+
+    Plan / 100 TB notes: the BENCHMARK gram table (eval-sized)
+    broadcasts with its doc ids attached; the corpus gram stream joins
+    it map-side, so only actual HITS (bounded by contamination volume,
+    tiny by nature) reach the exchange for the per-eval-item
+    count-distinct.  The corpus is never shuffled.
+    """
+    b_grams = F.broadcast(
+        benchmark.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_ngram_hashes(text_col, n, hash_fn)).alias("g"),
+        )
+    )
+    c_grams = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(_ngram_hashes(text_col, n, hash_fn)).alias("g"),
+    )
+    hits = (
+        c_grams.join(b_grams, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("_cid").alias("n_corpus_docs"),
+            F.count_distinct("g").alias("n_shared_grams"),
+        )
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_docs", F.lit(0)).cast("long").alias("n_corpus_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_corpus_docs", F.lit(0)) >= 1).alias("burned"),
         )
     )
 

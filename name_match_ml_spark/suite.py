@@ -1102,6 +1102,20 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eval_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse leakage audit (operators/cleaning.py::
+    eval_contamination_report): per EVAL item (doc_id % 97 == 0), how
+    many corpus docs share a 4-gram and how many of its grams are
+    seen — the report an eval owner uses to drop burned items.  Bench
+    grams broadcast with ids; only hits shuffle."""
+    from .operators.cleaning import eval_contamination_report
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return eval_contamination_report(corpus, bench, n=4, hash_fn="md5_60")
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical span-level decontamination
     (operators/cleaning.py::decontaminate_spans): positional 4-grams
@@ -4866,6 +4880,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
     "decontaminate_spans": q_decontaminate_spans,
+    "eval_contamination_report": q_eval_contamination_report,
     "repetition_filter": q_repetition_filter,
     "mixture_sample": q_mixture_sample,
     "pack_documents": q_pack_documents,
@@ -7049,6 +7064,36 @@ ORACLE_SQL["hll_distinct"] = """
             // (s + (256 - nb) * (1::BIGINT << 53)))::BIGINT AS hll_est,
            (256 - nb)::BIGINT AS zero_registers
     FROM sums
+"""
+
+ORACLE_SQL["eval_contamination_report"] = """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[(i+1)::INT:(i+4)::INT], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 3)) AS i
+            FROM d WHERE doc_id % 97 = 0 AND len(ws) >= 4)),
+    cg AS (
+      SELECT DISTINCT doc_id AS cid,
+             ('0x' || substr(md5(array_to_string(ws[(i+1)::INT:(i+4)::INT], ' ')),
+                             1, 15))::BIGINT AS g
+      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 3)) AS i
+            FROM d WHERE doc_id % 97 <> 0 AND len(ws) >= 4)),
+    hits AS (
+      SELECT b.doc_id, count(DISTINCT c.cid) AS n_corpus_docs,
+             count(DISTINCT b.g) AS n_shared_grams
+      FROM cg c JOIN bg b USING (g)
+      GROUP BY b.doc_id)
+    SELECT d2.doc_id,
+           coalesce(h.n_corpus_docs, 0)::BIGINT AS n_corpus_docs,
+           coalesce(h.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+           (coalesce(h.n_corpus_docs, 0) >= 1) AS burned
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) d2
+    LEFT JOIN hits h USING (doc_id)
 """
 
 ORACLE_SQL["decontaminate_spans"] = """

@@ -373,3 +373,38 @@ def test_pack_attention_spans_partition_packs(spark):
             assert r["end_tok"] - r["start_tok"] + 1 == lens[r["doc_id"]]
             expect_start = r["end_tok"] + 1
         assert expect_start <= 20 or len(members) == 1  # oversize doc alone
+
+
+def test_eval_contamination_report_reverse_consistency(spark):
+    """The reverse report agrees with the forward flag: an eval item is
+    burned iff some corpus doc is contaminated by it; counts pin the
+    toy geometry."""
+    from name_match_ml_spark.operators.cleaning import (
+        decontaminate_ngrams,
+        eval_contamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "never seen words here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),
+            (2, "alpha beta gamma delta"),
+            (3, "clean other text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in eval_contamination_report(corpus, bench, n=4).collect()
+    }
+    assert rep[100]["burned"] and rep[100]["n_corpus_docs"] == 2
+    assert rep[100]["n_shared_grams"] == 1
+    assert not rep[101]["burned"] and rep[101]["n_corpus_docs"] == 0
+    fwd = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_ngrams(corpus, bench, n=4).collect()
+    }
+    assert fwd == {1: True, 2: True, 3: False}
