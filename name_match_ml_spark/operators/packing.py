@@ -130,7 +130,11 @@ def pack_attention_spans(
     ``doc_id`` order, the pack-fill order), emits the 0-based inclusive
     token range it occupies: ``(bucket, pack_seq, doc_id, start_tok,
     end_tok)`` with ``start_tok = cumsum(n_tokens) − n_tokens`` and
-    ``end_tok = cumsum(n_tokens) − 1``.
+    ``end_tok = cumsum(n_tokens) − 1``.  Zero-token documents
+    (null/empty text packs as 0 tokens) occupy no positions and would
+    otherwise emit the degenerate range ``(start, start−1)`` — they are
+    filtered out of the span output so every emitted range is a valid
+    inclusive interval for a mask builder iterating ``start..end``.
 
     Scale shape: inherits the pack assignment (bucketed
     ``applyInPandas`` groups bounded by ``target_docs_per_bucket``);
@@ -154,10 +158,17 @@ def pack_attention_spans(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    return p.select(
-        "bucket",
-        "pack_seq",
-        "doc_id",
-        (cum - F.col("n_tokens")).cast("long").alias("start_tok"),
-        (cum - 1).cast("long").alias("end_tok"),
+    return (
+        p.select(
+            "bucket",
+            "pack_seq",
+            "doc_id",
+            "n_tokens",
+            (cum - F.col("n_tokens")).cast("long").alias("start_tok"),
+            (cum - 1).cast("long").alias("end_tok"),
+        )
+        # zero-token docs occupy no positions: drop the (start, start-1)
+        # degenerate range (filter AFTER the window so cum is unchanged).
+        .filter(F.col("n_tokens") > 0)
+        .drop("n_tokens")
     )

@@ -88,6 +88,19 @@ def grid_pca_components(
         raise ValueError("rounds >= 1")
     from .pq import _global_codes
 
+    # int64-safety envelope guard: the power-iteration matvec bound is
+    # |w| <= d * |S'| * |v| = d * 2^36 * 2^20, which stays under 2^63
+    # only for d <= 64.  Beyond that Spark (non-ANSI) silently wraps
+    # while DuckDB raises — a caller with e.g. 768-dim embeddings would
+    # get silently wrong principal directions.  One bounded limit-1 scan.
+    d_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if d_row and d_row[0]["d"] is not None and d_row[0]["d"] > 64:
+        raise ValueError(
+            f"grid_pca supports embedding dimension <= 64 (got {d_row[0]['d']}): "
+            "the exact-int64 envelope |w| <= d*2^36*2^20 requires d <= 64; "
+            "reduce dimension or lower PCA_VSCALE/PCA_SBOUND accordingly"
+        )
+
     codes = _global_codes(embeddings, id_col=id_col, vec_col=vec_col).localCheckpoint()
 
     # Truncating integer mean per dimension, rebuilt as a 1-row array

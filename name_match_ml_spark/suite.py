@@ -1578,10 +1578,17 @@ def q_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pca.py::pca_residual): exact integer rejection of the
     grid_pca dominant direction — r = c*|v|^2 - v*(c.v), one integer
     downscale — the standard common-mode removal before similarity
-    search.  Residual arrays hash-checked end to end."""
+    search.  The residual array is serialized to CSV (the
+    embedding_quantize convention) so the driver's pandas canonicalizer
+    — which cannot sort nested columns — hash checks every component
+    exactly."""
     from .operators.pca import pca_residual
 
-    return pca_residual(table(spark, sf_dir, "embeddings"))
+    r = pca_residual(table(spark, sf_dir, "embeddings"))
+    return r.select(
+        "vec_id",
+        F.concat_ws(",", F.col("resid").cast("array<string>")).alias("resid_csv"),
+    )
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6230,7 +6237,8 @@ ORACLE_SQL["pack_attention_spans"] = ORACLE_SQL["pack_documents"].replace(
                                      ORDER BY doc_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS ct
-          FROM steps)""",
+          FROM steps)
+    WHERE n_tokens > 0""",
 )
 
 
@@ -7870,7 +7878,9 @@ ORACLE_SQL["grid_pca"] = _grid_pca_oracle_sql()
 
 def _pca_residual_oracle_sql(rounds: int | None = None) -> str:
     """Mirror of ``q_pca_residual``: same chain as grid_pca, final
-    select emits the downscaled integer rejection list.  Sign is
+    select emits the downscaled integer rejection serialized to CSV
+    (``string_agg`` in dimension order — the embedding_quantize
+    convention, so the driver never sees a nested column).  Sign is
     irrelevant here (v appears an even number of times), so the
     unsigned v{rounds} is used directly."""
     if rounds is None:
@@ -7888,8 +7898,9 @@ def _pca_residual_oracle_sql(rounds: int | None = None) -> str:
       SELECT cz.vec_id, sum(c[(v.j + 1)::INT] * v.val)::BIGINT AS proj
       FROM cz JOIN v{rounds} v ON true GROUP BY cz.vec_id)
     SELECT cz.vec_id,
-           list(((c[(v.j + 1)::INT] * st.vv - v.val * pj.proj) // st.den)::BIGINT
-                ORDER BY v.j) AS resid
+           string_agg(
+             (((c[(v.j + 1)::INT] * st.vv - v.val * pj.proj)
+               // st.den)::BIGINT)::VARCHAR, ',' ORDER BY v.j) AS resid_csv
     FROM cz
     JOIN v{rounds} v ON true
     JOIN pj ON pj.vec_id = cz.vec_id

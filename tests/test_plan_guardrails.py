@@ -82,6 +82,26 @@ FORBIDDEN = (
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_no_scale_antipatterns(spark, name):
     q = entry_mod.queries()[name]
-    plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    df = q(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [t for t in FORBIDDEN if t in plan and t not in ALLOWED.get(name, ())]
     assert not hits, f"{name}: {hits} in physical plan\n{plan[:2000]}"
+
+    # Driver-contract guardrail: the correctness driver canonicalizes
+    # results with a pandas sort_values, which crashes on unhashable
+    # nested values — pca_residual learned this the hard way in round 7
+    # (VERDICT r7 "What's wrong" #1).  Every oracle-checked query must
+    # emit only atomic columns; arrays are serialized to CSV (the
+    # embedding_quantize / pca_residual resid_csv convention).
+    if name in entry_mod.oracle_sql():
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        nested = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not nested, (
+            f"{name}: oracle-checked query returns nested columns {nested} "
+            "— the driver canonicalizer cannot sort these; serialize to CSV"
+        )
