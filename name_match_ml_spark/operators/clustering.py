@@ -199,6 +199,7 @@ def grid_kmeans(
 
 def grid_ivf_topk(
     embeddings: DataFrame,
+    queries: DataFrame | None = None,
     *,
     k_cells: int = 10,
     n_probe: int = 3,
@@ -207,6 +208,7 @@ def grid_ivf_topk(
     rounds: int = GRID_KMEANS_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_row_budget: int | None = None,
 ) -> DataFrame:
     """IVF ANN with :func:`grid_kmeans` as the coarse quantizer — the
     hash-checkable successor to the float-KMeans ``ivf_cosine_topk``
@@ -214,22 +216,31 @@ def grid_ivf_topk(
     bit-stable across engines; every step here is exact int64, so the
     DuckDB oracle replays the full probe → inverted-list scan → top-k).
 
-    Per query (corpus rows with ``vec_id % query_mod == 0``, the
-    small-by-contract convention): probe the ``n_probe`` nearest
-    centroids, score EXACT int64 squared grid distance against only the
-    vectors assigned to probed cells, return the top ``k``
-    (self-matches excluded, ties → smallest neighbor_id).  Pruning loss
-    vs the same-grid brute force is pinned by pytest recall.
+    The query set is an EXPLICIT ``queries`` DataFrame (``id_col``,
+    ``vec_col`` — quantized with the same per-vector device as the
+    corpus); when omitted it defaults to the in-repo convention
+    ``corpus rows with vec_id % query_mod == 0``.  Per query: probe the
+    ``n_probe`` nearest centroids, score EXACT int64 squared grid
+    distance against only the vectors assigned to probed cells, return
+    the top ``k`` (self-matches excluded, ties → smallest neighbor_id).
+    Pruning loss vs the same-grid brute force is pinned by pytest
+    recall.
 
-    Scale shape: the probe table (|Q|·n_probe rows, query codes
-    attached) BROADCASTS against the streaming inverted lists — a
-    billion-vector corpus is never shuffled, each executor scans its
-    cells' lists once; a cid-key shuffle (k distinct keys → guaranteed
-    skew) never happens.  Returns ``(query_id, neighbor_id, dist_grid,
-    rank)``.
+    Scale shape: the inverted lists NEVER shuffle on the k-distinct
+    ``cid`` key.  The probe table (|Q|·n_probe rows, query codes
+    attached) scales with the QUERY SET, so its join strategy is
+    auto-selected from plan statistics (``plans/probe.py``): small
+    query set → broadcast against the streaming lists (a
+    billion-vector corpus is never shuffled); corpus-proportional
+    query set → shuffle-hash join (the broadcast would OOM the driver
+    — VERDICT r7 #2).  ``probe_row_budget`` overrides the broadcast
+    cutoff.  Returns ``(query_id, neighbor_id, dist_grid, rank)``.
     """
     if n_probe < 1 or k < 1:
         raise ValueError("n_probe >= 1 and k >= 1")
+    from ..plans.probe import PROBE_BROADCAST_ROW_BUDGET, probe_side
+    from .simsearch import quantize_expr
+
     qz, centers = grid_kmeans_model(
         embeddings, k=k_cells, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
@@ -237,12 +248,28 @@ def grid_ivf_topk(
 
     from pyspark.sql import Window
 
-    queries = qz.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
+    if queries is None:
+        qcodes = qz.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+        )
+    else:
+        _s, qexpr = quantize_expr(F.col(vec_col).cast("array<double>"))
+        qcodes = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.transform(qexpr, lambda x: x.cast("long")).alias("qq"),
+        )
+    # The probe table is |Q|·n_probe rows.  Byte-derived stats
+    # overestimate |Q| ~100× (code rows are wide arrays), so use a
+    # LIMIT-bounded exact count: the limit short-circuits after
+    # budget/n_probe + 1 rows regardless of corpus size, and a capped
+    # probe decides "shuffle" — the safe direction.
+    budget = PROBE_BROADCAST_ROW_BUDGET if probe_row_budget is None else probe_row_budget
+    q_cap = budget // n_probe
+    est_probe = float(qcodes.limit(q_cap + 1).count()) * n_probe
+
     wp = Window.partitionBy("query_id").orderBy("cdist", "cid")
     probe = (
-        queries.crossJoin(F.broadcast(centers))
+        qcodes.crossJoin(F.broadcast(centers))
         .select(
             "query_id", "qq", "cid", _sq_dist(F.col("qq"), F.col("cv")).alias("cdist")
         )
@@ -251,7 +278,7 @@ def grid_ivf_topk(
         .select("query_id", "qq", "cid")
     )
     cand = (
-        inv.join(F.broadcast(probe), "cid")
+        inv.join(probe_side(probe, est_rows=est_probe, row_budget=budget), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -61,19 +61,33 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _global_codes(embeddings: DataFrame, *, id_col: str, vec_col: str) -> DataFrame:
-    """``(vec_id, q)``: GLOBAL-scale int8 codes — one corpus-wide scale
-    (a 1-row broadcast) instead of the per-vector scale of
-    ``quantize_expr``, because PQ compares SUB-vectors across different
-    vectors and per-vector scales would make those distances
-    incomparable."""
+def _corpus_scale(embeddings: DataFrame, *, vec_col: str) -> DataFrame:
+    """1-row ``(g)`` corpus-wide quantization scale (max |x|)."""
     v = F.col(vec_col).cast("array<double>")
-    base = embeddings.select(F.col(id_col).cast("long").alias("vec_id"), v.alias("v"))
-    gs = base.select(
+    return embeddings.select(v.alias("v")).select(
         F.greatest(
             F.max(F.array_max(F.transform(F.col("v"), F.abs))), F.lit(1e-30)
         ).alias("g")
     )
+
+
+def _global_codes(
+    embeddings: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    scale: DataFrame | None = None,
+) -> DataFrame:
+    """``(vec_id, q)``: GLOBAL-scale int8 codes — one corpus-wide scale
+    (a 1-row broadcast) instead of the per-vector scale of
+    ``quantize_expr``, because PQ compares SUB-vectors across different
+    vectors and per-vector scales would make those distances
+    incomparable.  ``scale`` injects a precomputed 1-row scale table so
+    an EXTERNAL query set is encoded on the CORPUS's grid (queries must
+    share the corpus scale or their ADC distances are meaningless)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).cast("long").alias("vec_id"), v.alias("v"))
+    gs = scale if scale is not None else _corpus_scale(embeddings, vec_col=vec_col)
     q = F.transform(
         F.col("v"), lambda x: F.floor(x / F.col("g") * 127.0 + 0.5).cast("long")
     )
@@ -115,17 +129,23 @@ def pq_codebooks(
     rounds: int = PQ_LLOYD_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train per-subspace codebooks; returns ``(codes_full, subq,
     centers)`` where ``codes_full = (vec_id, q)`` is the global-scale
     full-width code table, ``subq = (vec_id, s, sq)`` its subspace
     split, and ``centers = (s, cid, cv)`` with ``cid`` in 1..k_codes
-    (farthest-point selection order).  All m subspaces train
-    CONCURRENTLY: each seeding/Lloyd round is one job over the combined
-    (vec, subspace) table, never a per-subspace loop of jobs."""
+    (farthest-point selection order).  ``scale`` injects a precomputed
+    1-row quantization-scale table (so a caller encoding an external
+    query set on the same grid computes the corpus scale exactly once).
+    All m subspaces train CONCURRENTLY: each seeding/Lloyd round is one
+    job over the combined (vec, subspace) table, never a per-subspace
+    loop of jobs."""
     if m < 1 or k_codes < 1:
         raise ValueError("m >= 1 and k_codes >= 1")
-    codes_full = _global_codes(embeddings, id_col=id_col, vec_col=vec_col).localCheckpoint()
+    codes_full = _global_codes(
+        embeddings, id_col=id_col, vec_col=vec_col, scale=scale
+    ).localCheckpoint()
     subq = _subvectors(codes_full, m=m).localCheckpoint()
 
     # Gonzalez farthest-point seeding, all subspaces per round at once:
@@ -203,6 +223,7 @@ def pq_codebooks(
 
 def pq_topk(
     corpus: DataFrame,
+    queries: DataFrame | None = None,
     *,
     m: int = 16,
     k_codes: int = 16,
@@ -212,6 +233,7 @@ def pq_topk(
     query_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_row_budget: int | None = None,
 ) -> DataFrame:
     """Top-``k`` neighbors per query: PQ asymmetric distance (ADC)
     prunes the corpus to the best ``rerank`` candidates per query, an
@@ -222,31 +244,65 @@ def pq_topk(
     arbitrary without it (measured recall@5 0.07 at the first-cut m=4/k=8
     config vs 0.96 at the shipped m=16/k=16/rerank=100 config on the
     driver corpus).  Self-matches excluded, all ties →
-    smallest neighbor_id.  Queries are the corpus rows with
-    ``vec_id % query_mod == 0`` (the cosine_topk convention — a
-    small-by-contract query set).
+    smallest neighbor_id.
+
+    The query set is an EXPLICIT ``queries`` DataFrame (``id_col``,
+    ``vec_col``; encoded on the CORPUS's quantization grid — the scale
+    is computed once and shared); when omitted it defaults to the
+    in-repo convention ``corpus rows with vec_id % query_mod == 0``.
 
     Cost shape at 100 TB: the corpus-sized work is the code scan
-    (``N·m`` lookup-adds against a broadcast distance table); the
-    refine touches only ``|Q|·rerank`` rows.
+    (``N·m`` lookup-adds against the per-query distance table).  That
+    distance table is ``|Q|·m·k_codes`` rows — it scales with the QUERY
+    SET, so its join strategy is auto-selected from plan statistics
+    (``plans/probe.py``): small query set → broadcast (the corpus never
+    shuffles); corpus-proportional query set → shuffle-hash join
+    (VERDICT r7 #2 — the broadcast would OOM the driver).
+    ``probe_row_budget`` overrides the broadcast cutoff.  The refine
+    touches only ``|Q|·rerank`` rows.
 
     Returns ``(query_id, neighbor_id, pq_dist, dist_grid, rank)`` —
     ``pq_dist`` the int64 ADC estimate, ``dist_grid`` the exact int64
     squared distance, ``rank`` by ``(dist_grid, neighbor_id)``.
     """
+    from ..plans.probe import PROBE_BROADCAST_ROW_BUDGET, probe_side
+
+    budget = PROBE_BROADCAST_ROW_BUDGET if probe_row_budget is None else probe_row_budget
+    scale = None
+    if queries is not None:
+        scale = _corpus_scale(corpus, vec_col=vec_col).localCheckpoint()
     codes_full, subq, centers = pq_codebooks(
-        corpus, m=m, k_codes=k_codes, rounds=rounds, id_col=id_col, vec_col=vec_col
+        corpus, m=m, k_codes=k_codes, rounds=rounds, id_col=id_col,
+        vec_col=vec_col, scale=scale,
     )
     codes = _assign(subq, centers).select("vec_id", "s", "cid")
 
-    qsub = subq.filter(F.col("vec_id") % query_mod == 0).select(
+    if queries is None:
+        q_full = codes_full.filter(F.col("vec_id") % query_mod == 0)
+        q_sub = subq.filter(F.col("vec_id") % query_mod == 0)
+    else:
+        q_full = _global_codes(
+            queries, id_col=id_col, vec_col=vec_col, scale=scale
+        ).localCheckpoint()
+        q_sub = _subvectors(q_full, m=m)
+    # The probe/distance-table row count is |Q|·m·k_codes.  Byte-derived
+    # stats overestimate |Q| ~100× here (code rows are wide arrays, the
+    # dtab rows that actually broadcast are 4 longs), so use a
+    # LIMIT-bounded exact count instead: the limit short-circuits after
+    # budget/(m·k_codes)+1 rows regardless of corpus size, and a capped
+    # probe decides "shuffle" — the safe direction.
+    q_cap = budget // (m * k_codes)
+    n_q = q_full.limit(q_cap + 1).count()
+    est_dtab = n_q * m * k_codes
+
+    qsub = q_sub.select(
         F.col("vec_id").alias("query_id"), "s", F.col("sq").alias("qsq")
     )
     dtab = qsub.join(F.broadcast(centers), "s").select(
         "query_id", "s", "cid", _sq_dist(F.col("qsq"), F.col("cv")).alias("d")
     )
     scores = (
-        codes.join(F.broadcast(dtab), ["s", "cid"])
+        codes.join(probe_side(dtab, est_rows=est_dtab, row_budget=budget), ["s", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").cast("long").alias("pq_dist"))
@@ -256,11 +312,14 @@ def pq_topk(
         F.col("_crn") <= rerank
     )
 
-    qfull = codes_full.filter(F.col("vec_id") % query_mod == 0).select(
+    qfull = q_full.select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("_qq")
     )
     rer = (
-        cand.join(F.broadcast(qfull), "query_id")
+        cand.join(
+            probe_side(qfull, est_rows=float(n_q), row_budget=budget),
+            "query_id",
+        )
         .join(
             codes_full.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("_nq")),
             "neighbor_id",

@@ -97,6 +97,7 @@ def cosine_topk_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_slack: int = 32,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors of each query vector (self-matches
     excluded).
@@ -104,7 +105,12 @@ def cosine_topk_exact(
     Scale design: the query side is small by contract (it is a top-k
     *query set*), so it is collected once here (an eager job at plan
     construction, like a broadcast-hash build side) and broadcast as a
-    row-normalized numpy matrix.  The corpus then streams through one
+    row-normalized numpy matrix.  The contract is ENFORCED, not
+    documentation: the collect is LIMIT-bounded and a query set larger
+    than ``max_queries`` raises instead of OOMing the driver — route
+    corpus-sized query workloads through the pruned paths
+    (``pq_topk``/``grid_ivf_topk``, which auto-select a shuffle join
+    for big query sides).  The corpus then streams through one
     Arrow ``mapInPandas`` doing a single GEMM per batch — all dot
     products stay inside BLAS instead of an interpreted per-pair
     higher-order function, and no query×corpus pair stream ever hits a
@@ -123,8 +129,15 @@ def cosine_topk_exact(
     spark = corpus.sparkSession
     qrows = (
         queries.select(F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>"))
+        .limit(max_queries + 1)
         .collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_exact: query set exceeds max_queries={max_queries} — "
+            "the exact path collects and broadcasts the query matrix; use "
+            "pq_topk/grid_ivf_topk for corpus-sized query workloads"
+        )
     if not qrows:
         empty = spark.createDataFrame([], _TOPK_CAND_SCHEMA)
         return empty.withColumn("rank", F.lit(1)).limit(0)
