@@ -1518,6 +1518,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(table(spark, sf_dir, "embeddings"))
 
 
+def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated product quantization (operators/opq.py::opq_topk): a
+    deterministic ±1 sign diagonal + unnormalized Walsh–Hadamard
+    butterfly (the structured-rotation OPQ family — FJLT / FAISS
+    OPQMatrix) decorrelates subspaces in ONE codegen projection pass,
+    then the unchanged pq_topk ADC+refine pipeline.  The rotation is a
+    fixed binary expression tree, bit-identical in both engines, and
+    orthogonal×√d — rankings are against the same ground truth as
+    pq_topk, so recall is directly comparable (pytest-pinned)."""
+    from .operators.opq import opq_topk
+
+    return opq_topk(table(spark, sf_dir, "embeddings"))
+
+
 def q_grid_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means over int8-quantized embeddings
     (operators/clustering.py::grid_kmeans): farthest-point-seeded
@@ -4723,6 +4737,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_filter": q_blocklist_filter,
     "perplexity_buckets": q_perplexity_buckets,
     "pq_topk": q_pq_topk,
+    "opq_topk": q_opq_topk,
     "k_core": q_k_core,
     "clustering_coeff": q_clustering_coeff,
     "rrf_fusion": q_rrf_fusion,
@@ -7932,6 +7947,8 @@ def _pq_topk_oracle_sql(
     k: int = 5,
     rerank: int = 100,
     query_mod: int = 10,
+    base_ctes: str = "",
+    base_select: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
 ) -> str:
     """DuckDB mirror of ``q_pq_topk`` (operators/pq.py::pq_topk): one
     global int8 scale, per-subspace sub-vectors, k_codes-1 unrolled
@@ -7940,7 +7957,9 @@ def _pq_topk_oracle_sql(
     code assignment, the ADC candidate top-``rerank``, and the exact
     full-width refine top-``k``.  Distances use the exact integer
     polarization identity; centroid updates ``sum // count``.
-    Multiply-referenced CTEs MATERIALIZED per the repo convention."""
+    Multiply-referenced CTEs MATERIALIZED per the repo convention.
+    ``base_ctes``/``base_select`` override the vector source (used by
+    the opq_topk mirror to inject the HD-rotation pass chain)."""
     if rounds is None:
         from .operators.pq import PQ_LLOYD_ROUNDS
 
@@ -7970,7 +7989,7 @@ def _pq_topk_oracle_sql(
     )
     blocks = [
         f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH {base_ctes}base AS ({base_select}),
     gsc AS (
       SELECT greatest(max(list_max(list_transform(v, x -> abs(x)))), 1e-30) AS g
       FROM base),
@@ -8055,6 +8074,42 @@ def _pq_topk_oracle_sql(
 
 
 ORACLE_SQL["pq_topk"] = _pq_topk_oracle_sql()
+
+
+def _hd_rotation_ctes(d: int = 64, seed: str = "opq") -> str:
+    """DuckDB mirror of ``operators/opq.py::hd_rotate``: the ±1 sign
+    diagonal (literal indices from the SAME Python hd_signs call the
+    Spark side inlines — no cross-engine hash) followed by log2(d)
+    Walsh–Hadamard butterfly passes, each a fixed binary expression
+    tree so IEEE double evaluation matches Spark bit-exactly."""
+    from .operators.opq import hd_signs
+
+    signs = hd_signs(d, seed=seed)
+    neg = ", ".join(str(j) for j, s in enumerate(signs) if s < 0)
+    ctes = [
+        f"""r0 AS (
+      SELECT vec_id,
+             list_transform(range({d}), i -> v[(i + 1)::INT]
+                 * (CASE WHEN i IN ({neg}) THEN -1.0 ELSE 1.0 END)) AS r
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))"""
+    ]
+    b, step = 1, 1
+    while b < d:
+        ctes.append(f"""r{step} AS (
+      SELECT vec_id,
+             list_transform(range({d}), i -> CASE WHEN (i & {b}) = 0
+                 THEN r[(i + 1)::INT] + r[((i | {b}) + 1)::INT]
+                 ELSE r[(xor(i, {b}) + 1)::INT] - r[(i + 1)::INT] END) AS r
+      FROM r{step - 1})""")
+        b <<= 1
+        step += 1
+    return ",\n    ".join(ctes) + ",\n    "
+
+
+ORACLE_SQL["opq_topk"] = _pq_topk_oracle_sql(
+    base_ctes=_hd_rotation_ctes(),
+    base_select="SELECT vec_id, r AS v FROM r6",
+)
 
 ORACLE_SQL["url_dedup"] = f"""
     WITH u AS ({_SYNTHETIC_URL_SQL}),
