@@ -384,6 +384,97 @@ def span_dedup(
     )
 
 
+def exact_substring_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 8,
+    min_count: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Maximal exact-repeated substrings at span granularity — the
+    distributed restatement of suffix-array ExactSubstr dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every maximal word range that occurs (as an exact
+    substring) at least ``min_count`` times anywhere in the corpus,
+    including self-repeats within one document.
+
+    Where :func:`span_dedup` hashes NON-overlapping fixed windows (it
+    can miss a duplicate straddling a window boundary), this operator
+    slides a ``gram_words`` gram at stride 1 — the same
+    sorted-suffix-equivalence a suffix array provides: a substring of
+    length ≥ ``gram_words`` is repeated iff every one of its grams is
+    repeated, so the union of repeated-gram positions, merged into
+    islands, is exactly the set of maximal repeated spans (at gram
+    resolution).  Returns ``(doc_id, span_idx, span_start, span_end,
+    n_grams)`` — 0-based inclusive WORD ranges per document, islands
+    numbered 1.. in position order; a downstream pass can cut or drop
+    these ranges surgically (the ``decontaminate_spans`` pattern).
+
+    Plan / 100 TB notes: one explode to ``(doc_id, pos, gram_hash)``
+    (codegen, stride-1 slice), ONE map-side-combined ``groupBy(h)``
+    count (a billion-time boilerplate gram shuffles one row per task),
+    an equi-join back on the 64-bit hash (never strings), and the
+    island merge — two windows partitioned by ``doc_id`` over the
+    REPEATED positions only (a few rows per doc), not the corpus.
+    No all-pairs anywhere; suffix arrays' O(total-corpus) global sort
+    is replaced by the gram-hash shuffle, which partitions freely.
+    """
+    from pyspark.sql import Window
+
+    if gram_words < 1 or min_count < 2:
+        raise ValueError("gram_words >= 1 and min_count >= 2")
+    w = _words(text_col)
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), w.alias("_w"), F.size(w).alias("_n"))
+        .filter(F.col("_n") >= gram_words)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_n") - gram_words),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_w"), i + 1, gram_words)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", _gram_hash(F.col("gram"), hash_fn).alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    pos = grams.join(dup, "h").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        pos.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wd) <= gram_words, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + gram_words - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select(
+        "doc_id",
+        F.col("island").cast("long").alias("span_idx"),
+        "span_start",
+        "span_end",
+        "n_grams",
+    )
+
+
 def epoch_upsample(
     docs: DataFrame,
     epochs: Mapping[str, float],

@@ -1250,6 +1250,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(d, span_words=10, hash_fn="md5_60")
 
 
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact-repeated substrings at span granularity
+    (operators/cleaning.py::exact_substring_spans): Lee et al. 2022
+    ExactSubstr dedup restated distributively — stride-1 8-word gram
+    hashes, global count >= 2 (self-repeats included), repeated
+    positions merged into maximal islands by two per-doc windows.
+    md5_60 gram hash so the explode -> count -> join -> gap-and-island
+    merge is hash-checked end to end."""
+    from .operators.cleaning import exact_substring_spans
+
+    d = table(spark, sf_dir, "documents")
+    return exact_substring_spans(d, gram_words=8, hash_fn="md5_60")
+
+
 def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb line-frequency boilerplate removal
     (operators/cleaning.py::boilerplate_spans): 10-word spans occurring
@@ -4928,6 +4942,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "select_keepers": q_select_keepers,
     "bigram_logprob": q_bigram_logprob,
     "span_dedup": q_span_dedup,
+    "exact_substring_spans": q_exact_substring_spans,
     "boilerplate_spans": q_boilerplate_spans,
     "gopher_quality": q_gopher_quality,
     "epoch_upsample": q_epoch_upsample,
@@ -6268,6 +6283,41 @@ ORACLE_SQL["mixture_sample"] = f"""
 # C4-style global span dedup: the oracle may use a plain window for the
 # first-occurrence winner (the Spark side's min-struct aggregate is a
 # scale device, not a semantic one).
+# Mirror of q_exact_substring_spans: stride-1 8-word gram hashes,
+# global HAVING count >= 2, gap-and-island merge (lag + running sum —
+# NULL lag falls to the ELSE 1 branch in both engines).
+ORACLE_SQL["exact_substring_spans"] = """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(array_to_string(
+                 ws[(i + 1)::INT:(i + 8)::INT], ' ')), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, ws, unnest(range(len(ws) - 8 + 1)) AS i
+            FROM w WHERE len(ws) >= 8)),
+    d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    p AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+    m AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 8 THEN 0 ELSE 1 END AS nw
+      FROM p),
+    s AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM m)
+    SELECT doc_id, island::BIGINT AS span_idx,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + 8 - 1)::BIGINT AS span_end,
+           count(*)::BIGINT AS n_grams
+    FROM s GROUP BY doc_id, island
+"""
+
 ORACLE_SQL["span_dedup"] = """
     WITH w AS (
       SELECT doc_id,

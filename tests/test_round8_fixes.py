@@ -142,3 +142,40 @@ def test_opq_topk_recall_vs_exact(spark):
     assert len(opq_pairs) == len(exact) > 0
     recall = len(opq_pairs & exact) / len(exact)
     assert recall >= 0.85, f"OPQ recall {recall:.3f}"
+
+
+def test_exact_substring_spans_semantics(spark):
+    """Hand-built corpus: a cross-doc duplicated sentence is found as one
+    maximal island in both docs (even though it straddles span_dedup's
+    fixed windows), a self-repeat within one doc is found, and unique
+    text emits nothing."""
+    from name_match_ml_spark.operators.cleaning import exact_substring_spans
+
+    dup = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one two three " + dup + " tail xx yy zz"),
+            (2, dup + " completely different ending here now ok fine"),
+            (3, "self repeat " + "ra pa " * 12 + "done"),
+            (4, "totally unique text with no repeats at all whatsoever indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = exact_substring_spans(docs, gram_words=5, min_count=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc, "unique doc must emit no spans"
+    # doc 1: dup occupies words 4..13 -> one island covering exactly that
+    (s1,) = by_doc[1]
+    assert (s1["span_start"], s1["span_end"]) == (4, 13)
+    # doc 2: same phrase at words 0..9
+    (s2,) = by_doc[2]
+    assert (s2["span_start"], s2["span_end"]) == (0, 9)
+    # doc 3: "ra pa"*12 self-repeats -> a single merged island
+    assert len(by_doc[3]) == 1
+    # islands are valid inclusive ranges, 1-indexed in position order
+    for rs in by_doc.values():
+        for r in rs:
+            assert r["span_end"] >= r["span_start"]
+            assert r["n_grams"] >= 1
