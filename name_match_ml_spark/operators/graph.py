@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "near_dup_graph",
+    "incremental_near_dup",
     "connected_components",
     "pagerank",
     "triangles",
@@ -108,6 +109,151 @@ def near_dup_graph(
     comp = connected_components(pairs, max_iter=cc_max_iter)
     comp = stage(comp, "id", enabled=materialize)
     return pairs, comp
+
+
+def incremental_near_dup(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    *,
+    base_pairs: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    cc_max_iter: int = 25,
+) -> DataFrame:
+    """CDC maintenance of the near-dup clusters: apply a snapshot DELTA
+    (added/replaced docs, plus optional removals) without re-scoring the
+    unchanged×unchanged pair space — the warehouse reality of a living
+    corpus, where each ingestion batch touches a sliver of 100 TB.
+
+    Inputs: ``base_docs`` (the previous snapshot), ``delta_docs`` (docs
+    added or replaced BY ID), ``removed`` (optional 1-column frame of
+    ids deleted outright), and ``base_pairs`` — the CACHED
+    ``(doc_a, doc_b, jaccard)`` edge list of the previous snapshot (a
+    :func:`near_dup_graph` output persisted by the prior run; when
+    ``None`` it is derived here, which is only sensible in tests).
+
+    The update is exact, not approximate: an edge's Jaccard depends
+    only on its two endpoints, so edges between surviving unchanged
+    docs are REUSED from ``base_pairs`` verbatim, edges with a dead
+    endpoint (replaced/removed id) are dropped, and only
+    delta×snapshot pairs are scored fresh — the same word-shingle
+    exact-Jaccard semantics as :func:`.dedup.ngram_jaccard_pairs`,
+    probed from the delta side (the countjoin shape: explode the
+    delta docs' shingle hashes, equi-join the snapshot's, map-side
+    combined pair counts ARE the intersections).  Connected components
+    then run over ``kept ∪ fresh``.  Output matches a FULL recompute
+    on the new snapshot row-for-row (pinned in pytest by a poisoned /
+    withheld cache test): ``(doc_id, cluster_id, cluster_size,
+    is_keeper)`` over every clustered doc.
+
+    Scale shape: the fresh-pair join's probe side is delta-sized —
+    Σ_h df_delta(h)·df_snap(h) rows, zero when the batch is clean; the
+    cached edges re-enter via two hash anti-joins on the dead-id set;
+    CC inherits :func:`connected_components`' large/small-star
+    fallback.  Nothing unchanged×unchanged is ever re-shingled,
+    re-joined, or re-scored.
+    """
+    from .dedup import _staged_shingle_hashes, ngram_jaccard_pairs
+
+    delta_ids = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    dead = (
+        delta_ids.unionByName(removed.toDF("doc_id")) if removed is not None
+        else delta_ids
+    ).localCheckpoint()
+    unchanged = base_docs.join(
+        dead, base_docs[id_col] == dead["doc_id"], "left_anti"
+    )
+    snapshot = unchanged.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        delta_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    )
+
+    if base_pairs is None:
+        base_pairs = ngram_jaccard_pairs(
+            base_docs,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            shingle_n=shingle_n,
+        ).select("doc_a", "doc_b", "jaccard")
+    kept = (
+        base_pairs.join(dead, base_pairs["doc_a"] == dead["doc_id"], "left_anti")
+        .join(dead, base_pairs["doc_b"] == dead["doc_id"], "left_anti")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+    # Fresh pairs: delta-probe countjoin against the new snapshot.
+    sized = _staged_shingle_hashes(
+        snapshot, "text", "doc_id", shingle_n, hash_fn
+    ).select("doc_id", F.size("sh").alias("n"), "sh")
+    ex = sized.select("doc_id", "n", F.explode("sh").alias("h"))
+    dex = ex.join(delta_ids, "doc_id").select(
+        F.col("doc_id").alias("_da"), F.col("n").alias("_na"), "h"
+    )
+    inter = (
+        dex.join(ex, "h")
+        .filter(F.col("_da") != F.col("doc_id"))
+        # PPJoin length filter before the aggregate: impossible pairs
+        # never reach the shuffle.
+        .filter(
+            F.least("_na", "n")
+            >= F.lit(threshold) * F.greatest("_na", "n")
+        )
+        .groupBy(
+            F.least("_da", "doc_id").alias("doc_a"),
+            F.greatest("_da", "doc_id").alias("doc_b"),
+            F.least("_na", "n").alias("_nmin"),
+            F.greatest("_na", "n").alias("_nmax"),
+        )
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    # delta×delta pairs are counted from BOTH probe directions: |A∩B|
+    # arrives doubled exactly when both endpoints are delta docs.
+    d_a = delta_ids.select(F.col("doc_id").alias("_ida"))
+    d_b = delta_ids.select(F.col("doc_id").alias("_idb"))
+    both_delta = (
+        inter.join(d_a, inter["doc_a"] == d_a["_ida"], "left_semi")
+        .join(d_b, F.col("doc_b") == d_b["_idb"], "left_semi")
+        .select("doc_a", "doc_b")
+        .withColumn("_half", F.lit(1))
+    )
+    fresh = (
+        inter.join(both_delta, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "_nmin",
+            "_nmax",
+            F.when(F.col("_half") == 1, F.col("_i") / 2)
+            .otherwise(F.col("_i"))
+            .alias("_i"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.col("_nmin") + F.col("_nmax") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+    edges = kept.unionByName(fresh)
+    comp = connected_components(edges, max_iter=cc_max_iter)
+    from pyspark.sql import Window as _W
+
+    w_sz = _W.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w_sz).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+    )
 
 
 def _label_sum(labels: DataFrame):

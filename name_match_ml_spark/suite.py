@@ -918,6 +918,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC near-dup maintenance (operators/graph.py::incremental_near_dup):
+    docs with doc_id % 5 == 0 arrive as the ingestion delta against the
+    remaining base snapshot with its cached pair list; cached edges
+    between surviving docs are reused verbatim, only delta×snapshot
+    pairs are scored fresh (delta-probe countjoin), components rerun
+    over the merged edges.  The result must equal a FULL recompute on
+    the unified corpus, so the oracle is the dedup_clusters SQL — the
+    incremental path is hash-checked against the from-scratch answer."""
+    from .operators.graph import incremental_near_dup, near_dup_graph
+
+    d = table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    cached = near_dup_graph(base, materialize=False)
+    return incremental_near_dup(base, delta, base_pairs=cached)
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified.
 
@@ -4903,6 +4921,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "incremental_near_dup": q_incremental_near_dup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8121,6 +8140,11 @@ def _pq_topk_oracle_sql(
       FROM rer)
     WHERE rank <= {k}""")
     return "".join(blocks)
+
+
+# Incremental CDC near-dup maintenance must equal the from-scratch
+# answer on the unified corpus, so its oracle IS the dedup_clusters SQL.
+ORACLE_SQL["incremental_near_dup"] = ORACLE_SQL["dedup_clusters"]
 
 
 ORACLE_SQL["pq_topk"] = _pq_topk_oracle_sql()

@@ -179,3 +179,99 @@ def test_exact_substring_spans_semantics(spark):
         for r in rs:
             assert r["span_end"] >= r["span_start"]
             assert r["n_grams"] >= 1
+
+
+def _cluster_map(rows):
+    return {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"]) for r in rows}
+
+
+def test_incremental_near_dup_equals_full_recompute(spark):
+    """Delta update == full recompute on the unified corpus, including
+    removals (removed doc's edges must disappear)."""
+    from name_match_ml_spark.operators.graph import (
+        connected_components,
+        incremental_near_dup,
+        near_dup_graph,
+    )
+    from pyspark.sql import Window
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    removed = base.select("doc_id").orderBy("doc_id").limit(3)
+    cached = near_dup_graph(base, materialize=False)
+
+    got = _cluster_map(
+        incremental_near_dup(base, delta, base_pairs=cached, removed=removed).collect()
+    )
+
+    removed_ids = {r["doc_id"] for r in removed.collect()}
+    snapshot = d.filter(~F.col("doc_id").isin(removed_ids))
+    comp = connected_components(near_dup_graph(snapshot, materialize=False))
+    w = Window.partitionBy("cluster_id")
+    full = _cluster_map(
+        comp.select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+        ).collect()
+    )
+    assert got == full and got, "incremental must equal full recompute"
+
+
+def test_incremental_near_dup_actually_uses_cache(spark):
+    """Behavioral proof of incrementality: a POISONED cached edge between
+    two unchanged docs must flow into the output (the operator trusts
+    the cache and never re-scores unchanged x unchanged), while a cached
+    edge touching a delta doc must be dropped and re-derived."""
+    from name_match_ml_spark.operators.graph import incremental_near_dup
+
+    base = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee"),
+            (2, "zz yy xx ww vv"),
+            (3, "totally different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(4, "brand new unrelated content words")], "doc_id long, text string"
+    )
+    # poisoned: claims 1~2 are near-dups (they are not)
+    poisoned = spark.createDataFrame(
+        [(1, 2, 0.99)], "doc_a long, doc_b long, jaccard double"
+    )
+    got = _cluster_map(incremental_near_dup(base, delta, base_pairs=poisoned).collect())
+    assert got.get(1) == (1, 2, True) and got.get(2) == (1, 2, False), (
+        "cached unchanged-pair edges must be reused verbatim, not re-scored"
+    )
+    # a stale cached edge touching the REPLACED doc id must be dropped
+    delta2 = spark.createDataFrame(
+        [(2, "completely changed now different")], "doc_id long, text string"
+    )
+    got2 = _cluster_map(incremental_near_dup(base, delta2, base_pairs=poisoned).collect())
+    assert 1 not in got2 and 2 not in got2, "edges with a dead endpoint must drop"
+
+
+def test_incremental_near_dup_scores_delta_pairs(spark):
+    """A delta doc duplicating an unchanged doc must be discovered fresh
+    (no cache entry exists for it) — both the delta x unchanged and the
+    delta x delta directions."""
+    from name_match_ml_spark.operators.graph import incremental_near_dup
+
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+    delta = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _cluster_map(incremental_near_dup(base, delta, base_pairs=empty).collect())
+    assert got.get(1) == (1, 3, True)
+    assert got.get(10) == (1, 3, False) and got.get(11) == (1, 3, False)
