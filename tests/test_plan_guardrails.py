@@ -70,6 +70,8 @@ ALLOWED = {
     "graph_summary": {"BroadcastNestedLoopJoin"},
     # 1-row global-quantization-scale broadcast before the subspace split
     "pq_topk": {"BroadcastNestedLoopJoin"},
+    # same 1-row scale broadcast, inherited through the HD rotation
+    "opq_topk": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
