@@ -241,6 +241,10 @@ EXTENDED = [
     "pack_attention_spans",
     "pipeline_pack_corpus",
     "eval_contamination_report",
+    # round 8: rotated PQ, exact-substring repeated spans, CDC near-dup
+    "opq_topk",
+    "exact_substring_spans",
+    "incremental_near_dup",
 ]
 
 HEADLINE = [
