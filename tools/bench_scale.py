@@ -63,6 +63,12 @@ DEFAULT_QUERIES = [
     "multimodal_audio_segments", "token_budget_select",
     "label_propagation", "char_entropy", "charngram_langid",
     "pipeline_select_corpus", "graph_walks", "zipf_fit", "graph_summary",
+    # round-7 additions measured in BENCH_SCALE_r07
+    "pq_topk", "grid_ivf_topk", "grid_pca", "pca_residual",
+    "pack_attention_spans", "pipeline_pack_corpus",
+    # round-8 additions (BENCH_SCALE_r08; fixed-query ANN trend in
+    # tools/bench_ann_fixedq.py -> BENCH_SCALE_r08_fixedq)
+    "opq_topk", "exact_substring_spans", "incremental_near_dup",
 ]
 
 NOTES = {
