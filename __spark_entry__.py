@@ -21,39 +21,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_corpus_match(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample rotation (round 8): the correctness driver samples the FIRST
+# Driver-sample rotation (round 9): the correctness driver samples the FIRST
 # 50 entries of queries() in declaration order.  Front block this round:
-# (1) pca_residual — round 7's only red cell (driver-canonicalizer crash on
-# its array column), now serialized to resid_csv and needing the green
-# driver row; (2) the three round-8 additions; (3) the 52 queries never
-# sampled in any CORRECTNESS_r*.json (r1-r7 union).  That is 56 candidates
-# for 50 slots — the 6 overflow entries (simple SQL shapes, lowest risk)
-# sit at positions 50-55 for round 9.
+# (1) the 6 round-8 overflow entries — the ONLY queries never sampled in any
+# CORRECTNESS_r*.json (r1-r8 union); green rows here finish 235/235
+# driver confirmation (VERDICT r8 next-round #1); (2) round-9 additions;
+# (3) queries whose code paths were touched this round (ANN max_queries
+# guards, pq rerank join select, pca/opq dimension guards, opq oracle CTE
+# derivation) — re-confirm they stay green; (4) a rotating refresher slice
+# of older queries by driver-confirmation age.
 DRIVER_ROTATION: list[str] = [
-    # round-7 red cell, fixed this round — must re-confirm
-    "pca_residual",
-    # round-8 additions, never driver-checked
-    "opq_topk", "exact_substring_spans", "incremental_near_dup",
-    # oldest never-sampled r3/r4 entries
-    "epoch_upsample", "span_dedup", "shared_substring",
-    "shared_substring_winnow", "embedding_quantize", "quantized_cosine_topk",
-    "curriculum_order", "weighted_sample", "novelty_score", "corpus_diff",
-    "doc_pagerank", "doc_triangles", "bloom_decontaminate",
-    "stratified_sample", "vocab_coverage", "inverted_index",
-    "containment_dedup", "containment_sketch",
-    # remaining never-sampled
-    "ivf_cosine_topk", "multimodal_audio_segments",
-    "order_count_distribution", "event_funnel", "cohort_retention",
-    "event_transitions", "gapfill_interpolate", "hierarchical_rollup",
-    "session_dynamic_gap", "collection_ops", "recursive_cte",
-    "python_datasource", "lateral_topk_join", "variant_events",
-    "unpivot_metrics", "mode_stats", "scd2_history", "dq_profile",
-    "apply_cdc", "kmv_distinct", "label_centroids", "window_distribution",
-    "salted_join", "cms_term_counts", "winsorize", "zorder_key",
-    "grouped_udaf", "enrich_events",
-    # overflow (positions 50-55): round 9's front block
+    # the final 6 never-driver-sampled queries (round-8 overflow)
     "correlated_subquery", "correlated_exists", "null_semantics",
     "time_topk", "window_range_frame", "salted_agg",
+    # round-9 additions (declared later this round)
+    "phash_image_dedup", "incremental_lsh_index", "kll_quantiles",
+    # touched this round: ANN guards + join-select + dimension guards
+    "quantized_cosine_topk", "ivf_cosine_topk", "pq_topk", "opq_topk",
+    "grid_ivf_topk", "grid_pca", "pca_residual", "cosine_topk",
+    "lsh_cosine_topk", "embedding_quantize",
+    # refresher slice (oldest driver confirmations, r1-r3)
+    "pricing_summary", "topk_orders", "join_orders_customer",
+    "window_running_sum", "dedup_exact", "ngram_jaccard_dedup",
+    "minhash_lsh_dedup", "simhash_dedup", "embedding_near_dup",
+    "doc_fingerprint", "text_stats", "charngram_langid", "text_quality",
+    "gopher_quality", "count_distinct", "set_ops", "window_rank",
+    "grouping_sets_agg", "pivot_status", "approx_count_distinct",
+    "sampled_quantiles", "rollup_agg", "cube_agg", "semi_join",
+    "anti_join", "outer_join_agg", "interval_concurrency", "asof_join",
+    "range_join", "session_windows", "dedup_within_watermark",
+    "time_tumbling", "mixture_sample", "dsir_select",
 ]
 
 

@@ -91,14 +91,21 @@ def hd_rotate(
     """Apply the deterministic HD rotation; returns ``(vec_id,
     embedding)`` with the rotated double array under the same column
     names so the result drops into any downstream vector operator.
-    ``dim`` must be a power of two and match the data (one bounded
-    limit-1 scan guards the latter)."""
+    ``dim`` must be a power of two and match EVERY row of the data
+    (one map-side min/max aggregate guards the latter)."""
     if dim < 2 or dim & (dim - 1):
         raise ValueError(f"hd_rotate: dim must be a power of two (got {dim})")
-    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if row and row[0]["d"] is not None and row[0]["d"] != dim:
+    # Validate EVERY row's width, not one arbitrary sample — mixed-width
+    # data would silently produce garbage rotations (ADVICE r8).  One
+    # map-side min/max aggregate.
+    ext = embeddings.select(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if ext["hi"] is not None and (ext["lo"] != dim or ext["hi"] != dim):
         raise ValueError(
-            f"hd_rotate: dim={dim} does not match the data (size {row[0]['d']})"
+            f"hd_rotate: dim={dim} does not match the data "
+            f"(observed sizes {ext['lo']}..{ext['hi']})"
         )
     signs = hd_signs(dim, seed=seed)
     sarr = F.array(*[F.lit(float(s)) for s in signs])

@@ -92,11 +92,14 @@ def grid_pca_components(
     # |w| <= d * |S'| * |v| = d * 2^36 * 2^20, which stays under 2^63
     # only for d <= 64.  Beyond that Spark (non-ANSI) silently wraps
     # while DuckDB raises — a caller with e.g. 768-dim embeddings would
-    # get silently wrong principal directions.  One bounded limit-1 scan.
-    d_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if d_row and d_row[0]["d"] is not None and d_row[0]["d"] > 64:
+    # get silently wrong principal directions.  Guard on the MAX
+    # observed dimension — a single-row sample would let mixed-width or
+    # null-first data bypass the guard (ADVICE r8); one map-side
+    # aggregate is noise next to the d² scatter passes that follow.
+    d_max = embeddings.select(F.max(F.size(F.col(vec_col))).alias("d")).first()["d"]
+    if d_max is not None and d_max > 64:
         raise ValueError(
-            f"grid_pca supports embedding dimension <= 64 (got {d_row[0]['d']}): "
+            f"grid_pca supports embedding dimension <= 64 (got {d_max}): "
             "the exact-int64 envelope |w| <= d*2^36*2^20 requires d <= 64; "
             "reduce dimension or lower PCA_VSCALE/PCA_SBOUND accordingly"
         )

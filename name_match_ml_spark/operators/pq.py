@@ -294,6 +294,13 @@ def pq_topk(
     q_cap = budget // (m * k_codes)
     n_q = q_full.limit(q_cap + 1).count()
     est_dtab = n_q * m * k_codes
+    # When the LIMIT-bounded count saturates, |Q| is unknown (could be
+    # corpus-sized) — the saturated value itself (~q_cap+1) is always
+    # under the row budget, so feeding it to probe_side for the rerank
+    # join would still broadcast the full-width query-code table.
+    # Treat saturated as infinite so the rerank join goes shuffle_hash
+    # too (ADVICE r8, medium).
+    est_q = float("inf") if n_q > q_cap else float(n_q)
 
     qsub = q_sub.select(
         F.col("vec_id").alias("query_id"), "s", F.col("sq").alias("qsq")
@@ -317,7 +324,7 @@ def pq_topk(
     )
     rer = (
         cand.join(
-            probe_side(qfull, est_rows=float(n_q), row_budget=budget),
+            probe_side(qfull, est_rows=est_q, row_budget=budget),
             "query_id",
         )
         .join(

@@ -187,6 +187,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     batch_slack: int = 32,
     seed: int = 7,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index: KMeans
     partitions the sphere into ``n_clusters`` cells; each query probes
@@ -234,9 +235,21 @@ def ivf_cosine_topk(
     centers = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     Cen = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
 
-    qrows = queries.select(
-        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
-    ).collect()
+    # Same enforced small-by-contract query side as cosine_topk_exact:
+    # the collect is LIMIT-bounded, so an oversized query set raises an
+    # actionable error instead of OOMing the driver (VERDICT r8 #1).
+    qrows = (
+        queries.select(F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_cosine_topk: query set exceeds max_queries={max_queries} — "
+            "this path builds the inverted file driver-side; use "
+            "grid_ivf_topk (explicit queries=, stats-based join select) "
+            "for corpus-sized query workloads"
+        )
     if not qrows:
         empty = spark.createDataFrame([], _TOPK_CAND_SCHEMA)
         return empty.withColumn("rank", F.lit(1)).limit(0)
@@ -342,6 +355,7 @@ def quantized_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_slack: int = 32,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Cosine top-k over int8-quantized vectors (self-matches excluded):
     the memory-bandwidth-efficient variant of :func:`cosine_topk_exact`
@@ -359,9 +373,20 @@ def quantized_cosine_topk(
     top-``(k+batch_slack)``, tiny global window finishes.  Fully
     oracle-checkable (integer dots + one double division)."""
     spark = corpus.sparkSession
-    qrows = quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
-        "vec_id", "q"
-    ).collect()
+    # LIMIT-bounded collect with an actionable error, mirroring
+    # cosine_topk_exact's enforced contract (VERDICT r8 #1).
+    qrows = (
+        quantize_embeddings(queries, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", "q")
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"quantized_cosine_topk: query set exceeds max_queries={max_queries} — "
+            "the quantized-GEMM path broadcasts the query matrix; use "
+            "pq_topk/opq_topk for corpus-sized query workloads"
+        )
     if not qrows:
         empty = spark.createDataFrame([], _TOPK_CAND_SCHEMA)
         # same output schema as the non-empty path (qcos, not cosine)

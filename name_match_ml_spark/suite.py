@@ -8180,9 +8180,13 @@ def _hd_rotation_ctes(d: int = 64, seed: str = "opq") -> str:
     return ",\n    ".join(ctes) + ",\n    "
 
 
+# Final rotation CTE name derived from the SAME d that built the CTE
+# chain (log2(d) butterfly passes) — a hardcoded 'r6' would silently
+# desync the oracle if the dimension ever changed (ADVICE r8).
+_OPQ_D = 64
 ORACLE_SQL["opq_topk"] = _pq_topk_oracle_sql(
-    base_ctes=_hd_rotation_ctes(),
-    base_select="SELECT vec_id, r AS v FROM r6",
+    base_ctes=_hd_rotation_ctes(_OPQ_D),
+    base_select=f"SELECT vec_id, r AS v FROM r{_OPQ_D.bit_length() - 1}",
 )
 
 ORACLE_SQL["url_dedup"] = f"""

@@ -47,8 +47,7 @@ def test_grid_ivf_explicit_queries_match_convention(spark):
     conv = grid_ivf_topk(emb, k_cells=10, n_probe=4, k=5).collect()
     qdf = emb.filter(F.col("vec_id") % 10 == 0)
     expl = grid_ivf_topk(emb, qdf, k_cells=10, n_probe=4, k=5).collect()
-    key = lambda r: (r["query_id"], r["rank"])
-    assert sorted(map(tuple, expl), key=None) == sorted(map(tuple, conv), key=None)
+    assert sorted(map(tuple, expl)) == sorted(map(tuple, conv))
     # and the strategy is identical under the shuffle regime too
     shuf = grid_ivf_topk(
         emb, qdf, k_cells=10, n_probe=4, k=5, probe_row_budget=0
@@ -94,3 +93,41 @@ def test_cosine_topk_exact_enforces_query_cap(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     with pytest.raises(ValueError, match="max_queries"):
         cosine_topk_exact(emb, emb, k=3, max_queries=10)
+
+
+def test_ivf_cosine_topk_enforces_query_cap(spark):
+    """VERDICT r8 #1: the legacy IVF path builds a driver-side inverted
+    file, so its query collect must be LIMIT-bounded and raise on an
+    oversized set instead of OOMing."""
+    from name_match_ml_spark.operators.simsearch import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_cosine_topk(emb, emb, k=3, max_queries=10)
+
+
+def test_quantized_cosine_topk_enforces_query_cap(spark):
+    from name_match_ml_spark.operators.simsearch import quantized_cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        quantized_cosine_topk(emb, emb, k=3, max_queries=10)
+
+
+def test_pq_saturated_query_count_shuffles_rerank_join(spark):
+    """ADVICE r8 (medium): when the LIMIT-bounded query count saturates
+    (n_q == q_cap + 1), |Q| is unknown — the rerank join must treat the
+    query side as corpus-sized and shuffle, not broadcast the saturated
+    (always-under-budget) count.  budget=320 with m=4/k_codes=8 gives
+    q_cap=10 < |Q|=50, so the count saturates; both the ADC distance
+    table AND the full-width query-code rerank side must then carry the
+    shuffle_hash hint (two ShuffledHashJoins; pre-fix the rerank side
+    broadcast and the plan had only one)."""
+    from name_match_ml_spark.operators.pq import pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = pq_topk(emb, m=4, k_codes=8, rerank=20, probe_row_budget=320)
+    plan = _plan(out)
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    conv = pq_topk(emb, m=4, k_codes=8, rerank=20).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, conv))
