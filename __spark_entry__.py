@@ -35,7 +35,7 @@ DRIVER_ROTATION: list[str] = [
     "correlated_subquery", "correlated_exists", "null_semantics",
     "time_topk", "window_range_frame", "salted_agg",
     # round-9 additions (declared later this round)
-    "phash_image_dedup", "incremental_lsh_index", "kll_quantiles",
+    "phash_image_dedup", "incremental_lsh_index", "sketch_quantiles",
     # touched this round: ANN guards + join-select + dimension guards
     "quantized_cosine_topk", "ivf_cosine_topk", "pq_topk", "opq_topk",
     "grid_ivf_topk", "grid_pca", "pca_residual", "cosine_topk",

@@ -39,6 +39,9 @@ __all__ = [
     "cms_term_counts",
     "cms_join_size_estimate",
     "hll_distinct",
+    "quantile_sketch_state",
+    "merge_quantile_sketch_states",
+    "sketch_quantiles",
 ]
 
 _M60 = float(1 << 60)
@@ -424,4 +427,132 @@ def hll_distinct(
         .cast("long")
         .alias("hll_est"),
         (F.lit(HLL_M) - F.col("_nb")).cast("long").alias("zero_registers"),
+    )
+
+
+def quantile_sketch_state(
+    df: DataFrame,
+    *,
+    value_col,
+    key_col,
+    k: int = 256,
+    salt: str = "qs:",
+) -> tuple[int, int, DataFrame]:
+    """Mergeable state of the deterministic quantile sketch:
+    ``(n, level, kept)`` where ``kept`` is the ``(val, hh)`` sample.
+
+    KLL-style in ROLE (a fixed-size mergeable streaming quantile
+    sketch; Karnin-Lang-Liberty 2016); the randomized compactor is
+    replaced by HASH-COORDINATED subsampling so the sketch is a pure
+    function of the data — order-free, partition-free, and exactly
+    replayable in any engine with md5 (the ``kmv_distinct``/
+    ``hll_distinct`` treatment, now for quantiles):
+
+    * each row keeps a 60-bit hash ``hh = md5_60(salt || key)`` of its
+      UNIQUE key (not its value, so duplicate values sample
+      independently);
+    * the level is the smallest ``L ≥ 0`` with ``n ≤ k·2^L``; a row
+      survives iff ``hh % 2^L == 0`` and then carries weight ``2^L``
+      (expected sample size in ``(k/2, k]``);
+    * the level-``L`` sample is a SUBSET of every coarser level's
+      sample (``2^L | hh  ⇒  2^(L-1) | hh``) — the coordination that
+      makes merge exact: merged state = union of samples, re-filtered
+      at the merged ``n``'s level.  ``merge(state(A), state(B)) ==
+      state(A ∪ B)`` as literal row equality, pinned in pytest — the
+      ``agg_state_merge`` discipline.
+
+    Error is the coordinated-sample bound O(1/sqrt(k)) rather than
+    KLL's O(1/k) at equal memory — the price of determinism; size the
+    sketch with k accordingly.
+
+    Scale shape: one codegen scan computes hashes, the filter keeps
+    ~k rows TOTAL regardless of corpus size (map-side, no shuffle),
+    and only those ~k rows ever reach the rank window."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    rows = df.select(
+        F.col(value_col).cast("long").alias("val"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hh"),
+    ).filter(F.col("val").isNotNull())
+    n = rows.count()
+    level = 0
+    while n > k * (1 << level):
+        level += 1
+    kept = rows.filter(F.col("hh") % F.lit(1 << level) == 0)
+    return n, level, kept
+
+
+def merge_quantile_sketch_states(
+    states: list[tuple[int, int, DataFrame]], *, k: int = 256
+) -> tuple[int, int, DataFrame]:
+    """Union the samples, recompute the level from the merged n, and
+    re-filter — exact because per-level samples are hash-coordinated
+    (nested)."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    n = sum(s[0] for s in states)
+    level = 0
+    while n > k * (1 << level):
+        level += 1
+    kept = states[0][2]
+    for _, _, other in states[1:]:
+        kept = kept.unionByName(other)
+    return n, level, kept.filter(F.col("hh") % F.lit(1 << level) == 0)
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    *,
+    value_col,
+    key_col,
+    qs: list[int] = (10, 25, 50, 75, 90),
+    k: int = 256,
+) -> DataFrame:
+    """Deterministic sketch quantile estimates: one row per percentile
+    ``(q_pct, est, n, level, kept_rows)``.
+
+    ``est(q)`` is the smallest sampled value whose cumulative weight
+    ``rank · 2^level`` reaches ``q%`` of ``n`` (the largest sampled
+    value when the sample's total weight falls short — possible since
+    the sample weight only approximates n).  All arithmetic is int64
+    (``rank ≤ 2k``, ``2^level ≤ 2^40``, ``·100`` stays < 2^63), so the
+    estimate — sampling error included — is bit-reproducible and
+    hash-checked by the DuckDB oracle.
+
+    The rank window is global but runs over the ~k-row sample, not the
+    corpus — the bound-before-window idiom."""
+    n, level, kept = quantile_sketch_state(df, value_col=value_col, key_col=key_col, k=k)
+    pw = 1 << level
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "q_pct int, est bigint, n bigint, level int, kept_rows bigint"
+        )
+    w = Window.orderBy("val", "hh")
+    ranked = kept.select("val", "hh", F.row_number().over(w).alias("rn"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs], "q_pct int")
+    return (
+        ranked.crossJoin(F.broadcast(qdf))
+        .groupBy("q_pct")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("rn") * F.lit(pw) * 100 >= F.col("q_pct") * F.lit(n),
+                        F.col("val"),
+                    )
+                ),
+                F.max("val"),
+            ).alias("est"),
+            F.lit(n).cast("long").alias("n"),
+            F.lit(level).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("kept_rows"),
+        )
+        .select("q_pct", "est", "n", "level", "kept_rows")
     )

@@ -1282,6 +1282,58 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(d, gram_words=8, hash_fn="md5_60")
 
 
+def q_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup dedup (multimodal/phash.py): REAL PPM
+    decode → integer grayscale → 8×8 block means → integer-DCT pHash →
+    7×9-bit Hamming banding (pigeonhole-perfect recall at Hamming ≤ 6)
+    → exact bit_count(xor) verify.  Per-image summary rows (phash,
+    neighbor count, keeper) so the full algebra is hash-checked even on
+    a dup-free corpus; the synthetic PPM raster is byte-computable from
+    the text column (the multimodal_image_features device), so the
+    oracle replays decode → DCT → banding entirely in integer SQL."""
+    from .multimodal.columns import synthesize_media_assets
+    from .multimodal.phash import phash_near_dup_summary
+
+    d = table(spark, sf_dir, "documents")
+    return phash_near_dup_summary(synthesize_media_assets(d))
+
+
+def q_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC maintenance of the MinHash-LSH band-signature index
+    (operators/lsh_index.py): docs with doc_id % 7 == 0 arrive as the
+    ingestion delta, base docs with doc_id % 11 == 0 are deletes;
+    unchanged docs' signatures are reused verbatim from the cached
+    index (anti-joins only — no re-shingling), only delta docs are
+    signed fresh.  The result must be row-identical to a full index
+    rebuild on the unified corpus, so the oracle computes that rebuild
+    directly (md5_60 signatures — replayable end to end)."""
+    from .operators.lsh_index import incremental_band_index, minhash_band_index
+
+    d = table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 7 == 0)
+    base = d.filter(F.col("doc_id") % 7 != 0)
+    dead = base.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+    cached = minhash_band_index(base)
+    return incremental_band_index(cached, delta, dead)
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch
+    (functions/sketches.py::sketch_quantiles): KLL-style in role, with
+    hash-coordinated subsampling instead of randomized compaction so
+    the estimate — sampling error included — is a pure function of the
+    data and hash-checks in DuckDB (the kmv_distinct/hll_distinct
+    treatment, for quantiles).  Values are l_extendedprice on the
+    exact cent grid; row keys are (orderkey, linenumber)."""
+    from .functions.sketches import sketch_quantiles
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("rk"),
+    )
+    return sketch_quantiles(li, value_col="cents", key_col="rk", k=256)
+
+
 def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb line-frequency boilerplate removal
     (operators/cleaning.py::boilerplate_spans): 10-word spans occurring
@@ -4962,6 +5014,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "span_dedup": q_span_dedup,
     "exact_substring_spans": q_exact_substring_spans,
+    "phash_image_dedup": q_phash_image_dedup,
+    "incremental_lsh_index": q_incremental_lsh_index,
+    "sketch_quantiles": q_sketch_quantiles,
     "boilerplate_spans": q_boilerplate_spans,
     "gopher_quality": q_gopher_quality,
     "epoch_upsample": q_epoch_upsample,
@@ -10928,4 +10983,177 @@ ORACLE_SQL["seasonal_naive"] = """
            CAST(SUM(ae) AS BIGINT) AS sae,
            CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_grid
     FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _phash_oracle_sql(bands: int = 7, band_bits: int = 9, max_hamming: int = 6) -> str:
+    """DuckDB mirror of ``multimodal/phash.py``: the synthetic PPM
+    raster reconstructs from the text column (the
+    ``multimodal_image_features`` device), grayscale / block means /
+    DCT / median / banding are all int64, and the cosine matrix
+    literals come from the SAME ``DCT_C`` table the numpy kernel
+    uses — so the fingerprints, the band join, and the Hamming verify
+    hash-check bit-for-bit."""
+    from .multimodal.phash import DCT_C
+
+    coef_rows = ", ".join(
+        f"({u}, {x}, {DCT_C[u][x]})" for u in range(8) for x in range(8)
+    )
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id AS asset_id,
+             ((doc_id % 8 + 4) * 4)::INT AS w,
+             ((doc_id % 6 + 3) * 4)::INT AS h,
+             coalesce(nullif(regexp_replace(text, '[^ -~]', '', 'g'), ''), 'spark') AS src
+      FROM documents WHERE doc_id % 3 = 0),
+    sized AS MATERIALIZED (
+      SELECT asset_id, w, h, (w*h*3)::INT AS n_pix,
+             substr(repeat(src, (w*h*3 / length(src))::INT + 1), 1, (w*h*3)::INT) AS raster
+      FROM imgs),
+    px AS (
+      SELECT asset_id, w, h, p,
+             (ascii(substr(raster, (3*p + 1)::INT, 1))
+              + ascii(substr(raster, (3*p + 2)::INT, 1))
+              + ascii(substr(raster, (3*p + 3)::INT, 1))) // 3 AS gray
+      FROM (SELECT asset_id, w, h, raster, unnest(range((n_pix / 3)::BIGINT)) AS p
+            FROM sized)),
+    grid AS (
+      SELECT asset_id,
+             ((p // w) * 8) // h AS gy,
+             ((p % w) * 8) // w AS gx,
+             sum(gray) // count(*) AS m
+      FROM px GROUP BY asset_id, ((p // w) * 8) // h, ((p % w) * 8) // w),
+    coef(u, x, c) AS (VALUES {coef_rows}),
+    dct AS (
+      SELECT g.asset_id, cu.u AS u, cv.u AS v,
+             sum(cu.c * cv.c * g.m)::BIGINT AS t
+      FROM grid g
+      JOIN coef cu ON cu.x = g.gy
+      JOIN coef cv ON cv.x = g.gx
+      GROUP BY g.asset_id, cu.u, cv.u),
+    ac AS (
+      SELECT asset_id, (u * 8 + v - 1)::INT AS idx, t
+      FROM dct WHERE NOT (u = 0 AND v = 0)),
+    med AS (
+      SELECT asset_id, t AS med
+      FROM (SELECT asset_id, t,
+                   row_number() OVER (PARTITION BY asset_id ORDER BY t) AS rn
+            FROM ac)
+      WHERE rn = 32),
+    ph AS MATERIALIZED (
+      SELECT ac.asset_id,
+             sum(CASE WHEN ac.t > med.med THEN (1::BIGINT << ac.idx) ELSE 0 END)::BIGINT
+               AS phash
+      FROM ac JOIN med USING (asset_id)
+      GROUP BY ac.asset_id),
+    bnd AS MATERIALIZED (
+      SELECT asset_id, phash, band,
+             (phash >> ({band_bits} * band)::INT) & {mask} AS bv
+      FROM (SELECT asset_id, phash, unnest(range({bands}))::INT AS band FROM ph)),
+    pairs AS (
+      SELECT a, b FROM (
+        SELECT DISTINCT x.asset_id AS a, y.asset_id AS b,
+               x.phash AS pa, y.phash AS pb
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.asset_id < y.asset_id)
+      WHERE bit_count(xor(pa, pb)) <= {max_hamming}),
+    nb AS (
+      SELECT a AS asset_id, b AS nb FROM pairs
+      UNION ALL
+      SELECT b AS asset_id, a AS nb FROM pairs),
+    agg AS (
+      SELECT asset_id, count(*)::BIGINT AS n_near_dups, min(nb) AS mn
+      FROM nb GROUP BY asset_id)
+    SELECT ph.asset_id, ph.phash,
+           coalesce(agg.n_near_dups, 0)::BIGINT AS n_near_dups,
+           least(ph.asset_id, coalesce(agg.mn, ph.asset_id))::BIGINT AS keeper_id
+    FROM ph LEFT JOIN agg USING (asset_id)
+"""
+
+
+ORACLE_SQL["phash_image_dedup"] = _phash_oracle_sql()
+
+
+def _band_index_oracle_sql(
+    corpus_where: str, num_perm: int = 16, bands: int = 4
+) -> str:
+    """DuckDB mirror of ``operators/lsh_index.py::minhash_band_index``
+    over the corpus selected by ``corpus_where`` — used as the
+    incremental-maintenance oracle: the CDC path must equal this full
+    rebuild on the unified corpus."""
+    rows_per_band = num_perm // bands
+    mh_cols = ",\n             ".join(
+        "list_min(list_transform(shingles, s ->"
+        f" ('0x' || substr(md5('mh{j}:' || s), 1, 15))::BIGINT)) AS mh{j}"
+        for j in range(num_perm)
+    )
+    band_rows = ",\n             ".join(
+        "({b}, ('0x' || substr(md5('band{b}:' || {payload}), 1, 15))::BIGINT)".format(
+            b=b,
+            payload=" || ',' || ".join(
+                f"mh{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents WHERE {corpus_where}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END) AS shingles
+      FROM base WHERE len(words) > 0),
+    mins AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM sh)
+    SELECT doc_id, u.band::INT AS band, u.band_sig::BIGINT AS band_sig
+    FROM (
+      SELECT doc_id,
+             unnest([{{'band': b.band, 'band_sig': b.band_sig}}
+                     FOR b IN [
+             {band_rows}
+             ]::STRUCT(band INT, band_sig BIGINT)[]]) AS u
+      FROM mins)
+"""
+
+
+ORACLE_SQL["incremental_lsh_index"] = _band_index_oracle_sql(
+    "doc_id % 7 = 0 OR doc_id % 11 <> 0"
+)
+
+
+ORACLE_SQL["sketch_quantiles"] = """
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS val,
+             ('0x' || substr(md5('qs:' || l_orderkey::VARCHAR || '-'
+                                 || l_linenumber::VARCHAR), 1, 15))::BIGINT AS hh
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT count(*)::BIGINT AS n FROM v),
+    lv AS (
+      SELECT min(l)::INT AS level, min(p)::BIGINT AS pw
+      FROM (SELECT unnest(range(41))::INT AS l,
+                   unnest(list_transform(range(41), i -> 1::BIGINT << i::INT)) AS p),
+           n
+      WHERE n.n <= 256 * p),
+    kept AS (SELECT val, hh FROM v, lv WHERE hh % lv.pw = 0),
+    ranked AS (
+      SELECT val, row_number() OVER (ORDER BY val, hh) AS rn FROM kept),
+    qs(q_pct) AS (VALUES (10), (25), (50), (75), (90))
+    SELECT qs.q_pct::INT AS q_pct,
+           coalesce(min(CASE WHEN ranked.rn * lv.pw * 100 >= qs.q_pct * n.n
+                             THEN ranked.val END),
+                    max(ranked.val))::BIGINT AS est,
+           n.n::BIGINT AS n,
+           lv.level::INT AS level,
+           count(*)::BIGINT AS kept_rows
+    FROM ranked, qs, n, lv
+    GROUP BY qs.q_pct, n.n, lv.level, lv.pw
 """

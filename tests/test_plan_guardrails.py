@@ -72,6 +72,8 @@ ALLOWED = {
     "pq_topk": {"BroadcastNestedLoopJoin"},
     # same 1-row scale broadcast, inherited through the HD rotation
     "opq_topk": {"BroadcastNestedLoopJoin"},
+    # 5-row percentile-list broadcast against the ~k-row sketch sample
+    "sketch_quantiles": {"BroadcastNestedLoopJoin"},
 }
 
 FORBIDDEN = (
