@@ -245,6 +245,10 @@ EXTENDED = [
     "opq_topk",
     "exact_substring_spans",
     "incremental_near_dup",
+    # round 9: perceptual image dedup, CDC LSH index, quantile sketch
+    "phash_image_dedup",
+    "incremental_lsh_index",
+    "sketch_quantiles",
 ]
 
 HEADLINE = [
