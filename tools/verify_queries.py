@@ -50,6 +50,11 @@ def main() -> int:
     ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", help="subset of query names")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip queries already recorded in this round's .partial.json",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -81,6 +86,19 @@ def main() -> int:
     names = args.only or sorted(queries)
 
     results: dict[str, dict] = {}
+    if args.resume:
+        # Resume a killed/timed-out sweep: carry completed rows from the
+        # partial (same-invocation write-through) file and skip them.
+        # A multi-hour sf0.1 sweep (recursive-CTE oracles) survives any
+        # interruption this way — round-9 lesson.
+        part = f"CORRECTNESS_LOCAL_r{args.round:02d}.partial.json"
+        if os.path.exists(part):
+            with open(part) as f:
+                prior = json.load(f)
+            results.update(prior)
+            skipped = [n for n in names if n in prior]
+            names = [n for n in names if n not in prior]
+            print(f"resume: {len(skipped)} done rows carried, {len(names)} to run")
     n_hash = n_rows_only = n_err = 0
     for name in names:
         t0 = time.perf_counter()
