@@ -37,7 +37,7 @@ DRIVER_ROTATION: list[str] = [
     # round-9 additions (declared later this round)
     "phash_image_dedup", "incremental_lsh_index", "sketch_quantiles",
     # touched this round: ANN guards + join-select + dimension guards
-    "quantized_cosine_topk", "ivf_cosine_topk", "pq_topk", "opq_topk",
+    "quantized_cosine_topk", "pq_topk", "opq_topk",
     "grid_ivf_topk", "grid_pca", "pca_residual", "cosine_topk",
     "lsh_cosine_topk", "embedding_quantize",
     # refresher slice (oldest driver confirmations, r1-r3)

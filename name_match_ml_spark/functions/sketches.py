@@ -437,9 +437,12 @@ def quantile_sketch_state(
     key_col,
     k: int = 256,
     salt: str = "qs:",
-) -> tuple[int, int, DataFrame]:
+) -> tuple[int, int, int, DataFrame]:
     """Mergeable state of the deterministic quantile sketch:
-    ``(n, level, kept)`` where ``kept`` is the ``(val, hh)`` sample.
+    ``(n, level, k, kept)`` where ``kept`` is the ``(val, hh)`` sample.
+    ``k`` rides inside the state so a merge of states built with
+    different sketch sizes fails loudly instead of silently dropping
+    rows (ADVICE r9).
 
     KLL-style in ROLE (a fixed-size mergeable streaming quantile
     sketch; Karnin-Lang-Liberty 2016); the randomized compactor is
@@ -485,25 +488,46 @@ def quantile_sketch_state(
     while n > k * (1 << level):
         level += 1
     kept = rows.filter(F.col("hh") % F.lit(1 << level) == 0)
-    return n, level, kept
+    return n, level, k, kept
 
 
 def merge_quantile_sketch_states(
-    states: list[tuple[int, int, DataFrame]], *, k: int = 256
-) -> tuple[int, int, DataFrame]:
+    states: list[tuple[int, int, int, DataFrame]], *, k: int | None = None
+) -> tuple[int, int, int, DataFrame]:
     """Union the samples, recompute the level from the merged n, and
     re-filter — exact because per-level samples are hash-coordinated
-    (nested)."""
+    (nested).
+
+    Every component must carry the SAME ``k``: a component built with a
+    smaller ``k`` sits at a higher level and has already dropped rows
+    the merged (lower) level would need, so a mismatched merge is a
+    silently wrong sketch.  Mismatches — including a caller-supplied
+    ``k`` that disagrees with the states — raise (ADVICE r9); the
+    merged-level >= component-level invariant is asserted as a
+    belt-and-braces check."""
     if not states:
         raise ValueError("states must be non-empty")
+    ks = {s[2] for s in states}
+    if len(ks) > 1:
+        raise ValueError(
+            f"merge_quantile_sketch_states: mixed sketch sizes k={sorted(ks)} — "
+            "components built with a smaller k already dropped rows the merged "
+            "level needs; rebuild with one k"
+        )
+    state_k = ks.pop()
+    if k is not None and k != state_k:
+        raise ValueError(
+            f"merge_quantile_sketch_states: caller k={k} != state k={state_k}"
+        )
     n = sum(s[0] for s in states)
     level = 0
-    while n > k * (1 << level):
+    while n > state_k * (1 << level):
         level += 1
-    kept = states[0][2]
-    for _, _, other in states[1:]:
+    assert all(level >= s[1] for s in states), "merged level below a component level"
+    kept = states[0][3]
+    for _, _, _, other in states[1:]:
         kept = kept.unionByName(other)
-    return n, level, kept.filter(F.col("hh") % F.lit(1 << level) == 0)
+    return n, level, state_k, kept.filter(F.col("hh") % F.lit(1 << level) == 0)
 
 
 def sketch_quantiles(
@@ -527,7 +551,7 @@ def sketch_quantiles(
 
     The rank window is global but runs over the ~k-row sample, not the
     corpus — the bound-before-window idiom."""
-    n, level, kept = quantile_sketch_state(df, value_col=value_col, key_col=key_col, k=k)
+    n, level, _, kept = quantile_sketch_state(df, value_col=value_col, key_col=key_col, k=k)
     pw = 1 << level
     spark = df.sparkSession
     if n == 0:

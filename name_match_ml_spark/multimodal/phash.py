@@ -70,6 +70,11 @@ PHASH_SCHEMA = StructType(
 def _phash_of(img: np.ndarray) -> int:
     gray = img.astype(np.int64).sum(axis=2) // 3  # (H, W) ints ≤ 126
     h, w = gray.shape
+    if h < 8 or w < 8:
+        # An image narrower/shorter than the 8×8 grid leaves empty
+        # blocks (count 0 → silent junk under integer floor-divide);
+        # fail loudly instead (ADVICE r9).
+        raise ValueError(f"phash requires images of at least 8x8 pixels, got {h}x{w}")
     bx = (np.arange(w, dtype=np.int64) * 8) // w
     by = (np.arange(h, dtype=np.int64) * 8) // h
     idx = (by[:, None] * 8 + bx[None, :]).ravel()

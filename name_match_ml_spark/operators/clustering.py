@@ -86,28 +86,46 @@ def _assign_to(qz: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def grid_kmeans_model(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None = None,
     *,
     k: int = 10,
     rounds: int = GRID_KMEANS_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the deterministic grid k-means and return ``(qz, centers)``
     — the checkpointed quantized code table ``(vec_id, q)`` and the
     final centroid table ``(cid, cv)`` (k rows, broadcastable).  Shared
-    by :func:`grid_kmeans` (assignments) and :func:`grid_ivf_topk`
-    (inverted-list ANN over the same coarse quantizer)."""
+    by :func:`grid_kmeans` (assignments), :func:`grid_ivf_topk`
+    (inverted-list ANN over the same coarse quantizer), and
+    ``operators/pq.py::ivfpq_topk`` (coarse cells for IVFADC).
+
+    ``codes`` injects a precomputed ``(vec_id, q)`` long-array code
+    table instead of quantizing ``embeddings`` with the per-vector
+    device — IVFADC needs the GLOBAL-scale grid (``pq._global_codes``)
+    so residuals stay comparable across vectors; the seeding/Lloyd
+    machinery is identical either way."""
     if k < 1:
         raise ValueError("k >= 1")
-    from .simsearch import quantize_expr
+    if codes is not None:
+        qz = codes.select(
+            F.col(id_col if id_col in codes.columns else "vec_id")
+            .cast("long")
+            .alias("vec_id"),
+            F.col("q"),
+        ).localCheckpoint()
+    else:
+        if embeddings is None:
+            raise ValueError("grid_kmeans_model: pass embeddings or codes")
+        from .simsearch import quantize_expr
 
-    v = F.col(vec_col).cast("array<double>")
-    _scale, q = quantize_expr(v)
-    qz = embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.transform(q, lambda x: x.cast("long")).alias("q"),
-    ).localCheckpoint()
+        v = F.col(vec_col).cast("array<double>")
+        _scale, q = quantize_expr(v)
+        qz = embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.transform(q, lambda x: x.cast("long")).alias("q"),
+        ).localCheckpoint()
 
     # Gonzalez farthest-point seeding (each round one 1-row broadcast —
     # the kcenter_select shape, here with exact int64 squared distances).

@@ -114,12 +114,37 @@ def incremental_band_index(
     :func:`minhash_band_index` over the unified corpus, with shingling
     work proportional to the DELTA only (pytest proves this
     behaviorally: a poisoned cached signature for an unchanged doc
-    flows through verbatim)."""
+    flows through verbatim).
+
+    CDC batch contract (ADVICE r9): ``delta_docs`` must carry at most
+    ONE row per ``doc_id`` — two versions of the same doc in one batch
+    is an upstream compaction bug and raises here (the check is one
+    delta-proportional aggregate, the same eager-guard discipline as
+    the capped collects elsewhere).  A ``doc_id`` present in BOTH
+    ``delta_docs`` and ``dead_ids`` is treated as deleted — within one
+    batch the delete is the final state, so delete wins."""
+    dup = (
+        delta_docs.groupBy(F.col(id_col).alias("doc_id"))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "incremental_band_index: delta_docs carries multiple versions of "
+            f"doc_id(s) {[r['doc_id'] for r in dup]} — compact the CDC batch to "
+            "one row per doc_id (latest version) before indexing"
+        )
     retire = delta_docs.select(F.col(id_col).alias("doc_id")).distinct()
     if dead_ids is not None:
-        retire = retire.unionByName(
-            dead_ids.select(F.col(dead_ids.columns[0]).alias("doc_id"))
-        ).distinct()
+        dead = dead_ids.select(F.col(dead_ids.columns[0]).alias("doc_id")).distinct()
+        retire = retire.unionByName(dead).distinct()
+        # delete wins: a doc both updated and deleted in one batch must
+        # not re-enter the index via the fresh path
+        delta_docs = delta_docs.join(
+            dead, delta_docs[id_col] == dead["doc_id"], "left_anti"
+        )
     # No broadcast hint: the retire set is delta-proportional but not
     # bounded by contract (a backfill delta can be corpus-sized) — let
     # AQE pick broadcast from runtime stats when it IS small.

@@ -195,8 +195,15 @@ def ivf_cosine_topk(
     ``N × Q`` to ``N × Q × nprobe / n_clusters`` in expectation.  The
     FAISS-style complement to :func:`lsh_cosine_topk` — data-adaptive
     cells (KMeans follows the corpus density) vs data-oblivious
-    hyperplanes.  Recall vs exact is asserted in
-    tests/test_dedup_simsearch.py.
+    hyperplanes.
+
+    PYTEST-ONLY API since round 10: float-KMeans centroid reductions
+    are summation-order dependent, so this path can never hash-check
+    against an external oracle; its declared-query role passed to the
+    bit-exact ``grid_ivf_topk``/``ivfpq_topk`` (operators/clustering.py,
+    operators/pq.py).  It remains correct and gated — recall >= 0.5 vs
+    :func:`cosine_topk_exact` plus the rank/order/self-match contract,
+    asserted in tests/test_dedup_simsearch.py::test_ivf_topk_recall.
 
     Scale shape: KMeans trains on a ≤``train_cap``-row seeded sample
     (the model only needs cell geometry, not every point), giving a

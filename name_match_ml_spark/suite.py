@@ -1046,15 +1046,6 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, k=5, nbits=6, hash_fn="md5_60")
 
 
-def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans-cell) approximate top-5 (rows-only; recall vs exact
-    asserted in tests) — the data-adaptive ANN scale path beside LSH."""
-    from .operators.simsearch import ivf_cosine_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 10 == 0)
-    return ivf_cosine_topk(emb, queries, k=5, nprobe=6)
-
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality score + token counts per document
@@ -1602,6 +1593,22 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(table(spark, sf_dir, "embeddings"))
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composition (operators/pq.py::ivfpq_topk) — FAISS
+    IVFADC, the production billion-vector ANN layout: grid-kmeans
+    coarse cells on the GLOBAL int8 grid, one shared PQ codebook set
+    trained on cell RESIDUALS, per-query 4-of-8-cell probe, ADC
+    table-lookup scan over only probed cells' code lists, exact
+    full-width refine of the top 100 — both pruning axes of its two
+    hash-checked halves (grid_ivf_topk's cell pruning, pq_topk's byte
+    codes) in one pipeline, every stage bit-replayed by the generated
+    unrolled-CTE oracle (_ivfpq_oracle_sql).  Same query set as
+    cosine_topk (vec_id % 10 == 0)."""
+    from .operators.pq import ivfpq_topk
+
+    return ivfpq_topk(table(spark, sf_dir, "embeddings"))
+
+
 def q_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotated product quantization (operators/opq.py::opq_topk): a
     deterministic ±1 sign diagonal + unnormalized Walsh–Hadamard
@@ -1649,9 +1656,10 @@ def q_grid_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/clustering.py::grid_ivf_topk): probe the 4 nearest of 10
     cells per query, exact int64 scoring within probed inverted lists,
     top-5 — the hash-checkable IVF representative that the float-KMeans
-    ivf_cosine_topk (rows-only since round 3) could not be.  Recall vs
-    the same-grid brute force is pinned >= 0.55 in pytest (the float
-    path's gate is 0.5)."""
+    ivf_cosine_topk could not be (rows-only since round 3; retired from
+    the declared surface in round 10 — it survives as a pytest-gated
+    API, recall >= 0.5 vs exact, tests/test_dedup_simsearch.py).
+    Recall vs the same-grid brute force is pinned >= 0.55 in pytest."""
     from .operators.clustering import grid_ivf_topk
 
     return grid_ivf_topk(
@@ -4821,6 +4829,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist_filter": q_blocklist_filter,
     "perplexity_buckets": q_perplexity_buckets,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "opq_topk": q_opq_topk,
     "k_core": q_k_core,
     "clustering_coeff": q_clustering_coeff,
@@ -4982,7 +4991,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcenter_select": q_kcenter_select,
     "bitext_mine": q_bitext_mine,
     "lsh_cosine_topk": q_lsh_cosine_topk,
-    "ivf_cosine_topk": q_ivf_cosine_topk,
     "text_quality": q_text_quality,
     "doc_fingerprint": q_doc_fingerprint,
     "decontaminate": q_decontaminate,
@@ -8203,6 +8211,222 @@ ORACLE_SQL["incremental_near_dup"] = ORACLE_SQL["dedup_clusters"]
 
 
 ORACLE_SQL["pq_topk"] = _pq_topk_oracle_sql()
+
+
+def _ivfpq_oracle_sql(
+    k_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    coarse_rounds: int | None = None,
+    pq_rounds: int | None = None,
+    k: int = 5,
+    rerank: int = 100,
+    query_mod: int = 10,
+) -> str:
+    """DuckDB mirror of ``q_ivfpq_topk`` (operators/pq.py::ivfpq_topk),
+    the FAISS-IVFADC composition: global int8 scale, full-width coarse
+    grid-kmeans (k_cells-1 unrolled Gonzalez rounds + coarse_rounds
+    Lloyd iterations — the _grid_kmeans_oracle_sql chain restated on
+    the GLOBAL scale, CTEs prefixed ``k``), per-vector residuals
+    against the assigned cell centroid, the _pq_topk_oracle_sql chain
+    trained on those residuals, then the query side: n_probe-cell
+    probe, per-(query, cell) residual ADC distance table, lookup-add
+    scan restricted to probed cells, exact full-width refine.
+    Distances via the exact integer polarization identity; centroid
+    updates ``sum // count``; multiply-referenced CTEs MATERIALIZED."""
+    if coarse_rounds is None:
+        from .operators.clustering import GRID_KMEANS_ROUNDS
+
+        coarse_rounds = GRID_KMEANS_ROUNDS
+    if pq_rounds is None:
+        from .operators.pq import PQ_LLOYD_ROUNDS
+
+        pq_rounds = PQ_LLOYD_ROUNDS
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_inner_product({a}, {a}) + list_inner_product({b}, {b})"
+            f" - 2 * list_inner_product({a}, {b}))::BIGINT"
+        )
+
+    # --- global-scale codes (the pq_topk base, full width) ---
+    blocks = [
+        f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    gsc AS (
+      SELECT greatest(max(list_max(list_transform(v, x -> abs(x)))), 1e-30) AS g
+      FROM base),
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / g * 127.0 + 0.5)::BIGINT) AS q
+      FROM base, gsc)"""
+    ]
+
+    # --- coarse quantizer: full-width Gonzalez seeding + Lloyd ---
+    kseed = []
+    for i in range(2, k_cells + 1):
+        kseed.append(f""",
+    kg{i} AS MATERIALIZED (
+      SELECT vec_id, q FROM kfs{i - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+    kfs{i} AS MATERIALIZED (
+      SELECT s.vec_id, s.q, least(s.dmin, {dist("s.q", "g.q")}) AS dmin
+      FROM kfs{i - 1} s, kg{i} g WHERE s.vec_id <> g.vec_id)""")
+    kpicks = "\n      UNION ALL ".join(
+        ["SELECT 1::INTEGER AS cid, q AS cv FROM kg1"]
+        + [f"SELECT {i}::INTEGER, q FROM kg{i}" for i in range(2, k_cells + 1)]
+    )
+    blocks.append(f""",
+    kg1 AS MATERIALIZED (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 1),
+    kfs1 AS MATERIALIZED (
+      SELECT z.vec_id, z.q, {dist("z.q", "g.q")} AS dmin
+      FROM qz z, kg1 g WHERE z.vec_id <> g.vec_id){"".join(kseed)},
+    kc0 AS MATERIALIZED (
+      {kpicks})""")
+
+    def kassign(tag: str, censrc: str) -> str:
+        return f"""
+    {tag} AS MATERIALIZED (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM (SELECT z.vec_id, c.cid, {dist("z.q", "c.cv")} AS dist
+              FROM qz z CROSS JOIN {censrc} c))
+      WHERE rn = 1)"""
+
+    for r in range(1, coarse_rounds + 1):
+        blocks.append("," + kassign(f"ka{r}", f"kc{r - 1}"))
+        blocks.append(f""",
+    ku{r} AS (
+      SELECT cid, pos, sum(q[(pos + 1)::INT])::BIGINT AS sv,
+             count(*)::BIGINT AS cnt
+      FROM (SELECT a.cid, z.q, unnest(range(len(z.q))) AS pos
+            FROM ka{r} a JOIN qz z USING (vec_id))
+      GROUP BY cid, pos),
+    kcn{r} AS (
+      SELECT cid, list(sv // cnt ORDER BY pos) AS cv FROM ku{r} GROUP BY cid),
+    kc{r} AS MATERIALIZED (
+      SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM kc{r - 1} p LEFT JOIN kcn{r} n USING (cid))""")
+    blocks.append("," + kassign("kaf", f"kc{coarse_rounds}"))
+
+    # --- residual codes on the same grid ---
+    blocks.append(f""",
+    res AS MATERIALIZED (
+      SELECT z.vec_id,
+             list_transform(range(len(z.q)),
+                            i -> z.q[(i + 1)::INT] - c.cv[(i + 1)::INT]) AS q,
+             (len(z.q) // {m}) AS sub
+      FROM qz z JOIN kaf a USING (vec_id) JOIN kc{coarse_rounds} c ON a.cid = c.cid)""")
+
+    # --- PQ chain on residuals (the _pq_topk_oracle_sql body) ---
+    pseed = []
+    for i in range(2, k_codes + 1):
+        pseed.append(f""",
+    g{i} AS MATERIALIZED (
+      SELECT s, vec_id, sq FROM (
+        SELECT s, vec_id, sq,
+               row_number() OVER (PARTITION BY s
+                                  ORDER BY dmin DESC, vec_id) AS rn
+        FROM fs{i - 1}) WHERE rn = 1),
+    fs{i} AS MATERIALIZED (
+      SELECT z.s, z.vec_id, z.sq, least(z.dmin, {dist("z.sq", "g.sq")}) AS dmin
+      FROM fs{i - 1} z JOIN g{i} g ON z.s = g.s AND z.vec_id <> g.vec_id)""")
+    ppicks = "\n      UNION ALL ".join(
+        ["SELECT s, 1 AS cid, sq AS cv FROM g1"]
+        + [f"SELECT s, {i}, sq FROM g{i}" for i in range(2, k_codes + 1)]
+    )
+    blocks.append(f""",
+    subq AS MATERIALIZED (
+      SELECT vec_id, s, q[(s * sub + 1):((s + 1) * sub)] AS sq
+      FROM res, (SELECT unnest(range({m})) AS s)),
+    g1 AS MATERIALIZED (
+      SELECT s, vec_id, sq FROM (
+        SELECT s, vec_id, sq,
+               row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+        FROM subq) WHERE rn = 1),
+    fs1 AS MATERIALIZED (
+      SELECT z.s, z.vec_id, z.sq, {dist("z.sq", "g.sq")} AS dmin
+      FROM subq z JOIN g1 g ON z.s = g.s AND z.vec_id <> g.vec_id){"".join(pseed)},
+    c0 AS MATERIALIZED (
+      {ppicks})""")
+
+    def passign(tag: str, censrc: str) -> str:
+        return f"""
+    {tag} AS MATERIALIZED (
+      SELECT vec_id, s, cid FROM (
+        SELECT z.vec_id, z.s, c.cid,
+               row_number() OVER (PARTITION BY z.vec_id, z.s
+                                  ORDER BY {dist("z.sq", "c.cv")}, c.cid) AS rn
+        FROM subq z JOIN {censrc} c ON z.s = c.s) WHERE rn = 1)"""
+
+    for r in range(1, pq_rounds + 1):
+        blocks.append("," + passign(f"a{r}", f"c{r - 1}"))
+        blocks.append(f""",
+    u{r} AS (
+      SELECT s, cid, pos, sum(sq[(pos + 1)::INT])::BIGINT AS sv,
+             count(*)::BIGINT AS cnt
+      FROM (SELECT a.s, a.cid, z.sq, unnest(range(len(z.sq))) AS pos
+            FROM a{r} a JOIN subq z ON a.vec_id = z.vec_id AND a.s = z.s)
+      GROUP BY s, cid, pos),
+    cn{r} AS (
+      SELECT s, cid, list(sv // cnt ORDER BY pos) AS cv
+      FROM u{r} GROUP BY s, cid),
+    c{r} AS MATERIALIZED (
+      SELECT p.s, p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM c{r - 1} p LEFT JOIN cn{r} n ON p.s = n.s AND p.cid = n.cid)""")
+    blocks.append("," + passign("af", f"c{pq_rounds}"))
+
+    # --- query side: probe, residual ADC table, scan, refine ---
+    blocks.append(f""",
+    qsel AS MATERIALIZED (
+      SELECT vec_id AS query_id, q FROM qz WHERE vec_id % {query_mod} = 0),
+    pr AS MATERIALIZED (
+      SELECT query_id, cell,
+             list_transform(range(len(qq)),
+                            i -> qq[(i + 1)::INT] - cv[(i + 1)::INT]) AS qr,
+             (len(qq) // {m}) AS sub
+      FROM (
+        SELECT s.query_id, c.cid AS cell, s.q AS qq, c.cv,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {dist("s.q", "c.cv")}, c.cid) AS rn
+        FROM qsel s CROSS JOIN kc{coarse_rounds} c) WHERE rn <= {n_probe}),
+    qsub AS (
+      SELECT query_id, cell, s, qr[(s * sub + 1):((s + 1) * sub)] AS qsq
+      FROM pr, (SELECT unnest(range({m})) AS s)),
+    dtab AS MATERIALIZED (
+      SELECT q.query_id, q.cell, q.s, c.cid, {dist("q.qsq", "c.cv")} AS d
+      FROM qsub q JOIN c{pq_rounds} c ON q.s = c.s),
+    sc AS (
+      SELECT t.query_id, a.vec_id AS neighbor_id, sum(t.d)::BIGINT AS pq_dist
+      FROM af a
+      JOIN kaf ka ON a.vec_id = ka.vec_id
+      JOIN dtab t ON ka.cid = t.cell AND a.s = t.s AND a.cid = t.cid
+      WHERE a.vec_id <> t.query_id
+      GROUP BY t.query_id, a.vec_id),
+    cand AS (
+      SELECT query_id, neighbor_id, pq_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pq_dist, neighbor_id) AS crn
+        FROM sc)
+      WHERE crn <= {rerank}),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id, c.pq_dist,
+             {dist("nq.q", "qq.q")} AS dist_grid
+      FROM cand c
+      JOIN qz nq ON c.neighbor_id = nq.vec_id
+      JOIN qz qq ON c.query_id = qq.vec_id)
+    SELECT query_id, neighbor_id, pq_dist, dist_grid,
+           rank::INTEGER AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_grid, neighbor_id) AS rank
+      FROM rer)
+    WHERE rank <= {k}""")
+    return "".join(blocks)
+
+
+ORACLE_SQL["ivfpq_topk"] = _ivfpq_oracle_sql()
 
 
 def _hd_rotation_ctes(d: int = 64, seed: str = "opq") -> str:

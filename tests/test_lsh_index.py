@@ -84,6 +84,34 @@ def test_dead_ids_drop(spark):
     assert got.filter(F.col("doc_id") == 3).count() > 0
 
 
+def test_duplicate_delta_ids_raise(spark):
+    """Two versions of one doc in a CDC batch is an upstream compaction
+    bug — raise with the offending ids instead of emitting conflicting
+    index rows (ADVICE r9)."""
+    base = _docs(spark, DOCS)
+    cached = minhash_band_index(base)
+    delta = _docs(spark, [(2, "version one"), (2, "version two")])
+    with pytest.raises(ValueError, match="multiple versions"):
+        incremental_band_index(cached, delta)
+
+
+def test_delete_wins_over_insert_in_one_batch(spark):
+    """doc_id in BOTH delta_docs and dead_ids → deleted (the batch's
+    final state), matching a full rebuild on a corpus without the doc."""
+    base = _docs(spark, DOCS)
+    cached = minhash_band_index(base)
+    delta = _docs(spark, [(2, "updated then deleted"), (9, "a brand new doc")])
+    dead = spark.createDataFrame([(2,)], "doc_id long")
+    got = incremental_band_index(cached, delta, dead)
+    assert got.filter(F.col("doc_id") == 2).count() == 0
+    unified = _docs(
+        spark,
+        [(1, DOCS[0][1]), (3, DOCS[2][1]), (4, DOCS[3][1]), (5, DOCS[4][1]),
+         (9, "a brand new doc")],
+    )
+    assert _rows(got) == _rows(minhash_band_index(unified))
+
+
 def test_num_perm_divisible_by_bands(spark):
     with pytest.raises(ValueError, match="divisible"):
         minhash_band_index(_docs(spark, DOCS), num_perm=10, bands=4)

@@ -31,10 +31,25 @@ def test_merge_equals_direct_state(spark):
     b = li.filter(F.crc32(F.col("rk")) % 2 == 1)
     sa = quantile_sketch_state(a, value_col="cents", key_col="rk", k=64)
     sb = quantile_sketch_state(b, value_col="cents", key_col="rk", k=64)
-    n_m, lvl_m, kept_m = merge_quantile_sketch_states([sa, sb], k=64)
-    n_d, lvl_d, kept_d = quantile_sketch_state(li, value_col="cents", key_col="rk", k=64)
-    assert (n_m, lvl_m) == (n_d, lvl_d)
+    n_m, lvl_m, k_m, kept_m = merge_quantile_sketch_states([sa, sb], k=64)
+    n_d, lvl_d, k_d, kept_d = quantile_sketch_state(li, value_col="cents", key_col="rk", k=64)
+    assert (n_m, lvl_m, k_m) == (n_d, lvl_d, k_d)
     assert sorted(map(tuple, kept_m.collect())) == sorted(map(tuple, kept_d.collect()))
+
+
+def test_merge_rejects_mismatched_k(spark):
+    """Components built with different k cannot merge exactly (the
+    smaller-k component already dropped rows); must raise, not silently
+    lose rows (ADVICE r9)."""
+    li = _lineitem(spark)
+    a = li.filter(F.crc32(F.col("rk")) % 2 == 0)
+    b = li.filter(F.crc32(F.col("rk")) % 2 == 1)
+    sa = quantile_sketch_state(a, value_col="cents", key_col="rk", k=64)
+    sb = quantile_sketch_state(b, value_col="cents", key_col="rk", k=32)
+    with pytest.raises(ValueError, match="mixed sketch sizes"):
+        merge_quantile_sketch_states([sa, sb])
+    with pytest.raises(ValueError, match="caller k"):
+        merge_quantile_sketch_states([sa], k=32)
 
 
 def test_estimates_near_exact_percentiles(spark):

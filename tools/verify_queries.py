@@ -85,21 +85,42 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args.only or sorted(queries)
 
+    def _classify(rec: dict) -> str:
+        if rec.get("hash_match"):
+            return "hash"
+        if rec.get("err") == "no_oracle" and rec.get("spark_rows"):
+            return "rows_only"
+        return "err"
+
     results: dict[str, dict] = {}
+    part = f"CORRECTNESS_LOCAL_r{args.round:02d}.partial.json"
     if args.resume:
         # Resume a killed/timed-out sweep: carry completed rows from the
         # partial (same-invocation write-through) file and skip them.
         # A multi-hour sf0.1 sweep (recursive-CTE oracles) survives any
-        # interruption this way — round-9 lesson.
-        part = f"CORRECTNESS_LOCAL_r{args.round:02d}.partial.json"
+        # interruption this way — round-9 lesson.  The partial records
+        # its sf_dir; resuming against a DIFFERENT sf_dir would silently
+        # mix scale factors into one matrix, so refuse (ADVICE r9).
         if os.path.exists(part):
             with open(part) as f:
                 prior = json.load(f)
+            meta = prior.pop("_meta", {})
+            prior_sf = meta.get("sf_dir")
+            if prior_sf is not None and prior_sf != args.sf_dir:
+                print(
+                    f"refusing --resume: partial file was run at sf_dir={prior_sf}, "
+                    f"this invocation asks for {args.sf_dir}; delete {part} or match"
+                )
+                return 2
             results.update(prior)
             skipped = [n for n in names if n in prior]
             names = [n for n in names if n not in prior]
             print(f"resume: {len(skipped)} done rows carried, {len(names)} to run")
-    n_hash = n_rows_only = n_err = 0
+    # seed summary counters from carried rows so the end-of-run totals
+    # describe the whole matrix, not just the newly-run slice (ADVICE r9)
+    n_hash = sum(1 for r in results.values() if _classify(r) == "hash")
+    n_rows_only = sum(1 for r in results.values() if _classify(r) == "rows_only")
+    n_err = sum(1 for r in results.values() if _classify(r) == "err")
     for name in names:
         t0 = time.perf_counter()
         rec: dict = {
@@ -150,9 +171,10 @@ def main() -> int:
             n_err += 1
         rec["sec"] = round(time.perf_counter() - t0, 2)
         results[name] = rec
-        # write-through after every query so a timeout/kill loses nothing
-        with open(f"CORRECTNESS_LOCAL_r{args.round:02d}.partial.json", "w") as f:
-            json.dump(results, f, indent=2)
+        # write-through after every query so a timeout/kill loses nothing;
+        # _meta pins the sf_dir the partial belongs to (resume guard)
+        with open(part, "w") as f:
+            json.dump({"_meta": {"sf_dir": args.sf_dir}, **results}, f, indent=2)
         status = (
             "HASH-PASS"
             if rec["hash_match"]
@@ -168,11 +190,17 @@ def main() -> int:
             merged = json.load(f)
         merged.update(results)
         results = merged
+    results.pop("_meta", None)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
+    # totals recomputed over the FULL written matrix (carried + run +
+    # any --only merge), so the summary always describes the file
+    n_hash = sum(1 for r in results.values() if _classify(r) == "hash")
+    n_rows_only = sum(1 for r in results.values() if _classify(r) == "rows_only")
+    n_err = sum(1 for r in results.values() if _classify(r) == "err")
     print(
-        f"\n{len(names)} queries: {n_hash} hash-pass, {n_rows_only} rows-only, "
-        f"{n_err} failing -> {out}"
+        f"\n{len(results)} queries ({len(names)} run this invocation): "
+        f"{n_hash} hash-pass, {n_rows_only} rows-only, {n_err} failing -> {out}"
     )
     spark.stop()
     return 1 if n_err else 0
