@@ -936,6 +936,35 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dup(base, delta, base_pairs=cached)
 
 
+def q_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC maintenance of the cluster labels themselves
+    (operators/graph.py::incremental_cluster_update): docs with
+    doc_id % 5 == 0 arrive as the ingestion delta, base docs with
+    doc_id % 11 == 0 are deleted outright; cached (id, cluster_id)
+    rows of UNTOUCHED components flow through verbatim and connected
+    components rerun only over the affected subgraph (components
+    containing a retired id or a fresh-edge endpoint) — the
+    incremental_near_dup successor that also skips the CC rerun on
+    the unchanged part of the cluster graph.  The result must equal a
+    FULL dedup_clusters recompute on the unified corpus, so the oracle
+    is the dedup_clusters SQL over documents minus the deletions."""
+    from .operators.graph import (
+        connected_components,
+        incremental_cluster_update,
+        near_dup_graph,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    removed = base.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+    pairs = near_dup_graph(base, materialize=False).localCheckpoint()
+    cached = connected_components(pairs).localCheckpoint()
+    return incremental_cluster_update(
+        base, delta, cached, base_pairs=pairs, removed=removed
+    )
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified.
 
@@ -4983,6 +5012,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "dedup_clusters": q_dedup_clusters,
     "incremental_near_dup": q_incremental_near_dup,
+    "incremental_dedup_clusters": q_incremental_dedup_clusters,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_near_dup": q_embedding_near_dup,
@@ -8208,6 +8238,17 @@ def _pq_topk_oracle_sql(
 # Incremental CDC near-dup maintenance must equal the from-scratch
 # answer on the unified corpus, so its oracle IS the dedup_clusters SQL.
 ORACLE_SQL["incremental_near_dup"] = ORACLE_SQL["dedup_clusters"]
+
+# Incremental label maintenance must equal the from-scratch clusters on
+# the unified corpus = documents minus the outright deletions
+# (base %5!=0 docs with %11==0) — the dedup_clusters SQL with the base
+# CTE filtered accordingly.
+_IDC_SRC = "FROM documents)"
+assert ORACLE_SQL["dedup_clusters"].count(_IDC_SRC) == 1
+ORACLE_SQL["incremental_dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
+    _IDC_SRC,
+    "FROM documents WHERE NOT (doc_id % 5 <> 0 AND doc_id % 11 = 0))",
+)
 
 
 ORACLE_SQL["pq_topk"] = _pq_topk_oracle_sql()
