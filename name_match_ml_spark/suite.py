@@ -1318,6 +1318,24 @@ def q_phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_summary(synthesize_media_assets(d))
 
 
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup dedup (multimodal/phash.py::
+    video_phash_dedup): native frame sampling (every 10th frame, byte
+    chunks) → per-frame integer-DCT pHash under the fake-decode
+    convention (frame byte p → pixel p of a 12×16 grayscale raster,
+    cycled) → frame-level 7×9-bit Hamming banding + exact bit_count
+    verify → pair similarity = matched-frame fraction ≥ 50% (pure
+    int64 threshold).  Per-video summary rows (frame count, xor frame
+    signature, near-dup count, keeper) so the whole algebra
+    hash-checks even on a dup-free corpus; frame bytes replay in SQL
+    via the hex-slice device (multimodal_frame_sample)."""
+    from .multimodal.columns import synthesize_media_assets
+    from .multimodal.phash import video_phash_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return video_phash_dedup(synthesize_media_assets(d))
+
+
 def q_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC maintenance of the MinHash-LSH band-signature index
     (operators/lsh_index.py): docs with doc_id % 7 == 0 arrive as the
@@ -5053,6 +5071,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "exact_substring_spans": q_exact_substring_spans,
     "phash_image_dedup": q_phash_image_dedup,
+    "video_phash_dedup": q_video_phash_dedup,
     "incremental_lsh_index": q_incremental_lsh_index,
     "sketch_quantiles": q_sketch_quantiles,
     "boilerplate_spans": q_boilerplate_spans,
@@ -11338,6 +11357,133 @@ def _phash_oracle_sql(bands: int = 7, band_bits: int = 9, max_hamming: int = 6) 
 
 
 ORACLE_SQL["phash_image_dedup"] = _phash_oracle_sql()
+
+
+def _video_phash_oracle_sql(
+    every_n: int = 10,
+    bands: int = 7,
+    band_bits: int = 9,
+    max_hamming: int = 6,
+    min_match_pct: int = 50,
+) -> str:
+    """DuckDB mirror of ``multimodal/phash.py::video_phash_dedup``:
+    frame byte chunks via the hex-slice device
+    (multimodal_frame_sample), the fake-decode 12×16 grayscale raster
+    (pixel p = frame byte p mod chunk length, parsed from hex pairs),
+    then the SAME integer block-mean/DCT/median/banding chain as
+    _phash_oracle_sql keyed by (asset_id, frame_idx), frame-level band
+    join + exact Hamming verify, the integer matched-frame-fraction
+    threshold, and the per-video summary."""
+    from .multimodal.phash import DCT_C, FRAME_H, FRAME_W
+
+    coef_rows = ", ".join(
+        f"({u}, {x}, {DCT_C[u][x]})" for u in range(8) for x in range(8)
+    )
+    mask = (1 << band_bits) - 1
+    npix = FRAME_W * FRAME_H
+    return f"""
+    WITH videos AS (
+      SELECT doc_id AS asset_id,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nbytes,
+             CAST(doc_id % 50 + 10 AS INT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2),
+    f AS (
+      SELECT asset_id, hx,
+             greatest(CAST(nbytes // n_frames AS INT), 1) AS chunk,
+             unnest(generate_series(0, n_frames - 1, {every_n})) AS frame_idx
+      FROM videos),
+    fnz AS MATERIALIZED (
+      SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx, fhx,
+             (length(fhx) // 2)::INT AS flen
+      FROM (
+        SELECT asset_id, frame_idx,
+               substring(hx, CAST(frame_idx * chunk * 2 + 1 AS BIGINT),
+                         CAST(chunk * 2 AS BIGINT)) AS fhx
+        FROM f)
+      WHERE length(fhx) > 0),
+    px AS (
+      SELECT asset_id, frame_idx, p,
+             ('0x' || substr(fhx, ((p % flen) * 2 + 1)::INT, 2))::BIGINT AS gray
+      FROM (SELECT asset_id, frame_idx, fhx, flen,
+                   unnest(range({npix})) AS p
+            FROM fnz)),
+    grid AS (
+      SELECT asset_id, frame_idx,
+             ((p // {FRAME_W}) * 8) // {FRAME_H} AS gy,
+             ((p % {FRAME_W}) * 8) // {FRAME_W} AS gx,
+             sum(gray) // count(*) AS m
+      FROM px
+      GROUP BY asset_id, frame_idx,
+               ((p // {FRAME_W}) * 8) // {FRAME_H},
+               ((p % {FRAME_W}) * 8) // {FRAME_W}),
+    coef(u, x, c) AS (VALUES {coef_rows}),
+    dct AS (
+      SELECT g.asset_id, g.frame_idx, cu.u AS u, cv.u AS v,
+             sum(cu.c * cv.c * g.m)::BIGINT AS t
+      FROM grid g
+      JOIN coef cu ON cu.x = g.gy
+      JOIN coef cv ON cv.x = g.gx
+      GROUP BY g.asset_id, g.frame_idx, cu.u, cv.u),
+    ac AS (
+      SELECT asset_id, frame_idx, (u * 8 + v - 1)::INT AS idx, t
+      FROM dct WHERE NOT (u = 0 AND v = 0)),
+    med AS (
+      SELECT asset_id, frame_idx, t AS med
+      FROM (SELECT asset_id, frame_idx, t,
+                   row_number() OVER (PARTITION BY asset_id, frame_idx
+                                      ORDER BY t) AS rn
+            FROM ac)
+      WHERE rn = 32),
+    ph AS MATERIALIZED (
+      SELECT ac.asset_id, ac.frame_idx,
+             sum(CASE WHEN ac.t > med.med THEN (1::BIGINT << ac.idx) ELSE 0 END)::BIGINT
+               AS phash
+      FROM ac JOIN med USING (asset_id, frame_idx)
+      GROUP BY ac.asset_id, ac.frame_idx),
+    nfh AS MATERIALIZED (
+      SELECT asset_id, count(*)::BIGINT AS n_frames,
+             bit_xor(phash)::BIGINT AS frames_sig
+      FROM ph GROUP BY asset_id),
+    bnd AS MATERIALIZED (
+      SELECT asset_id, frame_idx, phash, band,
+             (phash >> ({band_bits} * band)::INT) & {mask} AS bv
+      FROM (SELECT asset_id, frame_idx, phash,
+                   unnest(range({bands}))::INT AS band
+            FROM ph)),
+    fpair AS (
+      SELECT a, fia, b, fib FROM (
+        SELECT DISTINCT x.asset_id AS a, x.frame_idx AS fia,
+               y.asset_id AS b, y.frame_idx AS fib,
+               x.phash AS pa, y.phash AS pb
+        FROM bnd x JOIN bnd y
+          ON x.band = y.band AND x.bv = y.bv AND x.asset_id < y.asset_id)
+      WHERE bit_count(xor(pa, pb)) <= {max_hamming}),
+    ma AS (
+      SELECT a, b, count(DISTINCT fia)::BIGINT AS m_a,
+             count(DISTINCT fib)::BIGINT AS m_b
+      FROM fpair GROUP BY a, b),
+    vp AS (
+      SELECT ma.a, ma.b
+      FROM ma
+      JOIN nfh na ON na.asset_id = ma.a
+      JOIN nfh nb2 ON nb2.asset_id = ma.b
+      WHERE (ma.m_a + ma.m_b) * 100 >= {min_match_pct} * (na.n_frames + nb2.n_frames)),
+    nb AS (
+      SELECT a AS asset_id, b AS nb FROM vp
+      UNION ALL
+      SELECT b AS asset_id, a AS nb FROM vp),
+    agg AS (
+      SELECT asset_id, count(*)::BIGINT AS n_near_dups, min(nb) AS mn
+      FROM nb GROUP BY asset_id)
+    SELECT nfh.asset_id, nfh.n_frames, nfh.frames_sig,
+           coalesce(agg.n_near_dups, 0)::BIGINT AS n_near_dups,
+           least(nfh.asset_id, coalesce(agg.mn, nfh.asset_id))::BIGINT AS keeper_id
+    FROM nfh LEFT JOIN agg USING (asset_id)
+"""
+
+
+ORACLE_SQL["video_phash_dedup"] = _video_phash_oracle_sql()
 
 
 def _band_index_oracle_sql(
