@@ -41,6 +41,7 @@ __all__ = [
     "hll_distinct",
     "quantile_sketch_state",
     "merge_quantile_sketch_states",
+    "sketch_estimates",
     "sketch_quantiles",
 ]
 
@@ -552,8 +553,17 @@ def sketch_quantiles(
     The rank window is global but runs over the ~k-row sample, not the
     corpus — the bound-before-window idiom."""
     n, level, _, kept = quantile_sketch_state(df, value_col=value_col, key_col=key_col, k=k)
+    return sketch_estimates(df.sparkSession, n, level, kept, qs=qs)
+
+
+def sketch_estimates(
+    spark, n: int, level: int, kept: DataFrame, *, qs: list[int] = (10, 25, 50, 75, 90)
+) -> DataFrame:
+    """Percentile estimates from a sketch STATE — shared by the batch
+    path (:func:`sketch_quantiles`) and the foreachBatch streaming
+    accumulator (``streaming/sketch.py``), so stream and batch run the
+    IDENTICAL final arithmetic."""
     pw = 1 << level
-    spark = df.sparkSession
     if n == 0:
         return spark.createDataFrame(
             [], "q_pct int, est bigint, n bigint, level int, kept_rows bigint"
