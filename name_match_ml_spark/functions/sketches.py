@@ -30,7 +30,7 @@ rows per group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -43,6 +43,10 @@ __all__ = [
     "merge_quantile_sketch_states",
     "sketch_estimates",
     "sketch_quantiles",
+    "theta_sketch_states",
+    "merge_theta_states",
+    "theta_set_algebra",
+    "THETA_MAX",
 ]
 
 _M60 = float(1 << 60)
@@ -589,4 +593,190 @@ def sketch_estimates(
             F.count(F.lit(1)).cast("long").alias("kept_rows"),
         )
         .select("q_pct", "est", "n", "level", "kept_rows")
+    )
+
+
+# Theta-sketch domain: md5_60 hashes are uniform in [0, 2^60); an
+# unsaturated sketch has theta = 2^60 ("estimation off", counts exact).
+THETA_MAX = 1 << 60
+
+
+def theta_sketch_states(
+    df: DataFrame,
+    *,
+    value_col: str,
+    source_col: str,
+    k: int = 256,
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Per-source theta-sketch state: the ``k+1`` smallest DISTINCT
+    60-bit value hashes per source — ``(source, _h)`` rows.
+
+    The Apache-DataSketches Theta family in the KMV/bottom-k flavor
+    (Dasgupta et al. 2016 "Theta-Sketch Framework"), restated on the
+    repo's deterministic md5_60 grid: a saturated sketch's threshold is
+    the (k+1)-th smallest hash (the retained sample is everything
+    strictly below it — exactly k rows); an unsaturated sketch keeps
+    everything with ``theta = 2^60``.  States are MERGEABLE: the k+1
+    smallest of a union equal the k+1 smallest of the per-part k+1
+    smallest (pinned in pytest), so per-partition/per-day states
+    combine exactly — the warehouse sketch-rollup pattern.
+
+    Scale shape: dedup-aggregate on (source, hash) with map-side
+    combine, then a WindowGroupLimit-pushed bottom-(k+1) per source —
+    no global sort, ≤ k+1 rows per source leave the exchange."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from ..operators.cleaning import _gram_hash
+
+    h = _gram_hash(F.col(value_col).cast("string"), hash_fn)
+    if hash_fn == "xxhash64":
+        h = F.shiftrightunsigned(h, 4)
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(source_col).alias("source"), h.alias("_h"))
+        .groupBy("source", "_h")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .drop("_d")
+    )
+    w = Window.partitionBy("source").orderBy("_h")
+    return (
+        hashed.select("source", "_h", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= k + 1)
+        .select("source", "_h")
+    )
+
+
+def merge_theta_states(states: list[DataFrame], *, k: int = 256) -> DataFrame:
+    """Union partial per-source states and re-take the bottom ``k+1``
+    distinct hashes — exact (the bottom-(k+1) of a union is the
+    bottom-(k+1) of the per-part bottom-(k+1)s), so sketches built per
+    partition/day/table merge into the state of the unified data."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    u = states[0]
+    for other in states[1:]:
+        u = u.unionByName(other)
+    w = Window.partitionBy("source").orderBy("_h")
+    return (
+        u.distinct()
+        .select("source", "_h", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= k + 1)
+        .select("source", "_h")
+    )
+
+
+def theta_set_algebra(states: DataFrame, *, k: int = 256) -> DataFrame:
+    """Distinct union / intersection / difference cardinalities for
+    every source PAIR from their theta states — cross-source set
+    algebra without ever joining the raw tables (the kmv_overlap
+    estimator generalized beyond two fixed tables and beyond
+    intersection, VERDICT r9 #6).
+
+    Per source: ``theta_s`` = the (k+1)-th smallest hash when the
+    sketch is saturated, else ``2^60``; the retained sample is every
+    hash `` < theta_s``.  Per pair (a < b) with ``theta = least(theta_a,
+    theta_b)`` and ``W_x`` = sample_x filtered ``< theta``: each
+    retained hash has inclusion probability ``theta / 2^60``, so
+
+        est(X) = |X| · 2^60 DIV theta        (Horvitz-Thompson)
+
+    for X ∈ {W_a ∪ W_b, W_a ∩ W_b, W_a \\ W_b, W_b \\ W_a} — computed
+    as ONE exact wide-integer division (decimal(38,0), the
+    hll_distinct device), so the estimates — sampling error included —
+    are bit-reproducible and hash-check in DuckDB.  ``theta = 2^60``
+    (both sketches exact) degenerates to exact counts.
+
+    Returns ``(source_a, source_b, theta, w_union, w_inter, w_diff_ab,
+    w_diff_ba, est_union, est_inter, est_diff_ab, est_diff_ba)``.
+
+    Scale shape: everything after the state build touches ≤ 2(k+1)
+    rows per pair; the per-source param table (n_sources rows)
+    broadcasts against the states."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    params = states.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_m"), F.max("_h").alias("_mx")
+    ).select(
+        "source",
+        F.when(F.col("_m") >= k + 1, F.col("_mx"))
+        .otherwise(F.lit(THETA_MAX))
+        .cast("long")
+        .alias("theta_s"),
+    )
+    sample = (
+        states.join(F.broadcast(params), "source")
+        .filter(F.col("_h") < F.col("theta_s"))
+        .select("source", "_h")
+    )
+    pa = params.select(
+        F.col("source").alias("source_a"), F.col("theta_s").alias("_ta")
+    )
+    pb = params.select(
+        F.col("source").alias("source_b"), F.col("theta_s").alias("_tb")
+    )
+    pairs = (
+        pa.crossJoin(pb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b", F.least("_ta", "_tb").alias("theta")
+        )
+    )
+    wa = sample.join(
+        F.broadcast(pairs), sample["source"] == pairs["source_a"]
+    ).filter(F.col("_h") < F.col("theta")).select(
+        "source_a", "source_b", "_h", F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    )
+    wb = sample.join(
+        F.broadcast(pairs), sample["source"] == pairs["source_b"]
+    ).filter(F.col("_h") < F.col("theta")).select(
+        "source_a", "source_b", "_h", F.lit(0).alias("_a"), F.lit(1).alias("_b")
+    )
+    marked = (
+        wa.unionByName(wb)
+        .groupBy("source_a", "source_b", "_h")
+        .agg(F.max("_a").alias("ina"), F.max("_b").alias("inb"))
+    )
+    counts = marked.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("w_union"),
+        F.sum(((F.col("ina") == 1) & (F.col("inb") == 1)).cast("int"))
+        .cast("long")
+        .alias("w_inter"),
+        F.sum(((F.col("ina") == 1) & (F.col("inb") == 0)).cast("int"))
+        .cast("long")
+        .alias("w_diff_ab"),
+        F.sum(((F.col("ina") == 0) & (F.col("inb") == 1)).cast("int"))
+        .cast("long")
+        .alias("w_diff_ba"),
+    )
+
+    def est(col: str) -> Column:
+        return (
+            F.when(F.col("theta") == THETA_MAX, F.col(col))
+            .otherwise(
+                F.expr(
+                    f"CAST({col} AS DECIMAL(38,0)) * CAST({THETA_MAX} AS DECIMAL(38,0))"
+                    " DIV theta"
+                )
+            )
+            .cast("long")
+        )
+
+    return (
+        pairs.join(counts, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "theta",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+              for c in ("w_union", "w_inter", "w_diff_ab", "w_diff_ba")],
+        )
+        .select(
+            "source_a", "source_b", "theta",
+            "w_union", "w_inter", "w_diff_ab", "w_diff_ba",
+            est("w_union").alias("est_union"),
+            est("w_inter").alias("est_inter"),
+            est("w_diff_ab").alias("est_diff_ab"),
+            est("w_diff_ba").alias("est_diff_ba"),
+        )
     )

@@ -4659,6 +4659,30 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(o, "o_custkey", e, "user_id", k=64)
 
 
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (functions/sketches.py::
+    theta_set_algebra): distinct-shingle union / intersection / both
+    differences for every LANGUAGE pair from per-language bottom-257
+    md5_60 sketch states — cross-source set cardinalities without
+    joining raw data (kmv_overlap generalized beyond two fixed tables
+    and beyond intersection).  k=256 saturates on this corpus (~900
+    distinct bigram shingles per language), so the Horvitz-Thompson
+    estimation path runs; estimates are ONE exact wide-integer
+    division (decimal(38,0) / HUGEINT), bit-reproducible — the
+    estimate itself, sampling error included, is hash-checked."""
+    from .functions.sketches import theta_set_algebra, theta_sketch_states
+    from .operators.dedup import _shingles, _words
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("lang", _words("text").alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select("lang", F.explode(_shingles(F.col("_w"), 2)).alias("s"))
+    )
+    st = theta_sketch_states(sh, value_col="s", source_col="lang", k=256)
+    return theta_set_algebra(st, k=256)
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the near-dup graph (operators/graph.py::k_core) —
     nodes on a CYCLE of mutual matches with their in-core degree.  The
@@ -4887,6 +4911,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_naive": q_seasonal_naive,
     "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
+    "theta_set_ops": q_theta_set_ops,
     "robust_outliers": q_robust_outliers,
     "copurchase_lift": q_copurchase_lift,
     "market_share": q_market_share,
@@ -10994,6 +11019,78 @@ ORACLE_SQL["copurchase_lift"] = """
     LIMIT 20
 """
 
+
+_THETA_MAX_SQL = 1152921504606846976  # 2^60, the md5_60 hash domain
+
+ORACLE_SQL["theta_set_ops"] = f"""
+    WITH tbase AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    shl AS (
+      SELECT lang,
+             unnest(list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END)) AS s
+      FROM tbase WHERE len(words) > 0),
+    hs AS MATERIALIZED (
+      SELECT DISTINCT lang AS source,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM shl),
+    st AS MATERIALIZED (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hs)
+      WHERE rn <= 257),
+    par AS MATERIALIZED (
+      SELECT source,
+             (CASE WHEN count(*) >= 257 THEN max(h)
+                   ELSE {_THETA_MAX_SQL} END)::BIGINT AS theta_s
+      FROM st GROUP BY source),
+    smp AS MATERIALIZED (
+      SELECT s.source, s.h FROM st s JOIN par p USING (source)
+      WHERE s.h < p.theta_s),
+    prs AS MATERIALIZED (
+      SELECT a.source AS source_a, b.source AS source_b,
+             least(a.theta_s, b.theta_s)::BIGINT AS theta
+      FROM par a JOIN par b ON a.source < b.source),
+    marked AS (
+      SELECT source_a, source_b, h, max(ina) AS ina, max(inb) AS inb FROM (
+        SELECT p.source_a, p.source_b, s.h, 1 AS ina, 0 AS inb
+        FROM smp s JOIN prs p ON s.source = p.source_a WHERE s.h < p.theta
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0 AS ina, 1 AS inb
+        FROM smp s JOIN prs p ON s.source = p.source_b WHERE s.h < p.theta)
+      GROUP BY source_a, source_b, h),
+    cnt AS (
+      SELECT source_a, source_b,
+             count(*)::BIGINT AS w_union,
+             sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)::BIGINT AS w_inter,
+             sum(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)::BIGINT AS w_diff_ab,
+             sum(CASE WHEN ina = 0 AND inb = 1 THEN 1 ELSE 0 END)::BIGINT AS w_diff_ba
+      FROM marked GROUP BY source_a, source_b)
+    SELECT p.source_a, p.source_b, p.theta,
+           coalesce(c.w_union, 0)::BIGINT AS w_union,
+           coalesce(c.w_inter, 0)::BIGINT AS w_inter,
+           coalesce(c.w_diff_ab, 0)::BIGINT AS w_diff_ab,
+           coalesce(c.w_diff_ba, 0)::BIGINT AS w_diff_ba,
+           (CASE WHEN p.theta = {_THETA_MAX_SQL} THEN coalesce(c.w_union, 0)::HUGEINT
+                 ELSE coalesce(c.w_union, 0)::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // p.theta
+            END)::BIGINT AS est_union,
+           (CASE WHEN p.theta = {_THETA_MAX_SQL} THEN coalesce(c.w_inter, 0)::HUGEINT
+                 ELSE coalesce(c.w_inter, 0)::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // p.theta
+            END)::BIGINT AS est_inter,
+           (CASE WHEN p.theta = {_THETA_MAX_SQL} THEN coalesce(c.w_diff_ab, 0)::HUGEINT
+                 ELSE coalesce(c.w_diff_ab, 0)::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // p.theta
+            END)::BIGINT AS est_diff_ab,
+           (CASE WHEN p.theta = {_THETA_MAX_SQL} THEN coalesce(c.w_diff_ba, 0)::HUGEINT
+                 ELSE coalesce(c.w_diff_ba, 0)::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // p.theta
+            END)::BIGINT AS est_diff_ba
+    FROM prs p LEFT JOIN cnt c USING (source_a, source_b)
+"""
 
 ORACLE_SQL["kmv_overlap"] = """
     WITH sa AS (

@@ -74,6 +74,10 @@ ALLOWED = {
     "opq_topk": {"BroadcastNestedLoopJoin"},
     # 5-row percentile-list broadcast against the ~k-row sketch sample
     "sketch_quantiles": {"BroadcastNestedLoopJoin"},
+    # n_sources×n_sources pair crossJoin over the per-source param
+    # table (5 langs → 25 rows) — bounded by source cardinality, the
+    # sketch states themselves join hash-side
+    "theta_set_ops": {"BroadcastNestedLoopJoin"},
     # IVFADC composition: the 1-row global-scale broadcast (pq_topk's)
     # + the k_cells-row coarse seeding/centroid broadcasts (grid_kmeans's)
     # + the bounded probe crossJoin against the 8-row cell table
