@@ -21,25 +21,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_corpus_match(spark, "/root/testdata/sf0.001")
 
 
-# Driver-sample rotation (round 9): the correctness driver samples the FIRST
-# 50 entries of queries() in declaration order.  Front block this round:
-# (1) the 6 round-8 overflow entries — the ONLY queries never sampled in any
-# CORRECTNESS_r*.json (r1-r8 union); green rows here finish 235/235
-# driver confirmation (VERDICT r8 next-round #1); (2) round-9 additions;
-# (3) queries whose code paths were touched this round (ANN max_queries
-# guards, pq rerank join select, pca/opq dimension guards, opq oracle CTE
-# derivation) — re-confirm they stay green; (4) a rotating refresher slice
-# of older queries by driver-confirmation age.
+# Driver-sample rotation (round 10): the correctness driver samples the
+# FIRST 50 entries of queries() in declaration order.  Every
+# oracle-checkable query ever declared is driver-confirmed at least once
+# (r1-r9 union), so the front block is now: (1) the four round-10
+# additions; (2) queries whose code paths were touched this round
+# (pq/clustering codes= refactor, sketch-state k carriage, lsh_index CDC
+# contract, phash dim guard, graph _cdc_edge_delta extraction) —
+# re-confirm they stay green; (3) an age-based refresher slice (oldest
+# driver confirmations, r1-r3).
 DRIVER_ROTATION: list[str] = [
-    # the final 6 never-driver-sampled queries (round-8 overflow)
-    "correlated_subquery", "correlated_exists", "null_semantics",
-    "time_topk", "window_range_frame", "salted_agg",
-    # round-9 additions (declared later this round)
-    "phash_image_dedup", "incremental_lsh_index", "sketch_quantiles",
-    # touched this round: ANN guards + join-select + dimension guards
-    "quantized_cosine_topk", "pq_topk", "opq_topk",
-    "grid_ivf_topk", "grid_pca", "pca_residual", "cosine_topk",
-    "lsh_cosine_topk", "embedding_quantize",
+    # round-10 additions
+    "ivfpq_topk", "incremental_dedup_clusters", "video_phash_dedup",
+    "theta_set_ops",
+    # touched this round: pq/clustering refactor + sketch/lsh/phash/graph
+    "pq_topk", "opq_topk", "grid_ivf_topk", "grid_kmeans",
+    "cluster_balanced_sample", "sketch_quantiles", "incremental_lsh_index",
+    "phash_image_dedup", "incremental_near_dup", "dedup_clusters",
+    "kmv_overlap", "multimodal_frame_sample",
     # refresher slice (oldest driver confirmations, r1-r3)
     "pricing_summary", "topk_orders", "join_orders_customer",
     "window_running_sum", "dedup_exact", "ngram_jaccard_dedup",

@@ -249,6 +249,12 @@ EXTENDED = [
     "phash_image_dedup",
     "incremental_lsh_index",
     "sketch_quantiles",
+    # round 10: IVFADC ANN, incremental components, video perceptual
+    # dedup, theta set algebra
+    "ivfpq_topk",
+    "incremental_dedup_clusters",
+    "video_phash_dedup",
+    "theta_set_ops",
 ]
 
 HEADLINE = [
