@@ -255,6 +255,7 @@ EXTENDED = [
     "incremental_dedup_clusters",
     "video_phash_dedup",
     "theta_set_ops",
+    "incremental_refresh_pipeline",
 ]
 
 HEADLINE = [

@@ -965,6 +965,61 @@ def q_incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 incremental stages composed end-to-end — ONE CDC
+    batch (delta = doc_id % 5 == 0 upserts, deletes = base docs with
+    doc_id % 11 == 0) maintaining BOTH derived corpus structures at
+    once: the MinHash-LSH band index (operators/lsh_index.py, unchanged
+    docs' signatures reused verbatim) and the near-dup cluster labels
+    (operators/graph.py::incremental_cluster_update, untouched
+    components passed through verbatim, components rerun only on the
+    affected subgraph).  Output: one refresh-summary row per surviving
+    doc — band count, cluster membership, keeper flag (unclustered docs
+    are their own keeper, size 1).  The result must equal a FULL
+    rebuild of both structures on the unified corpus, so the oracle
+    joins the band-index rebuild SQL with the dedup_clusters rebuild
+    SQL — the warehouse refresh contract at 100 TB, where neither
+    structure can be rebuilt from scratch per batch."""
+    from .operators.graph import (
+        connected_components,
+        incremental_cluster_update,
+        near_dup_graph,
+    )
+    from .operators.lsh_index import incremental_band_index, minhash_band_index
+
+    d = table(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 5 == 0)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    removed = base.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+
+    idx = incremental_band_index(minhash_band_index(base), delta, removed)
+    n_bands = idx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bands")
+    )
+
+    pairs = near_dup_graph(base, materialize=False).localCheckpoint()
+    cached = connected_components(pairs).localCheckpoint()
+    clusters = incremental_cluster_update(
+        base, delta, cached, base_pairs=pairs, removed=removed
+    )
+
+    nb = n_bands.select(F.col("doc_id").alias("b_id"), "n_bands")
+    cl = clusters.select(
+        F.col("doc_id").alias("c_id"), "cluster_id", "cluster_size", "is_keeper"
+    )
+    j = nb.join(cl, nb["b_id"] == cl["c_id"], "full_outer")
+    return j.select(
+        F.coalesce("b_id", "c_id").cast("long").alias("doc_id"),
+        F.coalesce("n_bands", F.lit(0)).cast("long").alias("n_bands"),
+        F.col("c_id").isNotNull().alias("clustered"),
+        F.coalesce("cluster_id", F.coalesce("b_id", "c_id"))
+        .cast("long")
+        .alias("cluster_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.coalesce("is_keeper", F.lit(True)).alias("is_keeper"),
+    )
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified.
 
@@ -5056,6 +5111,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "incremental_near_dup": q_incremental_near_dup,
     "incremental_dedup_clusters": q_incremental_dedup_clusters,
+    "incremental_refresh_pipeline": q_incremental_refresh_pipeline,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_near_dup": q_embedding_near_dup,
@@ -11636,6 +11692,26 @@ def _band_index_oracle_sql(
 ORACLE_SQL["incremental_lsh_index"] = _band_index_oracle_sql(
     "doc_id % 7 = 0 OR doc_id % 11 <> 0"
 )
+
+# Composed incremental refresh: full-rebuild band index x full-rebuild
+# clusters on the %5/%11 unified corpus, joined per doc (unclustered
+# docs are their own keeper, size 1).
+ORACLE_SQL["incremental_refresh_pipeline"] = f"""
+    SELECT coalesce(bi.doc_id, cl.doc_id)::BIGINT AS doc_id,
+           coalesce(bi.n_bands, 0)::BIGINT AS n_bands,
+           cl.doc_id IS NOT NULL AS clustered,
+           coalesce(cl.cluster_id, coalesce(bi.doc_id, cl.doc_id))::BIGINT AS cluster_id,
+           coalesce(cl.cluster_size, 1)::BIGINT AS cluster_size,
+           coalesce(cl.is_keeper, TRUE) AS is_keeper
+    FROM (
+      SELECT doc_id, count(*)::BIGINT AS n_bands FROM (
+        {_band_index_oracle_sql("doc_id % 5 = 0 OR doc_id % 11 <> 0")}
+      ) GROUP BY doc_id
+    ) bi
+    FULL JOIN (
+      {ORACLE_SQL["incremental_dedup_clusters"]}
+    ) cl ON bi.doc_id = cl.doc_id
+"""
 
 
 ORACLE_SQL["sketch_quantiles"] = """

@@ -45,7 +45,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from name_match_ml_spark.operators.clustering import grid_ivf_topk
-    from name_match_ml_spark.operators.pq import pq_topk
+    from name_match_ml_spark.operators.pq import ivfpq_topk, pq_topk
 
     small = "/root/testdata/sf0.1/embeddings.parquet"
     big = os.path.join(
@@ -84,6 +84,9 @@ def main() -> None:
     for name, fn in [
         ("grid_ivf_topk", lambda c, q: grid_ivf_topk(c, q, k_cells=10, n_probe=4, k=5)),
         ("pq_topk", lambda c, q: pq_topk(c, q)),
+        # round 10: the IVFADC composition — the production shape whose
+        # fixed-query trend should sit at or below its two halves'
+        ("ivfpq_topk", lambda c, q: ivfpq_topk(c, q)),
     ]:
         t_small = run(fn, small)
         t_big = run(fn, big)
