@@ -72,6 +72,28 @@ DEFAULT_QUERIES = [
 ]
 
 NOTES = {
+    "video_phash_dedup": (
+        "work is TH(true matched pairs): the synthetic corpus's templated "
+        "texts put ~32% of videos in large identical-frame families (even "
+        "exact-only matching finds 25.3k pairs / 1666 videos at sf0.1), so "
+        "10x replication grows true pair volume ~x100 while runtime grows "
+        "x26 — SUB-linear in input+output; for corpora with giant dup "
+        "families resolve clusters (dedup_clusters/incremental_dedup_"
+        "clusters) instead of mutual neighbor counts"
+    ),
+    "incremental_dedup_clusters": (
+        "the %5 delta is corpus-proportional by the declared convention, so "
+        "delta-side work scales with the corpus; a production batch is "
+        "fixed-size and the affected-component CC rerun is delta-bounded"
+    ),
+    "incremental_refresh_pipeline": (
+        "composes the band-index and cluster maintenance stages; inherits "
+        "the corpus-proportional %5 delta convention above"
+    ),
+    "ivfpq_topk": (
+        "declared convention queries = vec_id %% 10 (corpus-proportional); "
+        "the FIXED-query trend is in BENCH_SCALE_r10_fixedq.json"
+    ),
     "unigram_lm_vocab": (
         "lexicon-bounded: corpus scanned once for word counts; EM rounds "
         "work on the capped word table, so 10x data only grows the scan"
