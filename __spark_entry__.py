@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_ROTATION: list[str] = [
     # round-10 additions
     "ivfpq_topk", "incremental_dedup_clusters", "video_phash_dedup",
-    "theta_set_ops", "incremental_refresh_pipeline",
+    "theta_set_ops", "theta_multiway", "incremental_refresh_pipeline",
     # touched this round: pq/clustering refactor + sketch/lsh/phash/graph
     "pq_topk", "opq_topk", "grid_ivf_topk", "grid_kmeans",
     "cluster_balanced_sample", "sketch_quantiles", "incremental_lsh_index",

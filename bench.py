@@ -255,6 +255,7 @@ EXTENDED = [
     "incremental_dedup_clusters",
     "video_phash_dedup",
     "theta_set_ops",
+    "theta_multiway",
     "incremental_refresh_pipeline",
 ]
 

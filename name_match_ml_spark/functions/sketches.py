@@ -46,6 +46,7 @@ __all__ = [
     "theta_sketch_states",
     "merge_theta_states",
     "theta_set_algebra",
+    "theta_multiway",
     "THETA_MAX",
 ]
 
@@ -778,5 +779,73 @@ def theta_set_algebra(states: DataFrame, *, k: int = 256) -> DataFrame:
             est("w_inter").alias("est_inter"),
             est("w_diff_ab").alias("est_diff_ab"),
             est("w_diff_ba").alias("est_diff_ba"),
+        )
+    )
+
+
+def theta_multiway(states: DataFrame, *, k: int = 256) -> DataFrame:
+    """K-way theta-sketch algebra over ALL sources at once — the
+    DataSketches capability pairwise :func:`theta_set_algebra` doesn't
+    reach: the distinct-union cardinality of every source combined and
+    the k-way intersection (values present in EVERY source), from the
+    same per-source bottom-(k+1) states.
+
+    ``theta = min_s theta_s``; every retained hash below theta has
+    inclusion probability ``theta / 2^60`` regardless of how many
+    sources carry it, so the Horvitz-Thompson device is unchanged — one
+    exact wide-integer division, hash-checkable.  Returns ONE row:
+    ``(n_sources, theta, w_union, w_inter, est_union, est_inter)``.
+
+    Scale shape: one aggregate over the ≤ n_sources·(k+1)-row state
+    table; the 1-row theta broadcast is the only join."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    n_sources = states.select("source").distinct().count()
+    params = states.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_m"), F.max("_h").alias("_mx")
+    ).select(
+        F.when(F.col("_m") >= k + 1, F.col("_mx"))
+        .otherwise(F.lit(THETA_MAX))
+        .cast("long")
+        .alias("theta_s"),
+    )
+    theta = params.agg(F.min("theta_s").cast("long").alias("theta"))
+    marked = (
+        states.crossJoin(F.broadcast(theta))
+        .filter(F.col("_h") < F.col("theta"))
+        .groupBy("_h", "theta")
+        .agg(F.countDistinct("source").alias("_ns"))
+    )
+    counts = marked.groupBy("theta").agg(
+        F.count(F.lit(1)).cast("long").alias("w_union"),
+        F.sum((F.col("_ns") == n_sources).cast("int")).cast("long").alias("w_inter"),
+    )
+
+    def est(col: str) -> Column:
+        return (
+            F.when(F.col("theta") == THETA_MAX, F.col(col))
+            .otherwise(
+                F.expr(
+                    f"CAST({col} AS DECIMAL(38,0)) * CAST({THETA_MAX} AS DECIMAL(38,0))"
+                    " DIV theta"
+                )
+            )
+            .cast("long")
+        )
+
+    # theta carried through the aggregate; an all-empty state set still
+    # yields one row via the right-join against the 1-row theta table
+    return (
+        theta.join(counts, "theta", "left")
+        .select(
+            F.lit(n_sources).cast("int").alias("n_sources"),
+            "theta",
+            F.coalesce(F.col("w_union"), F.lit(0)).cast("long").alias("w_union"),
+            F.coalesce(F.col("w_inter"), F.lit(0)).cast("long").alias("w_inter"),
+        )
+        .select(
+            "n_sources", "theta", "w_union", "w_inter",
+            est("w_union").alias("est_union"),
+            est("w_inter").alias("est_inter"),
         )
     )

@@ -4738,6 +4738,26 @@ def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_set_algebra(st, k=256)
 
 
+def q_theta_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-way theta-sketch algebra (functions/sketches.py::
+    theta_multiway): the distinct-shingle cardinality of ALL five
+    languages combined and the 5-way intersection (shingles present in
+    EVERY language), from the same per-language bottom-257 states as
+    theta_set_ops — one Horvitz-Thompson row, exact wide-integer
+    division, hash-checked estimation error included."""
+    from .functions.sketches import theta_multiway, theta_sketch_states
+    from .operators.dedup import _shingles, _words
+
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("lang", _words("text").alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select("lang", F.explode(_shingles(F.col("_w"), 2)).alias("s"))
+    )
+    st = theta_sketch_states(sh, value_col="s", source_col="lang", k=256)
+    return theta_multiway(st, k=256)
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the near-dup graph (operators/graph.py::k_core) —
     nodes on a CYCLE of mutual matches with their in-core degree.  The
@@ -4967,6 +4987,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_touch": q_multi_touch,
     "kmv_overlap": q_kmv_overlap,
     "theta_set_ops": q_theta_set_ops,
+    "theta_multiway": q_theta_multiway,
     "robust_outliers": q_robust_outliers,
     "copurchase_lift": q_copurchase_lift,
     "market_share": q_market_share,
@@ -11146,6 +11167,54 @@ ORACLE_SQL["theta_set_ops"] = f"""
                  ELSE coalesce(c.w_diff_ba, 0)::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // p.theta
             END)::BIGINT AS est_diff_ba
     FROM prs p LEFT JOIN cnt c USING (source_a, source_b)
+"""
+
+ORACLE_SQL["theta_multiway"] = f"""
+    WITH tbase AS (
+      SELECT lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents),
+    shl AS (
+      SELECT lang,
+             unnest(list_distinct(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])
+               ELSE words END)) AS s
+      FROM tbase WHERE len(words) > 0),
+    hs AS MATERIALIZED (
+      SELECT DISTINCT lang AS source,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM shl),
+    st AS MATERIALIZED (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hs)
+      WHERE rn <= 257),
+    ns AS (SELECT count(DISTINCT source)::INT AS n_sources FROM st),
+    th AS (
+      SELECT min(theta_s)::BIGINT AS theta FROM (
+        SELECT (CASE WHEN count(*) >= 257 THEN max(h)
+                     ELSE {_THETA_MAX_SQL} END)::BIGINT AS theta_s
+        FROM st GROUP BY source)),
+    marked AS (
+      SELECT s.h, count(DISTINCT s.source) AS nsrc
+      FROM st s, th WHERE s.h < th.theta GROUP BY s.h),
+    cnt AS (
+      SELECT count(*)::BIGINT AS w_union,
+             coalesce(sum(CASE WHEN nsrc = (SELECT n_sources FROM ns)
+                          THEN 1 ELSE 0 END), 0)::BIGINT AS w_inter
+      FROM marked)
+    SELECT ns.n_sources, th.theta,
+           cnt.w_union, cnt.w_inter,
+           (CASE WHEN th.theta = {_THETA_MAX_SQL} THEN cnt.w_union::HUGEINT
+                 ELSE cnt.w_union::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // th.theta
+            END)::BIGINT AS est_union,
+           (CASE WHEN th.theta = {_THETA_MAX_SQL} THEN cnt.w_inter::HUGEINT
+                 ELSE cnt.w_inter::HUGEINT * {_THETA_MAX_SQL}::HUGEINT // th.theta
+            END)::BIGINT AS est_inter
+    FROM ns, th, cnt
 """
 
 ORACLE_SQL["kmv_overlap"] = """

@@ -78,6 +78,8 @@ ALLOWED = {
     # table (5 langs → 25 rows) — bounded by source cardinality, the
     # sketch states themselves join hash-side
     "theta_set_ops": {"BroadcastNestedLoopJoin"},
+    # the 1-row global-theta broadcast against the bounded state table
+    "theta_multiway": {"BroadcastNestedLoopJoin"},
     # IVFADC composition: the 1-row global-scale broadcast (pq_topk's)
     # + the k_cells-row coarse seeding/centroid broadcasts (grid_kmeans's)
     # + the bounded probe crossJoin against the 8-row cell table

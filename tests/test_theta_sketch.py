@@ -90,3 +90,25 @@ def test_validation(spark):
         theta_sketch_states(df, value_col="v", source_col="src", k=1)
     with pytest.raises(ValueError):
         merge_theta_states([])
+
+
+def test_multiway_exact_and_estimation(spark):
+    from name_match_ml_spark.functions.sketches import theta_multiway
+
+    # exact regime: 3 small sources, intersection = {5..9}
+    df = _mk(spark, {"a": range(10), "b": range(5, 15), "c": range(5, 10)})
+    row = theta_multiway(
+        theta_sketch_states(df, value_col="v", source_col="src", k=256), k=256
+    ).collect()[0]
+    assert (row.n_sources, row.theta) == (3, THETA_MAX)
+    assert (row.w_union, row.w_inter) == (15, 5)
+    assert (row.est_union, row.est_inter) == (15, 5)
+    # estimation regime: big overlapping domains
+    n = 5000
+    big = _mk(spark, {"a": range(n), "b": range(1000, n + 1000), "c": range(2000, n + 2000)})
+    r2 = theta_multiway(
+        theta_sketch_states(big, value_col="v", source_col="src", k=256), k=256
+    ).collect()[0]
+    assert r2.theta < THETA_MAX
+    assert abs(r2.est_union - (n + 2000)) / (n + 2000) < 0.35
+    assert abs(r2.est_inter - (n - 2000)) / (n - 2000) < 0.5
