@@ -27,13 +27,18 @@ step is exact and engine-replayable (VERDICT r6 #5):
   ``//`` agree on negatives, verified), so re-quantized centroids are
   bit-identical; empty clusters keep their previous centroid.
 
-Scale shape: per round ONE broadcast of the k-row centroid table against
-the streaming corpus (k ≤ dozens — the bounded-dimension broadcast
-class) and ONE map-side-combined groupBy of ``corpus × dim`` longs for
-the update; centroids checkpoint eagerly between rounds (the iterative
-convention).  At 100 TB this is textbook distributed Lloyd: no stage
-touches more than |corpus| × dim longs and nothing corpus-sized is ever
-collected.
+Scale shape (tightened in the round-10 optimization pass, guide §2.3/2.4):
+centroids are BOUNDED MODEL STATE (k × dim longs — the quantity MLlib's
+KMeans also reduces to the driver every round), so they live as plain
+Python lists between rounds and are inlined as LITERAL arrays into each
+round's plan.  Per Lloyd round that leaves exactly ONE job: a map-side
+argmin projection (no centroid join, no per-vector shuffle) feeding a
+partial-combining ``groupBy(cid, pos)`` whose k·dim aggregate rows come
+back to the driver — the treeAggregate shape.  Per seeding round: ONE
+``TakeOrderedAndProject`` top-1 over a map-side dmin projection (the old
+per-round window sort + two localCheckpoints are gone).  At 100 TB this
+is textbook distributed Lloyd: every stage is one pass over
+|corpus| × dim longs, and the only driver traffic is the k×dim model.
 
 Reference note: the reference repo (main.py, 227 LoC pandas/sklearn) has
 no clustering machinery; this extends the LLM-pipeline operator family.
@@ -41,7 +46,7 @@ no clustering machinery; this extends the LLM-pipeline operator family.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -70,7 +75,8 @@ def _sq_dist(a: Column, b: Column) -> Column:
 def _assign_to(qz: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector (``(vec_id, cid, dist)``; ties →
     smallest cid) — one bounded k-row broadcast against the streaming
-    code table."""
+    code table.  (Kept for API/tests; the fitted paths use the
+    zero-shuffle literal form :func:`_best_center_expr`.)"""
     scored = qz.crossJoin(F.broadcast(cents)).select(
         "vec_id", F.col("cid"), _sq_dist(F.col("q"), F.col("cv")).alias("dist")
     )
@@ -83,6 +89,157 @@ def _assign_to(qz: DataFrame, cents: DataFrame) -> DataFrame:
             F.col("_b.dist").alias("dist"),
         )
     )
+
+
+def _vec_sql(cv: list[int]) -> str:
+    """A centroid as a Spark SQL ``array<bigint>`` literal.  Literal
+    expressions are generated as SQL TEXT and parsed server-side with
+    ONE ``F.expr`` call: building the same tree with ``F.lit``/
+    ``F.array``/``F.struct`` costs one py4j round-trip per node —
+    measured ~27 s for one m=16×k=16 codebook vs 0.02 s for the parsed
+    string (same resulting expression, bit-identical results)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    """Exact int64 squared Euclidean distance between two
+    ``array<bigint>`` SQL expressions — the SQL twin of
+    :func:`_sq_dist` (same zip_with/aggregate shape)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _best_center_expr(q: str, centers: list[tuple[int, list[int]]]) -> Column:
+    """``struct(dist, cid)`` of the nearest literal centroid — the
+    map-side argmin that replaces the crossJoin+groupBy assignment:
+    ``array_min`` over ``struct(dist, cid)`` is the same
+    ``min(struct(dist, cid))`` ordering (ties → smallest cid), with the
+    centroids folded into the plan as literals so NO join, exchange, or
+    aggregate touches the corpus.  ``q`` is the SQL name of the code
+    column; the whole expression is one parsed SQL string (see
+    :func:`_vec_sql`)."""
+    return F.expr(
+        "array_min(array("
+        + ",".join(
+            f"named_struct('dist', {_sqd_sql(q, _vec_sql(cv))}, 'cid', {int(cid)})"
+            for cid, cv in centers
+        )
+        + "))"
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Exact integer division truncating toward zero — Spark ``DIV`` /
+    DuckDB ``//`` semantics (Python ``//`` floors, which differs on
+    negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _grid_kmeans_fit(
+    embeddings: DataFrame | None = None,
+    *,
+    k: int = 10,
+    rounds: int = GRID_KMEANS_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    staged: bool = False,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Train the deterministic grid k-means; returns ``(qz,
+    centers_py)`` with the centroids as driver-side Python lists —
+    bounded model state (k × dim longs), the same thing MLlib's KMeans
+    holds on the driver.  Callers inline them as plan literals
+    (:func:`_best_center_expr`), which removes every per-round
+    centroid join/window from the corpus-sized stages.  Bit-identical
+    to the pre-round-10 DataFrame formulation: distances, tie rules,
+    Gonzalez order and the truncating centroid update are unchanged
+    (hash-checked against the same unrolled-CTE oracles)."""
+    if k < 1:
+        raise ValueError("k >= 1")
+    if codes is not None:
+        qz = codes.select(
+            F.col(id_col if id_col in codes.columns else "vec_id")
+            .cast("long")
+            .alias("vec_id"),
+            F.col("q"),
+        )
+        if not staged:
+            qz = qz.localCheckpoint()
+    else:
+        if embeddings is None:
+            raise ValueError("grid_kmeans_model: pass embeddings or codes")
+        from .simsearch import quantize_expr
+
+        v = F.col(vec_col).cast("array<double>")
+        _scale, q = quantize_expr(v)
+        qz = embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.transform(q, lambda x: x.cast("long")).alias("q"),
+        ).localCheckpoint()
+
+    # Gonzalez farthest-point seeding.  Per round ONE top-1 job
+    # (TakeOrderedAndProject over a map-side dmin projection against the
+    # literal chosen set); the winner row (one id + dim longs) is the
+    # only thing that reaches the driver — exactly what the old
+    # ``nxt.head()`` already pulled, minus the two per-round
+    # localCheckpoint materializations and the full-sort window.
+    first = qz.orderBy("vec_id").limit(1).collect()
+    if not first:
+        raise ValueError("grid_kmeans: empty corpus")
+    chosen: list[tuple[int, list[int]]] = [
+        (int(first[0]["vec_id"]), [int(x) for x in first[0]["q"]])
+    ]
+    for _ in range(2, k + 1):
+        dmin = F.expr(
+            "array_min(array("
+            + ",".join(_sqd_sql("q", _vec_sql(cv)) for _vid, cv in chosen)
+            + "))"
+        )
+        nxt = (
+            qz.filter(~F.col("vec_id").isin([vid for vid, _cv in chosen]))
+            .select("vec_id", "q", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break  # k exceeds corpus size
+        chosen.append((int(nxt[0]["vec_id"]), [int(x) for x in nxt[0]["q"]]))
+    centers: list[tuple[int, list[int]]] = [
+        (i + 1, cv) for i, (_vid, cv) in enumerate(chosen)
+    ]
+
+    # Lloyd rounds: ONE job each — map-side literal argmin, then a
+    # partial-combining (cid, pos) sum/count whose k·dim rows come back
+    # to the driver (the treeAggregate shape); the truncating update
+    # runs in exact Python integer arithmetic (same DIV semantics).
+    for _ in range(rounds):
+        best = _best_center_expr("q", centers)
+        sums = (
+            # two selects: getField + a multi-alias posexplode in ONE
+            # select trips the generator-extraction analyzer rule
+            qz.select(best.getField("cid").alias("cid"), "q")
+            .select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(int(r["cid"]), {})[int(r["pos"])] = _trunc_div(
+                int(r["_s"]), int(r["_c"])
+            )
+        centers = [
+            (
+                cid,
+                [upd[cid][p] for p in range(len(cv))] if cid in upd else cv,
+            )
+            for cid, cv in centers
+        ]
+    return qz, centers
 
 
 def grid_kmeans_model(
@@ -106,88 +263,13 @@ def grid_kmeans_model(
     device — IVFADC needs the GLOBAL-scale grid (``pq._global_codes``)
     so residuals stay comparable across vectors; the seeding/Lloyd
     machinery is identical either way."""
-    if k < 1:
-        raise ValueError("k >= 1")
-    if codes is not None:
-        qz = codes.select(
-            F.col(id_col if id_col in codes.columns else "vec_id")
-            .cast("long")
-            .alias("vec_id"),
-            F.col("q"),
-        ).localCheckpoint()
-    else:
-        if embeddings is None:
-            raise ValueError("grid_kmeans_model: pass embeddings or codes")
-        from .simsearch import quantize_expr
-
-        v = F.col(vec_col).cast("array<double>")
-        _scale, q = quantize_expr(v)
-        qz = embeddings.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.transform(q, lambda x: x.cast("long")).alias("q"),
-        ).localCheckpoint()
-
-    # Gonzalez farthest-point seeding (each round one 1-row broadcast —
-    # the kcenter_select shape, here with exact int64 squared distances).
-    first = qz.orderBy("vec_id").limit(1).localCheckpoint()
-    if not first.head(1):
-        raise ValueError("grid_kmeans: empty corpus")
-    centers = first.select(F.lit(1).alias("cid"), F.col("q").alias("cv"))
-    state = (
-        qz.crossJoin(F.broadcast(first.select(F.col("q").alias("_cq"))))
-        .filter(F.col("vec_id") != first.head()[0])
-        .select("vec_id", "q", _sq_dist(F.col("q"), F.col("_cq")).alias("dmin"))
-        .localCheckpoint()
+    qz, centers = _grid_kmeans_fit(
+        embeddings, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col, codes=codes
     )
-    for i in range(2, k + 1):
-        nxt = state.orderBy(F.desc("dmin"), "vec_id").limit(1).localCheckpoint()
-        if not nxt.head(1):
-            break  # k exceeds corpus size
-        centers = centers.unionByName(
-            nxt.select(F.lit(i).alias("cid"), F.col("q").alias("cv"))
-        )
-        if i == k:
-            break
-        nid = nxt.head()[0]
-        state = (
-            state.filter(F.col("vec_id") != nid)
-            .crossJoin(F.broadcast(nxt.select(F.col("q").alias("_cq"))))
-            .select(
-                "vec_id",
-                "q",
-                F.least(
-                    F.col("dmin"), _sq_dist(F.col("q"), F.col("_cq"))
-                ).alias("dmin"),
-            )
-            .localCheckpoint()
-        )
-    centers = centers.localCheckpoint()
-
-    for _ in range(rounds):
-        assign = _assign_to(qz, centers)
-        sums = (
-            assign.join(qz, "vec_id")
-            .select("cid", F.posexplode("q").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_c"))
-        )
-        newc = (
-            sums.select("cid", "pos", F.expr("_s DIV _c").alias("x"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("x")))),
-                    lambda t: t.getField("x"),
-                ).alias("cv_new")
-            )
-        )
-        centers = (
-            centers.join(newc, "cid", "left")
-            .select("cid", F.coalesce("cv_new", "cv").alias("cv"))
-            .localCheckpoint()
-        )
-
-    return qz, centers
+    cdf = qz.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in centers], "cid int, cv array<bigint>"
+    )
+    return qz, cdf
 
 
 def grid_kmeans(
@@ -205,13 +287,16 @@ def grid_kmeans(
     centroid.  If ``k`` exceeds the corpus size, seeding stops early and
     every vector becomes its own center (the kcenter_select rule).
     """
-    qz, centers = grid_kmeans_model(
+    qz, centers = _grid_kmeans_fit(
         embeddings, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
-    return _assign_to(qz, centers).select(
-        "vec_id",
-        F.col("cid").alias("cluster"),
-        F.col("dist").cast("long").alias("dist_grid"),
+    return (
+        qz.select("vec_id", _best_center_expr("q", centers).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cid").alias("cluster"),
+            F.col("_b.dist").cast("long").alias("dist_grid"),
+        )
     )
 
 
@@ -259,12 +344,15 @@ def grid_ivf_topk(
     from ..plans.probe import PROBE_BROADCAST_ROW_BUDGET, probe_side
     from .simsearch import quantize_expr
 
-    qz, centers = grid_kmeans_model(
+    qz, centers = _grid_kmeans_fit(
         embeddings, k=k_cells, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
-    inv = _assign_to(qz, centers).select("vec_id", "cid").join(qz, "vec_id")
-
-    from pyspark.sql import Window
+    # inverted lists: map-side literal argmin — the cell id rides along
+    # the streaming code row; no assignment join back to qz (guide §2.4:
+    # that join was a full corpus shuffle removed outright).
+    inv = qz.select(
+        "vec_id", _best_center_expr("q", centers).getField("cid").alias("cid"), "q"
+    )
 
     if queries is None:
         qcodes = qz.filter(F.col("vec_id") % query_mod == 0).select(
@@ -285,15 +373,23 @@ def grid_ivf_topk(
     q_cap = budget // n_probe
     est_probe = float(qcodes.limit(q_cap + 1).count()) * n_probe
 
-    wp = Window.partitionBy("query_id").orderBy("cdist", "cid")
-    probe = (
-        qcodes.crossJoin(F.broadcast(centers))
-        .select(
-            "query_id", "qq", "cid", _sq_dist(F.col("qq"), F.col("cv")).alias("cdist")
+    # n_probe nearest cells per query, map-side: sort the literal
+    # ``struct(cdist, cid)`` array and slice — same (cdist, cid asc)
+    # order as the old per-query window, with the window exchange gone.
+    cells_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cdist', {_sqd_sql('qq', _vec_sql(cv))}, 'cid', {int(cid)})"
+            for cid, cv in centers
         )
-        .withColumn("_pn", F.row_number().over(wp))
-        .filter(F.col("_pn") <= n_probe)
-        .select("query_id", "qq", "cid")
+        + ")"
+    )
+    probe = (
+        qcodes.select(
+            "query_id", "qq",
+            F.explode(F.slice(F.array_sort(cells_arr), 1, n_probe)).alias("_pc"),
+        )
+        .select("query_id", "qq", F.col("_pc.cid").alias("cid"))
     )
     cand = (
         inv.join(probe_side(probe, est_rows=est_probe, row_budget=budget), "cid")

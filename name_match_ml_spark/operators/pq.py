@@ -27,12 +27,20 @@ Determinism restatements (the ``grid_kmeans`` toolbox, per subspace):
   corpus only its codes; ``dist(q, x) = Σ_s dtab[s][code_s(x)]`` — an
   int64 sum of m exact int64 cell distances, summation-order-free.
 
-Scale shape: codebooks are ``m·k_codes`` rows (broadcast); the
-per-round Lloyd aggregate is map-side-combined over corpus × sub-dim
-longs; encoding is one broadcast join; the ADC distance table is
-``|Q|·m·k_codes`` rows (queries small by contract — the cosine_topk
-class) broadcast against the streaming code table; top-k is a per-query
-WindowGroupLimit.  Nothing corpus-sized is collected or crossed.
+Scale shape (tightened in the round-10 optimization pass, guide
+§2.3/2.4): codebooks are BOUNDED MODEL STATE (``m·k_codes`` sub-vectors
+— the same k×dim quantity MLlib reduces to the driver per KMeans
+round), so they live as Python lists between rounds and are inlined as
+literal arrays indexed by the subspace id.  Per seeding round that
+leaves ONE partial-combining per-``s`` argmax job (the old full-sort
+window over m partitions and its two localCheckpoints are gone); per
+Lloyd round ONE map-side argmin + ``(s, cid, pos)`` aggregate job
+(treeAggregate shape); corpus encoding is a pure projection — no
+assignment join or shuffle ever touches the code table.  The ADC
+distance table is built map-side from the literal codebooks
+(``|Q|·m·k_codes`` rows) and auto-selects broadcast vs shuffle-hash
+against the streaming codes; top-k is a per-query WindowGroupLimit.
+Nothing corpus-sized is collected or crossed.
 
 Reference note: the reference repo (227-LoC pandas Flask app,
 main.py) has no vector surface; this extends the SURVEY §2.10
@@ -94,12 +102,15 @@ def _global_codes(
     return base.crossJoin(F.broadcast(gs)).select("vec_id", q.alias("q"))
 
 
-def _subvectors(codes: DataFrame, *, m: int) -> DataFrame:
-    """``(vec_id, s, sq)``: split each code vector into ``m`` contiguous
-    sub-vectors — pure per-row codegen."""
+def _subvectors(codes: DataFrame, *, m: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """``(vec_id, [*extra,] s, sq)``: split each code vector into ``m``
+    contiguous sub-vectors — pure per-row codegen.  ``extra`` names
+    passthrough columns (ivfpq carries the coarse ``cell`` so the
+    inverted code lists never need an assignment join)."""
     sub = (F.size(F.col("q")) / m).cast("int")
-    return codes.select("vec_id", sub.alias("_sub"), "q").select(
+    return codes.select("vec_id", *extra, sub.alias("_sub"), "q").select(
         "vec_id",
+        *extra,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -107,6 +118,77 @@ def _subvectors(codes: DataFrame, *, m: int) -> DataFrame:
             )
         ).alias("s", "sq"),
     )
+
+
+def _vec_sql(cv: list[int]) -> str:
+    """A codebook sub-vector as a Spark SQL ``array<bigint>`` literal.
+    Literal expressions are generated as SQL TEXT and parsed server-side
+    with ONE ``F.expr`` call: building the same tree with ``F.lit``/
+    ``F.array``/``F.struct`` costs one py4j round-trip per node —
+    measured ~27 s for one m=16×k=16 codebook vs 0.02 s for the parsed
+    string (same resulting expression, bit-identical results)."""
+    return "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    """Exact int64 squared Euclidean distance between two
+    ``array<bigint>`` SQL expressions — the SQL twin of
+    :func:`_sq_dist` (same zip_with/aggregate shape)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _cb_sql(books: list[list[tuple[int, list[int]]]]) -> str:
+    """The codebooks as one SQL literal
+    ``array<array<struct<cid int, cv array<bigint>>>>`` indexed
+    ``[s+1]`` via ``element_at``."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                f"named_struct('cid', {int(cid)}, 'cv', {_vec_sql(cv)})"
+                for cid, cv in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def _encode_cid_expr(
+    books: list[list[tuple[int, list[int]]]], s: str, sq: str
+) -> Column:
+    """Nearest codebook entry id for (s, sq) against the literal
+    codebooks — the same ``min(struct(dist, cid))`` ordering as
+    :func:`_assign` (ties → smallest cid), evaluated map-side.  ``s``
+    and ``sq`` are SQL column names; one parsed SQL string (see
+    :func:`_vec_sql`)."""
+    return F.expr(
+        f"array_min(transform(element_at({_cb_sql(books)}, CAST({s} + 1 AS INT)), "
+        f"c -> named_struct('dist', {_sqd_sql(sq, 'c.cv')}, 'cid', c.cid)))"
+    ).getField("cid")
+
+
+def _dtab_entries_expr(
+    books: list[list[tuple[int, list[int]]]], s: str, qsq: str
+) -> Column:
+    """ADC distance-table entries for one (query, s) row against the
+    literal codebooks: ``array<struct<cid, d>>`` — the map-side
+    replacement for the old broadcast join against the centers table."""
+    return F.expr(
+        f"transform(element_at({_cb_sql(books)}, CAST({s} + 1 AS INT)), "
+        f"c -> named_struct('cid', c.cid, 'd', {_sqd_sql(qsq, 'c.cv')}))"
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Spark ``DIV`` / DuckDB ``//`` semantics: truncate toward zero."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
 
 
 def _assign(subq: DataFrame, centers: DataFrame) -> DataFrame:
@@ -119,6 +201,147 @@ def _assign(subq: DataFrame, centers: DataFrame) -> DataFrame:
         .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("_b"))
         .select("vec_id", "s", F.col("_b.cid").alias("cid"), F.col("_b.dist").alias("dist"))
     )
+
+
+def _pq_fit(
+    embeddings: DataFrame | None = None,
+    *,
+    m: int = 16,
+    k_codes: int = 16,
+    rounds: int = PQ_LLOYD_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    staged: bool = False,
+    extra: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame, list[list[tuple[int, list[int]]]]]:
+    """Train the per-subspace codebooks and return ``(codes_full, subq,
+    books)`` with the codebooks as driver-side Python lists indexed
+    ``books[s] = [(cid, cv), ...]`` — bounded model state
+    (``m·k_codes`` sub-vectors), inlined as plan literals by the query
+    paths.  Bit-identical to the pre-round-10 DataFrame formulation
+    (same Gonzalez order, tie rules, truncating updates — hash-checked
+    against the same unrolled-CTE oracles).  ``staged`` marks ``codes``
+    as already checkpointed (skips the redundant re-materialization);
+    ``extra`` columns ride through ``subq`` untouched by training."""
+    if m < 1 or k_codes < 1:
+        raise ValueError("m >= 1 and k_codes >= 1")
+    if codes is not None:
+        codes_full = codes.select(
+            F.col("vec_id").cast("long").alias("vec_id"), *extra, "q"
+        )
+        if not staged:
+            codes_full = codes_full.localCheckpoint()
+    else:
+        if embeddings is None:
+            raise ValueError("pq_codebooks: pass embeddings or codes")
+        codes_full = _global_codes(
+            embeddings, id_col=id_col, vec_col=vec_col, scale=scale
+        ).localCheckpoint()
+    subq = _subvectors(codes_full, m=m, extra=extra).localCheckpoint()
+
+    # Gonzalez farthest-point seeding, all subspaces per round at once:
+    # seed = the min-vec_id sub-vector per s, each next center the
+    # per-s argmax of dmin (ties → smallest vec_id) against the chosen
+    # set inlined as literals.  ONE partial-combining aggregate job per
+    # round — the m-partition full-sort window and the per-round state
+    # checkpoint of the old formulation are gone; only m winner rows
+    # (each sub-dim longs) reach the driver per round.
+    first = (
+        subq.groupBy("s")
+        .agg(F.min(F.struct(F.col("vec_id"), F.col("sq"))).alias("b"))
+        .collect()
+    )
+    if not first:
+        return codes_full, subq, []
+    n_sub = 1 + max(int(r["s"]) for r in first)
+    chosen: list[list[tuple[int, list[int]]]] = [[] for _ in range(n_sub)]
+    for r in first:
+        chosen[int(r["s"])].append(
+            (int(r["b"]["vec_id"]), [int(x) for x in r["b"]["sq"]])
+        )
+    for _ in range(2, k_codes + 1):
+        cents_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_vec_sql(cv) for _vid, cv in ch) + ")"
+                for ch in chosen
+            )
+            + ")"
+        )
+        ids_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(vid)}L" for vid, _cv in ch) + ")"
+                for ch in chosen
+            )
+            + ")"
+        )
+        dmin = F.expr(
+            f"array_min(transform(element_at({cents_sql}, CAST(s + 1 AS INT)), "
+            f"c -> {_sqd_sql('sq', 'c')}))"
+        )
+        notin = F.expr(
+            f"NOT array_contains(element_at({ids_sql}, CAST(s + 1 AS INT)), vec_id)"
+        )
+        sel = (
+            subq.filter(notin)
+            .select("s", "vec_id", "sq", dmin.alias("dmin"))
+            .groupBy("s")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dmin"),
+                        F.bitwise_not("vec_id").alias("nv"),
+                        F.col("sq"),
+                    )
+                ).alias("b")
+            )
+            .collect()
+        )
+        if not sel:
+            break  # k_codes exceeds corpus size
+        for r in sel:
+            # Spark bitwise_not on a 64-bit long is two's-complement
+            # ~v = -v-1; Python ~ inverts it back exactly.
+            chosen[int(r["s"])].append(
+                (~int(r["b"]["nv"]), [int(x) for x in r["b"]["sq"]])
+            )
+    books: list[list[tuple[int, list[int]]]] = [
+        [(i + 1, cv) for i, (_vid, cv) in enumerate(ch)] for ch in chosen
+    ]
+
+    # Lloyd rounds: ONE job each — map-side literal argmin feeding a
+    # partial-combining (s, cid, pos) sum/count; the truncating update
+    # runs in exact Python integer arithmetic (same DIV semantics).
+    for _ in range(rounds):
+        cid_expr = _encode_cid_expr(books, "s", "sq")
+        sums = (
+            subq.select("s", cid_expr.alias("cid"), "sq")
+            .select("s", "cid", F.posexplode("sq").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.sum("val").alias("_s"), F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault((int(r["s"]), int(r["cid"])), {})[int(r["pos"])] = _trunc_div(
+                int(r["_s"]), int(r["_c"])
+            )
+        books = [
+            [
+                (
+                    cid,
+                    [upd[(s, cid)][p] for p in range(len(cv))]
+                    if (s, cid) in upd
+                    else cv,
+                )
+                for cid, cv in book
+            ]
+            for s, book in enumerate(books)
+        ]
+    return codes_full, subq, books
 
 
 def pq_codebooks(
@@ -145,90 +368,20 @@ def pq_codebooks(
     All m subspaces train CONCURRENTLY: each seeding/Lloyd round is one
     job over the combined (vec, subspace) table, never a per-subspace
     loop of jobs."""
-    if m < 1 or k_codes < 1:
-        raise ValueError("m >= 1 and k_codes >= 1")
-    if codes is not None:
-        codes_full = codes.select(
-            F.col("vec_id").cast("long").alias("vec_id"), "q"
-        ).localCheckpoint()
-    else:
-        if embeddings is None:
-            raise ValueError("pq_codebooks: pass embeddings or codes")
-        codes_full = _global_codes(
-            embeddings, id_col=id_col, vec_col=vec_col, scale=scale
-        ).localCheckpoint()
-    subq = _subvectors(codes_full, m=m).localCheckpoint()
-
-    # Gonzalez farthest-point seeding, all subspaces per round at once:
-    # the round's new center per subspace is the per-s argmax of dmin
-    # (an m-row broadcast), exactly the grid_kmeans device keyed by s.
-    w1 = Window.partitionBy("s").orderBy("vec_id")
-    g = (
-        subq.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") == 1)
-        .select("s", F.col("vec_id").alias("_gvid"), F.col("sq").alias("_gcv"))
-        .localCheckpoint()
+    codes_full, subq, books = _pq_fit(
+        embeddings,
+        m=m,
+        k_codes=k_codes,
+        rounds=rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        codes=codes,
     )
-    centers = g.select("s", F.lit(1).alias("cid"), F.col("_gcv").alias("cv"))
-    state = (
-        subq.join(F.broadcast(g), "s")
-        .filter(F.col("vec_id") != F.col("_gvid"))
-        .select("s", "vec_id", "sq", _sq_dist(F.col("sq"), F.col("_gcv")).alias("dmin"))
-        .localCheckpoint()
+    rows = [(s, cid, cv) for s, book in enumerate(books) for cid, cv in book]
+    centers = codes_full.sparkSession.createDataFrame(
+        rows, "s int, cid int, cv array<bigint>"
     )
-    wn = Window.partitionBy("s").orderBy(F.desc("dmin"), "vec_id")
-    for i in range(2, k_codes + 1):
-        nxt = (
-            state.withColumn("_rn", F.row_number().over(wn))
-            .filter(F.col("_rn") == 1)
-            .select("s", F.col("vec_id").alias("_gvid"), F.col("sq").alias("_gcv"))
-            .localCheckpoint()
-        )
-        if not nxt.head(1):
-            break  # k_codes exceeds corpus size
-        centers = centers.unionByName(
-            nxt.select("s", F.lit(i).alias("cid"), F.col("_gcv").alias("cv"))
-        )
-        if i == k_codes:
-            break
-        state = (
-            state.join(F.broadcast(nxt), "s")
-            .filter(F.col("vec_id") != F.col("_gvid"))
-            .select(
-                "s",
-                "vec_id",
-                "sq",
-                F.least(F.col("dmin"), _sq_dist(F.col("sq"), F.col("_gcv"))).alias(
-                    "dmin"
-                ),
-            )
-            .localCheckpoint()
-        )
-    centers = centers.localCheckpoint()
-
-    for _ in range(rounds):
-        assign = _assign(subq, centers)
-        sums = (
-            assign.join(subq, ["vec_id", "s"])
-            .select("s", "cid", F.posexplode("sq").alias("pos", "val"))
-            .groupBy("s", "cid", "pos")
-            .agg(F.sum("val").alias("_sv"), F.count(F.lit(1)).alias("_c"))
-        )
-        newc = (
-            sums.select("s", "cid", "pos", F.expr("_sv DIV _c").alias("x"))
-            .groupBy("s", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("x")))),
-                    lambda t: t.getField("x"),
-                ).alias("cv_new")
-            )
-        )
-        centers = (
-            centers.join(newc, ["s", "cid"], "left")
-            .select("s", "cid", F.coalesce("cv_new", "cv").alias("cv"))
-            .localCheckpoint()
-        )
     return codes_full, subq, centers
 
 
@@ -282,11 +435,16 @@ def pq_topk(
     scale = None
     if queries is not None:
         scale = _corpus_scale(corpus, vec_col=vec_col).localCheckpoint()
-    codes_full, subq, centers = pq_codebooks(
+    codes_full, subq, books = _pq_fit(
         corpus, m=m, k_codes=k_codes, rounds=rounds, id_col=id_col,
         vec_col=vec_col, scale=scale,
     )
-    codes = _assign(subq, centers).select("vec_id", "s", "cid")
+    # corpus encoding: pure projection against the literal codebooks —
+    # the old broadcast-join + groupBy assignment shuffle is gone.
+    codes = subq.select(
+        "vec_id", "s",
+        _encode_cid_expr(books, "s", "sq").alias("cid"),
+    )
 
     if queries is None:
         q_full = codes_full.filter(F.col("vec_id") % query_mod == 0)
@@ -313,11 +471,16 @@ def pq_topk(
     # too (ADVICE r8, medium).
     est_q = float("inf") if n_q > q_cap else float(n_q)
 
-    qsub = q_sub.select(
-        F.col("vec_id").alias("query_id"), "s", F.col("sq").alias("qsq")
-    )
-    dtab = qsub.join(F.broadcast(centers), "s").select(
-        "query_id", "s", "cid", _sq_dist(F.col("qsq"), F.col("cv")).alias("d")
+    # ADC distance table, map-side from the literal codebooks (the old
+    # centers broadcast join is gone); same (query_id, s, cid, d) rows.
+    dtab = (
+        q_sub.select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            _dtab_entries_expr(books, "s", "sq").alias("_es"),
+        )
+        .select("query_id", "s", F.explode("_es").alias("_e"))
+        .select("query_id", "s", F.col("_e.cid").alias("cid"), F.col("_e.d").alias("d"))
     )
     scores = (
         codes.join(probe_side(dtab, est_rows=est_dtab, row_budget=budget), ["s", "cid"])
@@ -422,7 +585,7 @@ def ivfpq_topk(
     family's production shape.
     """
     from ..plans.probe import PROBE_BROADCAST_ROW_BUDGET, probe_side
-    from .clustering import GRID_KMEANS_ROUNDS, _assign_to, grid_kmeans_model
+    from .clustering import GRID_KMEANS_ROUNDS, _best_center_expr, _grid_kmeans_fit
 
     if coarse_rounds is None:
         coarse_rounds = GRID_KMEANS_ROUNDS
@@ -436,25 +599,45 @@ def ivfpq_topk(
         corpus, id_col=id_col, vec_col=vec_col, scale=scale
     ).localCheckpoint()
 
-    # coarse cells on the global grid; asg = (vec_id, cell)
-    _, cells = grid_kmeans_model(codes=codes_full, k=k_cells, rounds=coarse_rounds)
-    asg = (
-        _assign_to(codes_full, cells)
-        .select("vec_id", F.col("cid").alias("cell"))
+    # coarse cells on the global grid — bounded model state (k_cells ×
+    # dim longs) inlined as literals everywhere below; cell ids are
+    # 1..k_cells in Gonzalez selection order, so a plain literal array
+    # indexes centroids by cell id.
+    _, cells_py = _grid_kmeans_fit(
+        codes=codes_full, k=k_cells, rounds=coarse_rounds, staged=True
+    )
+    cells_sql = "array(" + ",".join(_vec_sql(cv) for _cid, cv in cells_py) + ")"
+
+    # residual codes r = q - cell centroid (exact int64, same grid),
+    # with the coarse cell riding along — ONE map-side projection
+    # replaces the old assignment join + centroid broadcast join, and
+    # the checkpointed row already carries ``cell`` so the inverted
+    # code lists below need no join either.
+    resid = (
+        codes_full.select(
+            "vec_id",
+            _best_center_expr("q", cells_py).getField("cid").alias("cell"),
+            "q",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(
+                f"zip_with(q, element_at({cells_sql}, cell), (x, y) -> x - y)"
+            ).alias("q"),
+        )
         .localCheckpoint()
     )
-    cellv = cells.select(F.col("cid").alias("cell"), F.col("cv").alias("cellv"))
-
-    # residual codes r = q - cell centroid (exact int64, same grid)
-    resid = (
-        codes_full.join(asg, "vec_id")
-        .join(F.broadcast(cellv), "cell")
-        .select("vec_id", F.zip_with("q", "cellv", lambda x, y: x - y).alias("q"))
+    _, subq_r, books = _pq_fit(
+        codes=resid, m=m, k_codes=k_codes, rounds=pq_rounds,
+        staged=True, extra=("cell",),
     )
-    _, subq_r, cbooks = pq_codebooks(codes=resid, m=m, k_codes=k_codes, rounds=pq_rounds)
-    pcodes = _assign(subq_r, cbooks).select("vec_id", "s", "cid")
-    # inverted code lists: (vec_id, cell, s, cid) — the IVFADC index
-    codes_cell = pcodes.join(asg, "vec_id")
+    # inverted code lists: (vec_id, cell, s, cid) — the IVFADC index,
+    # a pure projection against the literal residual codebooks
+    codes_cell = subq_r.select(
+        "vec_id", "cell", "s",
+        _encode_cid_expr(books, "s", "sq").alias("cid"),
+    )
 
     if queries is None:
         q_full = codes_full.filter(F.col("vec_id") % query_mod == 0)
@@ -472,22 +655,29 @@ def ivfpq_topk(
     est_q = float("inf") if n_q > q_cap else float(n_q)
     est_dtab = est_q * n_probe * m * k_codes
 
-    # probe the n_probe nearest cells; keep the query residual per cell
-    wp = Window.partitionBy("query_id").orderBy("cdist", "cell")
+    # probe the n_probe nearest cells, map-side: sort the literal
+    # ``struct(cdist, cell)`` array and slice — same (cdist, cell asc)
+    # order as the old per-query window, with the window exchange and
+    # the k_cells-row BNLJ broadcast gone; the query residual per cell
+    # comes from the same literal centroid array.
+    parr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cdist', {_sqd_sql('qq', _vec_sql(cv))}, 'cell', {int(cid)})"
+            for cid, cv in cells_py
+        )
+        + ")"
+    )
     probe = (
         q_full.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"))
-        .crossJoin(F.broadcast(cellv))
+        .select("query_id", "qq", F.slice(F.array_sort(parr), 1, n_probe).alias("_pcs"))
+        .select("query_id", "qq", F.explode("_pcs").alias("_pc"))
         .select(
             "query_id",
-            "qq",
-            "cell",
-            "cellv",
-            _sq_dist(F.col("qq"), F.col("cellv")).alias("cdist"),
-        )
-        .withColumn("_pn", F.row_number().over(wp))
-        .filter(F.col("_pn") <= n_probe)
-        .select(
-            "query_id", "cell", F.zip_with("qq", "cellv", lambda x, y: x - y).alias("qr")
+            F.col("_pc.cell").alias("cell"),
+            F.expr(
+                f"zip_with(qq, element_at({cells_sql}, _pc.cell), (x, y) -> x - y)"
+            ).alias("qr"),
         )
     )
     sub = (F.size(F.col("qr")) / m).cast("int")
@@ -501,8 +691,17 @@ def ivfpq_topk(
             )
         ).alias("s", "qsq"),
     )
-    dtab = qsub.join(F.broadcast(cbooks), "s").select(
-        "query_id", "cell", "s", "cid", _sq_dist(F.col("qsq"), F.col("cv")).alias("d")
+    # ADC distance table, map-side from the literal residual codebooks
+    dtab = (
+        qsub.select(
+            "query_id", "cell", "s",
+            _dtab_entries_expr(books, "s", "qsq").alias("_es"),
+        )
+        .select("query_id", "cell", "s", F.explode("_es").alias("_e"))
+        .select(
+            "query_id", "cell", "s",
+            F.col("_e.cid").alias("cid"), F.col("_e.d").alias("d"),
+        )
     )
     scores = (
         codes_cell.join(
