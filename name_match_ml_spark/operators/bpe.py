@@ -43,6 +43,8 @@ here.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +54,12 @@ __all__ = [
     "bpe_tokenize_docs",
     "replay_merges_over_docs",
 ]
+
+# Driver-side training runs only when the lexicon is explicitly bounded
+# (max_words) at or below this cap — the same bounded-model-state rule as
+# the k-means centroid / PQ codebook collects (operators/clustering.py)
+# and the unigram-LM cost-map collect (MAX_COST_ROWS).
+_MAX_DRIVER_LEXICON = 65536
 
 
 def _chars(word: Column) -> Column:
@@ -88,6 +96,100 @@ def bpe_lexicon(
         lex = lex.orderBy(F.desc("freq"), "wid").limit(max_words)
     return lex.select(
         "wid", "freq", F.posexplode(_chars(F.col("wid"))).alias("pos", "sym")
+    )
+
+
+def _collect_lexicon(
+    docs: DataFrame, text_col: str, max_words: int
+) -> list[tuple[str, int]]:
+    """Driver-side ``(word, freq)`` lexicon, (freq desc, word asc)-capped
+    at ``max_words`` — the ONE corpus-sized aggregate of tokenizer
+    training, after which everything is bounded model state (Sennrich's
+    lexicon formulation).  The collect is bounded by the LIMIT."""
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("wid")
+    )
+    lex = (
+        words.groupBy("wid")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "wid")
+        .limit(max_words)
+    )
+    return [(r["wid"], r["freq"]) for r in lex.collect()]
+
+
+def _py_greedy_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge of adjacent ``(a, b)`` — the
+    exact run-parity rule of :func:`_apply_winner` (greedy left-to-right
+    ≡ merge at even offsets within each maximal run)."""
+    out: list[str] = []
+    i, n, ab = 0, len(syms), a + b
+    while i < n:
+        if syms[i] == a and i + 1 < n and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_merge_train(
+    lex: list[tuple[str, int]], n_merges: int, scorer
+) -> tuple[list[tuple], list[tuple[str, int, list[str]]]]:
+    """Shared driver-side merge-training loop over a BOUNDED lexicon —
+    the model-state twin of the distributed round loop (same pair
+    counts, same winner rules, same exhaustion semantics: an empty
+    candidate set empties the symbol table and stops the merge table).
+
+    ``scorer(pair_counts, sym_counts) -> (sym_a, sym_b, *extras)``
+    picks the round winner; pair/symbol counts are exact ints (Σ freq
+    over adjacent positions / all positions).  Returns ``(merge_rows,
+    segments)`` with ``merge_rows[r] = (r, sym_a, sym_b, *extras)`` and
+    ``segments = [(wid, freq, syms)]`` the final symbol table."""
+    seqs: list[list[str]] = [list(w) for w, _ in lex]
+    freqs = [f for _, f in lex]
+    merge_rows: list[tuple] = []
+    for r in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for syms, f in zip(seqs, freqs):
+            for s in syms:
+                sym_counts[s] = sym_counts.get(s, 0) + f
+            for x, y in zip(syms, syms[1:]):
+                pair_counts[(x, y)] = pair_counts.get((x, y), 0) + f
+        if not pair_counts:
+            # exhaustion: the distributed rounds' INNER 1-row join with
+            # an empty winner empties the table — replicate exactly
+            seqs = [[] for _ in seqs]
+            break
+        winner = scorer(pair_counts, sym_counts)
+        merge_rows.append((r, *winner))
+        seqs = [_py_greedy_merge(s, winner[0], winner[1]) for s in seqs]
+    segments = [(w, f, s) for (w, f), s in zip(lex, seqs)]
+    return merge_rows, segments
+
+
+def _bpe_winner(pair_counts: dict, _sym_counts: dict) -> tuple[str, str, int]:
+    """Most frequent pair, ties (sym_a, sym_b) lexicographic ascending —
+    Python str comparison is code-point order, identical to Spark's
+    binary UTF8 string ordering."""
+    (a, b) = min(pair_counts, key=lambda p: (-pair_counts[p], p[0], p[1]))
+    return a, b, pair_counts[(a, b)]
+
+
+def _segments_df(
+    spark, segments: list[tuple[str, int, list[str]]]
+) -> DataFrame:
+    rows = [
+        (wid, freq, pos, sym)
+        for wid, freq, syms in segments
+        for pos, sym in enumerate(syms)
+    ]
+    return spark.createDataFrame(
+        rows, "wid STRING, freq BIGINT, pos INT, sym STRING"
     )
 
 
@@ -160,6 +262,21 @@ def bpe_train(
     ``merges`` over its words with the same left-to-right rule).
     """
     spark = docs.sparkSession
+    if max_words is not None and max_words <= _MAX_DRIVER_LEXICON:
+        # Bounded lexicon → driver-side model-state training: ONE
+        # corpus aggregate (the capped lexicon collect), the 8-round
+        # loop in exact Python integer arithmetic, results inlined as
+        # literal DataFrames — no per-round window/checkpoint jobs
+        # (guide §1.2 "the distributed algorithm"; the clustering.py
+        # centroid pattern).  Winner rules and run-parity application
+        # are identical to the distributed rounds (pinned by the
+        # engine-equivalence pytest).
+        lex = _collect_lexicon(docs, text_col, max_words)
+        merge_rows, segments = _py_merge_train(lex, n_merges, _bpe_winner)
+        merges = spark.createDataFrame(
+            merge_rows, "round INT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+        )
+        return merges, _segments_df(spark, segments)
     seqs = bpe_lexicon(docs, text_col=text_col, max_words=max_words).localCheckpoint()
     merge_rows = []
     for r in range(n_merges):
@@ -217,7 +334,6 @@ def replay_merges_over_docs(
     over the corpus — the shared apply path of every merge-list
     tokenizer family (BPE, WordPiece).  Returns ``(doc_id, wpos, pos,
     sym)``; see :func:`bpe_tokenize_docs` for the scale argument."""
-    spark = docs.sparkSession
     # the merge table IS the bounded tokenizer artifact (n_rounds rows)
     learned = {r["round"]: (r["sym_a"], r["sym_b"]) for r in merges.collect()}
     dw = docs.select(
@@ -226,16 +342,42 @@ def replay_merges_over_docs(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("wpos", "wid"),
     )
-    allw = dw.select("wid").distinct().select("wid", F.lit(1).cast("long").alias("freq"))
-    seqs = allw.select(
-        "wid", "freq", F.posexplode(_chars(F.col("wid"))).alias("pos", "sym")
-    ).localCheckpoint()
+    allw = dw.select("wid").distinct()
+    # Replay the merge list as ONE chained-fold projection over the
+    # distinct-word table (guide §2.4: the per-round window + lineage
+    # checkpoint jobs collapse into a single pass; each fold is the
+    # greedy left-to-right rule — a merged symbol a||b can never equal
+    # sym_a, so "last element == sym_a" is true only for an unconsumed
+    # original symbol, which IS the run-parity semantics).
+    syms = _chars(F.col("wid"))
+    exhausted = False
     for r in range(n_rounds):
         if r not in learned:
-            seqs = seqs.limit(0)
+            # training exhausted before n_rounds: application mirrors
+            # the INNER-join-with-empty-winner semantics (empty table)
+            exhausted = True
             break
-        winner = spark.createDataFrame([learned[r]], "sym_a string, sym_b string")
-        seqs = _apply_winner(seqs, winner).localCheckpoint()
-    return dw.join(seqs.select("wid", "pos", "sym"), "wid").select(
+        syms = _merge_fold(syms, *learned[r])
+    segs = allw.select("wid", F.posexplode(syms).alias("pos", "sym"))
+    if exhausted:
+        segs = segs.limit(0)
+    return dw.join(segs, "wid").select(
         "doc_id", F.col("wpos").cast("int").alias("wpos"), "pos", "sym"
+    )
+
+
+def _merge_fold(arr: Column, a: str, b: str) -> Column:
+    """One merge round as a single array fold: append each symbol,
+    merging it with the accumulator's last element when that element is
+    ``a`` and the symbol is ``b`` (≡ greedy left-to-right non-overlap —
+    see :func:`replay_merges_over_docs`).  ``try_element_at`` keeps the
+    empty-accumulator probe NULL-safe under ANSI mode."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
     )

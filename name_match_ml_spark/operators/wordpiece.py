@@ -27,14 +27,40 @@ iterative part still never touches corpus-sized data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .bpe import _apply_winner, bpe_lexicon, replay_merges_over_docs
+from .bpe import (
+    _MAX_DRIVER_LEXICON,
+    _apply_winner,
+    _collect_lexicon,
+    _py_merge_train,
+    _segments_df,
+    bpe_lexicon,
+    replay_merges_over_docs,
+)
 
 __all__ = ["wordpiece_train", "wordpiece_tokenize_docs"]
 
 _GRID = 1_000_000
+
+
+def _wp_winner(pair_counts: dict, sym_counts: dict) -> tuple[str, str, int, int]:
+    """Likelihood winner on the 1e6 log grid — ``floor((ln pc − ln ca −
+    ln cb)·1e6)`` with libm ``log`` (the same IEEE-double ln the DuckDB
+    oracle evaluates; the JVM path agreed with it bit-for-bit, pinned by
+    the engine-equivalence pytest), ties ``(sym_a, sym_b)`` ascending."""
+    def grid(p: tuple[str, str]) -> int:
+        pc = pair_counts[p]
+        return math.floor(
+            (math.log(pc) - math.log(sym_counts[p[0]]) - math.log(sym_counts[p[1]]))
+            * _GRID
+        )
+
+    (a, b) = min(pair_counts, key=lambda p: (-grid(p), p[0], p[1]))
+    return a, b, pair_counts[(a, b)], grid((a, b))
 
 
 def _wp_round(seqs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -85,6 +111,19 @@ def wordpiece_train(
     segments)`` with ``merges = (round, sym_a, sym_b, pair_count,
     score_grid)`` — the likelihood-ordered merge table — and
     ``segments`` the final symbol table (cf. :func:`.bpe.bpe_train`)."""
+    if max_words is not None and max_words <= _MAX_DRIVER_LEXICON:
+        # Bounded lexicon → driver-side model-state training (see
+        # bpe.bpe_train — identical rationale; only the winner scorer
+        # differs).
+        spark = docs.sparkSession
+        lex = _collect_lexicon(docs, text_col, max_words)
+        merge_rows, segments = _py_merge_train(lex, n_merges, _wp_winner)
+        merges = spark.createDataFrame(
+            merge_rows,
+            "round INT, sym_a STRING, sym_b STRING, pair_count BIGINT, "
+            "score_grid BIGINT",
+        )
+        return merges, _segments_df(spark, segments)
     seqs = bpe_lexicon(docs, text_col=text_col, max_words=max_words).localCheckpoint()
     merge_rows = []
     for r in range(n_merges):
