@@ -400,38 +400,53 @@ def ewma_fixed_point(
     same fixed-point device for an iterative computation).
 
     The recurrence is inherently sequential PER KEY, so it runs as one
-    ``applyInPandas`` over a single ``key_col`` Exchange — the same
-    single-shuffle contract as every operator in this module.  At
+    sorted-array fold per key over a single ``key_col`` Exchange — the
+    same single-shuffle contract as every operator in this module:
+    ``sort_array(collect_list(struct(order..., rest...)))`` then ONE
+    ``aggregate`` fold emitting the running EWMA (pure whole-stage
+    codegen; the optimization-round replacement for the previous
+    ``applyInPandas`` kernel, guide §4.1 — same integer floor-division
+    recurrence, bit-identical output, no JVM↔Python boundary).  At
     100 TB the group is one key's history (bounded by construction for
     user/entity keys); the corpus-wide work is embarrassingly parallel
     across keys.  Magnitude bound: |x| ≤ 2^43 keeps ``alpha*x`` inside
     int64 at grid 10^6.
     """
-    import pandas as pd  # noqa: F401  (Arrow kernel dependency)
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    order = list(order_cols)
-    # fresh StructType: .add() would MUTATE df's cached schema object,
-    # making the input DataFrame itself appear to have the output column
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("ewma_fp", LongType())]
-    )
     A, G = int(alpha_1e6), int(grid)
     if not 0 < A <= G:
         raise ValueError("alpha_1e6 must be in (0, grid]")
 
-    def _kernel(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        xs = [int(v) for v in pdf[x_col]]
-        out = []
-        s = 0
-        for i, x in enumerate(xs):
-            s = x if i == 0 else (A * x + (G - A) * s) // G
-            out.append(s)
-        pdf["ewma_fp"] = pd.Series(out, dtype="int64")
-        return pdf
-
-    return df.groupBy(key_col).applyInPandas(_kernel, schema=out_schema)
+    order = list(order_cols)
+    # struct fields: order keys FIRST so sort_array realizes the
+    # (order_cols) sort; remaining columns ride along as tiebreakers
+    fields = order + [c for c in df.columns if c not in order]
+    rows = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in fields]))).alias(
+            "_rows"
+        )
+    )
+    # Python '//' is FLOOR division; Spark 'div' truncates toward zero —
+    # correct trunc→floor with the sign/remainder case.  One parsed SQL
+    # string (the literal-expression lesson from operators/pq.py).
+    step = f"({A}L * r.{x_col} + {G - A}L * element_at(acc, -1))"
+    fold = (
+        f"aggregate(_rows, CAST(array() AS array<bigint>), (acc, r) -> "
+        f"concat(acc, array(CASE WHEN size(acc) = 0 "
+        f"THEN CAST(r.{x_col} AS BIGINT) "
+        f"ELSE ({step} div {G}L) - (CASE WHEN {step} % {G}L != 0 "
+        f"AND {step} < 0 THEN 1L ELSE 0L END) END)))"
+    )
+    zipped = rows.select(
+        F.col(key_col),
+        F.arrays_zip(F.col("_rows").alias("r"), F.expr(fold).alias("e")).alias("z"),
+    )
+    ex = zipped.select(F.explode("z").alias("p"))
+    out = ex.select(
+        *[F.col(f"p.r.{c}").alias(c) for c in fields],
+        F.col("p.e").alias("ewma_fp"),
+    )
+    # original column order + ewma_fp (the previous kernel's out_schema)
+    return out.select(*df.columns, "ewma_fp")
 
 
 def skyline_2d(

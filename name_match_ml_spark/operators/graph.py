@@ -518,10 +518,23 @@ def connected_components(
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
 
     if algorithm in ("auto", "label"):
-        labels = sym.select(F.col("a").alias("id")).distinct().select(
-            "id", F.col("id").alias("cluster_id")
-        ).localCheckpoint()
-        budget = label_rounds if algorithm == "auto" else max_iter
+        # Fused init + first propagation round (optimization round 10,
+        # guide §2.4): label_1(v) = min(v, min N(v)) is ONE aggregate
+        # over sym — the old identity-labels distinct (an exchange + a
+        # checkpoint) and the first join round (two more exchanges + a
+        # convergence action) collapsed into it.  Later rounds and the
+        # unique fixpoint are unchanged.
+        last_rounds += 1
+        labels = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select(
+                F.col("a").alias("id"),
+                F.least(F.col("a"), F.col("_mb")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        budget = (label_rounds if algorithm == "auto" else max_iter) - 1
         out = _label_propagation(sym, labels, budget)
         if out is not None:
             return out
@@ -904,13 +917,14 @@ def label_propagation(
     replayable as an unrolled-CTE oracle.
 
     Scale shape: per round ONE (node, label) count aggregate over the
-    symmetrized edge join and one per-node argmax window — all keyed on
-    node, partial-combining; labels checkpoint eagerly per round (the
-    iterative-operator convention).  Output covers graph nodes (docs
-    with at least one near-dup edge): ``(doc_id, label)``.
+    symmetrized edge join and one per-node argmax aggregate — all keyed
+    on node, partial-combining (the argmax was a row_number window
+    before the round-10 optimization pass; ``max(struct(c, ~lbl))`` is
+    the identical (count desc, label asc) winner with no sort and no
+    window exchange, guide §2.4); labels checkpoint eagerly per round
+    (the iterative-operator convention).  Output covers graph nodes
+    (docs with at least one near-dup edge): ``(doc_id, label)``.
     """
-    from pyspark.sql import Window
-
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -920,7 +934,6 @@ def label_propagation(
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
     for _ in range(rounds):
         cnt = (
             edges.join(
@@ -930,9 +943,9 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "lbl")
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), F.bitwise_not("lbl").alias("nl"))).alias("_b"))
+            .select("node", F.bitwise_not(F.col("_b.nl")).alias("lbl"))
             .localCheckpoint()
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("label"))

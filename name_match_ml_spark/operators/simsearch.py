@@ -982,12 +982,20 @@ def kcenter_select(
     first center is the minimum ``vec_id`` (the conventional arbitrary
     seed, made deterministic).
 
-    Scale shape: the textbook algorithm — k passes over the corpus,
-    each pass one map-side broadcast of the single new center (1-row
-    crossJoin, allowlisted) updating the running min-distance column,
-    then a TakeOrdered argmax.  No pairwise N^2 stage anywhere; state
-    between rounds is ``(vec_id, dmin)`` longs, checkpointed eagerly
-    (the iterative-operator convention).
+    Scale shape (tightened in the round-10 optimization pass — the
+    ``operators/clustering.py`` Gonzalez device, hybridized): the new
+    center enters each round's plan as a LITERAL double array (the
+    1-row-center crossJoin broadcast is gone) and the argmax is one
+    partial-combining ``max(struct(dmin, ~vec_id, _v))`` aggregate (the
+    TakeOrdered sort and its extra materialization are gone) — two jobs
+    per round: the incremental ``least(dmin, dist-to-new-center)``
+    state checkpoint (kept: recomputing all chosen-center distances per
+    round measured SLOWER than the incremental column at sf0.1 — the
+    interpreted zip_with fold costs more than the checkpoint it would
+    save) and the argmax.  Distance arithmetic stays IN the engine (the
+    same ``cosine_expr`` double fold, against a literal array —
+    bit-identical values), so results are unchanged.  No pairwise N^2
+    stage anywhere.
 
     Returns ``(vec_id, pick, dist_grid)`` for the k centers: pick =
     1..k in selection order, dist_grid = the center's min cosine
@@ -1005,46 +1013,71 @@ def kcenter_select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).localCheckpoint()
-    first = base.orderBy("vec_id").limit(1)
-    if not first.head(1):
+    first = base.orderBy("vec_id").limit(1).collect()
+    if not first:
         raise ValueError("kcenter_select: empty corpus")
-    selected = first.select(
-        "vec_id",
-        F.lit(1).alias("pick"),
-        F.lit(2_000_000).cast("long").alias("dist_grid"),
-    ).localCheckpoint()
+
+    def _vec_lit(vs: list[float]) -> Column:
+        # one parsed SQL literal (the operators/pq.py lesson: per-node
+        # F.lit/F.array construction pays a py4j round-trip per element);
+        # repr() is the shortest round-tripping decimal, and Spark's SQL
+        # double parser is correctly rounded, so the literal re-parses to
+        # the identical IEEE double.
+        return F.expr("array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in vs) + ")")
+
     dist_to = lambda vc: (  # noqa: E731 — int cosine distance to a center
         F.lit(1_000_000) - F.round(cosine_expr(F.col("_v"), vc) * 1_000_000, 0)
     ).cast("long")
+
+    # (vec_id, dist_grid-at-selection) — driver-side model state; the
+    # running min-distance column stays distributed and incremental
+    first_id = int(first[0]["vec_id"])
+    chosen: list[tuple[int, int]] = [(first_id, 2_000_000)]
     state = (
-        base.crossJoin(F.broadcast(first.select(F.col("_v").alias("_vc"))))
-        .select("vec_id", "_v", dist_to(F.col("_vc")).alias("dmin"))
-        .filter(F.col("vec_id") != first.select("vec_id").head()[0])
+        base.filter(F.col("vec_id") != first_id)
+        .select(
+            "vec_id",
+            "_v",
+            dist_to(_vec_lit([float(x) for x in first[0]["_v"]])).alias("dmin"),
+        )
         .localCheckpoint()
     )
     for r in range(2, k + 1):
-        nxt = state.orderBy(F.desc("dmin"), "vec_id").limit(1).localCheckpoint()
-        if not nxt.head(1):
+        row = (
+            state.select(
+                F.max(
+                    F.struct(
+                        F.col("dmin"),
+                        F.bitwise_not("vec_id").alias("nv"),
+                        F.col("_v").alias("v"),
+                    )
+                ).alias("b")
+            ).collect()[0]["b"]
+        )
+        if row is None:
             break  # k exceeds corpus size: every vector already selected
-        selected = selected.unionByName(
-            nxt.select(
-                "vec_id", F.lit(r).alias("pick"), F.col("dmin").alias("dist_grid")
-            )
-        ).localCheckpoint()
+        # bitwise_not on a long is two's-complement ~v = -v-1; Python ~
+        # inverts it back exactly (the pq.py Gonzalez device)
+        nxt_id = ~int(row["nv"])
+        chosen.append((nxt_id, int(row["dmin"])))
         if r == k:
             break
-        nxt_id = nxt.head()[0]
         state = (
             state.filter(F.col("vec_id") != nxt_id)
-            .crossJoin(F.broadcast(nxt.select(F.col("_v").alias("_vc"))))
             .select(
                 "vec_id",
                 "_v",
-                F.least(F.col("dmin"), dist_to(F.col("_vc"))).alias("dmin"),
+                F.least(
+                    F.col("dmin"),
+                    dist_to(_vec_lit([float(x) for x in row["v"]])),
+                ).alias("dmin"),
             )
             .localCheckpoint()
         )
-    return selected
+    return base.sparkSession.createDataFrame(
+        [(vid, i + 1, d) for i, (vid, d) in enumerate(chosen)],
+        "vec_id BIGINT, pick INT, dist_grid BIGINT",
+    )
 
 
 def bitext_margin_mine(

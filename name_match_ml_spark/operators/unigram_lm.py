@@ -56,6 +56,8 @@ lesson).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -322,6 +324,138 @@ def unigram_lm_train(
     return vocab_out, segments
 
 
+# Driver-side training runs only when the lexicon is explicitly bounded
+# (max_words) at or below this cap — the same bounded-model-state rule as
+# the BPE/WordPiece lexicon collect (operators/bpe.py::_MAX_DRIVER_LEXICON)
+# and the k-means centroid / PQ codebook collects.
+_MAX_DRIVER_LEXICON = 65536
+
+
+def _py_costs(vocab: dict[str, int]) -> dict[str, int]:
+    """``{tok: cost}`` on the int64 grid — ``floor(-ln(cnt/tot)·1e6)``
+    with libm ``log`` on an IEEE-double quotient, mirroring
+    :func:`_costed` operation for operation (``cnt``/``tot`` each cast
+    to double first; the same accepted ln device as WordPiece's
+    ``_wp_winner`` — DuckDB's oracle evaluates the identical libm ln)."""
+    tot = float(sum(vocab.values()))
+    return {
+        t: math.floor((-math.log(float(c) / tot)) * 1000000.0)
+        for t, c in vocab.items()
+    }
+
+
+def _py_bwd(wid: str, costs: dict[str, int], max_token_len: int) -> list[int]:
+    """``bwd[i]`` = min cost of segmenting the suffix from 0-based ``i``
+    (``bwd[n] = 0``) — the exact-Python twin of :func:`_bwd_expr`."""
+    n = len(wid)
+    bwd = [0] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        best = _INF
+        for ln in range(1, min(max_token_len, n - i) + 1):
+            c = costs.get(wid[i : i + ln], _INF) + bwd[i + ln]
+            if c < best:
+                best = c
+        bwd[i] = best
+    return bwd
+
+
+def _py_fwd(wid: str, costs: dict[str, int], max_token_len: int) -> list[int]:
+    """``fwd[j]`` = min cost of segmenting the prefix ending at ``j``
+    (``fwd[0] = 0``) — the exact-Python twin of :func:`_fwd_expr`."""
+    n = len(wid)
+    fwd = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best = _INF
+        for ln in range(1, min(max_token_len, j) + 1):
+            c = fwd[j - ln] + costs.get(wid[j - ln : j], _INF)
+            if c < best:
+                best = c
+        fwd[j] = best
+    return fwd
+
+
+def _py_train_costs(
+    spark,
+    lex_py: list[tuple[str, int]],
+    *,
+    vocab_size: int,
+    max_token_len: int,
+    em_rounds: int,
+) -> tuple[DataFrame, DataFrame, dict[str, int]]:
+    """Driver-side model-state training over the BOUNDED collected
+    lexicon — the unigram twin of ``bpe._py_merge_train`` (guide §1.2
+    "the distributed algorithm"): seed vocabulary, hard-EM lattice
+    counts and pruning all run in exact Python int64 arithmetic with the
+    identical tie rules (count desc, token code-point asc ≡ Spark UTF8
+    binary order), and the results re-enter the plan as literal
+    DataFrames.  Bit-identical to the distributed rounds (pinned by
+    tests/test_unigram_driver_path.py)."""
+    longest = max((len(w) for w, _ in lex_py), default=0)
+    if longest > MAX_WORD_LEN:
+        raise ValueError(
+            f"unigram_lm_train: longest word has {longest} chars but the "
+            f"pinned closure depth DOUBLING_ROUNDS={DOUBLING_ROUNDS} only covers "
+            f"words up to {MAX_WORD_LEN}; raise DOUBLING_ROUNDS (and regenerate "
+            f"the oracle) rather than silently under-converging."
+        )
+
+    # seed vocabulary: occurrence-mass counts of every substring up to
+    # max_token_len; all single chars + top vocab_size multi-char
+    cand: dict[str, int] = {}
+    for wid, freq in lex_py:
+        n = len(wid)
+        for i in range(n):
+            for ln in range(1, min(max_token_len, n - i) + 1):
+                tok = wid[i : i + ln]
+                cand[tok] = cand.get(tok, 0) + freq
+    vocab: dict[str, int] = {t: c for t, c in cand.items() if len(t) == 1}
+    multi = sorted(
+        ((t, c) for t, c in cand.items() if len(t) > 1),
+        key=lambda tc: (-tc[1], tc[0]),
+    )[:vocab_size]
+    vocab.update(dict(multi))
+
+    for _ in range(em_rounds):
+        if len(vocab) > MAX_COST_ROWS:
+            raise ValueError(
+                f"unigram_lm_train: cost table exceeds MAX_COST_ROWS="
+                f"{MAX_COST_ROWS} — the vocabulary bound assumption is "
+                f"violated; raise the cap deliberately rather than "
+                f"collecting unbounded state."
+            )
+        costs = _py_costs(vocab)
+        ncnt: dict[str, int] = {}
+        for wid, freq in lex_py:
+            n = len(wid)
+            bwd = _py_bwd(wid, costs, max_token_len)
+            fwd = _py_fwd(wid, costs, max_token_len)
+            total = bwd[0]
+            # occurrence (i, j) lies on SOME optimal path iff
+            # fwd[i] + cost + bwd[j] == total — per OCCURRENCE, exactly
+            # the onp explode of the distributed formulation
+            for i in range(n):
+                for ln in range(1, min(max_token_len, n - i) + 1):
+                    tok = wid[i : i + ln]
+                    if fwd[i] + costs.get(tok, _INF) + bwd[i + ln] == total:
+                        ncnt[tok] = ncnt.get(tok, 0) + freq
+        vocab = {
+            t: ncnt.get(t, 0) + 1
+            for t in vocab
+            if len(t) == 1 or ncnt.get(t, 0) > 0
+        }
+
+    final_costs = _py_costs(vocab)
+    final_cost = spark.createDataFrame(
+        [(t, vocab[t], final_costs[t]) for t in sorted(vocab)],
+        "tok STRING, cnt BIGINT, cost BIGINT",
+    )
+    lex_df = spark.createDataFrame(
+        [(w, f, len(w)) for w, f in lex_py],
+        "wid STRING, freq BIGINT, n BIGINT",
+    )
+    return lex_df, final_cost, final_costs
+
+
 def _train_costs(
     docs: DataFrame,
     *,
@@ -334,6 +468,22 @@ def _train_costs(
     """The EM training chain; returns ``(lex, final_cost_df, final_map)``
     with ``final_cost_df = (tok, cnt, cost)`` checkpointed and
     ``final_map`` its collected ``{tok: cost}`` (vocabulary-bounded)."""
+    if max_words is not None and max_words <= _MAX_DRIVER_LEXICON:
+        # Bounded lexicon → driver-side model-state training: ONE corpus
+        # aggregate (the capped lexicon collect — the identical quantity
+        # the distributed path reduces anyway), seed + EM loop in exact
+        # Python integer arithmetic, results inlined as literal
+        # DataFrames (the bpe.bpe_train device; guide §1.2).
+        lex_rows = (
+            _lexicon(docs, text_col, max_words).select("wid", "freq").collect()
+        )
+        return _py_train_costs(
+            docs.sparkSession,
+            [(r["wid"], r["freq"]) for r in lex_rows],
+            vocab_size=vocab_size,
+            max_token_len=max_token_len,
+            em_rounds=em_rounds,
+        )
     lex = _lexicon(docs, text_col, max_words).localCheckpoint()
     _assert_word_len(lex, "unigram_lm_train")
 

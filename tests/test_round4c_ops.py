@@ -88,6 +88,26 @@ def test_ewma_matches_pure_python(spark):
         assert [got[k][i] for i in range(len(xs))] == _ewma_ref(xs)
 
 
+def test_ewma_negative_values_floor_division(spark):
+    # the optimization-round native fold must keep Python '//' (FLOOR)
+    # semantics, which differ from Spark's 'div' (trunc) on negatives
+    rng = random.Random(11)
+    rows = []
+    for k in range(3):
+        for i in range(30):
+            rows.append((k, i, rng.randrange(-500_000_000, 500_000_000)))
+    df = spark.createDataFrame(rows, ["k", "i", "x"]).repartition(5)
+    out = ewma_fixed_point(df, "k", ["i"], "x")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, {})[r.i] = r.ewma_fp
+    by_key = {}
+    for k, i, x in rows:
+        by_key.setdefault(k, []).append(x)
+    for k, xs in by_key.items():
+        assert [got[k][i] for i in range(len(xs))] == _ewma_ref(xs)
+
+
 def test_ewma_alpha_one_is_identity_and_bounds_checked(spark):
     df = spark.createDataFrame([(0, 0, 5), (0, 1, 9)], ["k", "i", "x"])
     out = ewma_fixed_point(df, "k", ["i"], "x", alpha_1e6=1_000_000)
