@@ -159,6 +159,10 @@ def _grid_kmeans_fit(
     (hash-checked against the same unrolled-CTE oracles)."""
     if k < 1:
         raise ValueError("k >= 1")
+    from ..plans.staging import spread
+
+    # spread (not a plain checkpoint): a 1-split scan would cap every
+    # seeding/Lloyd round below at 1 task (guide §6 parallelism floor)
     if codes is not None:
         qz = codes.select(
             F.col(id_col if id_col in codes.columns else "vec_id")
@@ -167,7 +171,7 @@ def _grid_kmeans_fit(
             F.col("q"),
         )
         if not staged:
-            qz = qz.localCheckpoint()
+            qz = spread(qz)
     else:
         if embeddings is None:
             raise ValueError("grid_kmeans_model: pass embeddings or codes")
@@ -175,10 +179,12 @@ def _grid_kmeans_fit(
 
         v = F.col(vec_col).cast("array<double>")
         _scale, q = quantize_expr(v)
-        qz = embeddings.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.transform(q, lambda x: x.cast("long")).alias("q"),
-        ).localCheckpoint()
+        qz = spread(
+            embeddings.select(
+                F.col(id_col).cast("long").alias("vec_id"),
+                F.transform(q, lambda x: x.cast("long")).alias("q"),
+            )
+        )
 
     # Gonzalez farthest-point seeding.  Per round ONE top-1 job
     # (TakeOrderedAndProject over a map-side dmin projection against the

@@ -1007,12 +1007,17 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError("k >= 1")
+    from ..plans.staging import spread
     from .dedup import cosine_expr
 
-    base = corpus.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).localCheckpoint()
+    # spread: a 1-split scan would cap every per-round argmax below at
+    # 1 task (guide §6 parallelism floor)
+    base = spread(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    )
     first = base.orderBy("vec_id").limit(1).collect()
     if not first:
         raise ValueError("kcenter_select: empty corpus")

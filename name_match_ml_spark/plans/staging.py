@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["stage"]
+__all__ = ["stage", "spread"]
 
 
 def stage(df: DataFrame, *keys: str, enabled: bool = True) -> DataFrame:
@@ -49,3 +49,23 @@ def stage(df: DataFrame, *keys: str, enabled: bool = True) -> DataFrame:
     n = sc.defaultParallelism
     df = df.repartition(n, *keys) if keys else df.repartition(n)
     return df.localCheckpoint(eager=False)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` with a parallelism floor (optimization
+    round 10, guide §6 ``minPartitionNum``): when the producing scan has
+    FEWER partitions than the session's parallelism — a small table read
+    as one 128 MB split — every downstream job over the checkpointed
+    rows runs that few tasks, which caps every per-round job of an
+    iterative consumer (k-means seeding/Lloyd, PQ training, Gonzalez
+    selection) at the scan's split count.  Re-spread round-robin before
+    materializing; when the source already has enough splits (any real
+    corpus), this is a plain eager checkpoint — no extra shuffle.
+    Results are unaffected: every consumer aggregates with
+    order-independent exact arithmetic (min/max/sum of ints and
+    structs)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df.localCheckpoint()
