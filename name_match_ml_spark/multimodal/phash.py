@@ -171,7 +171,7 @@ def phash_near_dup_summary(
     and the smallest asset id in its neighborhood (itself when unique) —
     non-empty by construction, so the full decode → DCT → banding →
     verify algebra is hash-checkable even when a corpus has no dups."""
-    hashes = phash_images(assets).localCheckpoint()
+    hashes = phash_images(assets).localCheckpoint(eager=False)
     pairs = phash_pairs(
         hashes, max_hamming=max_hamming, bands=bands, band_bits=band_bits
     )
@@ -282,7 +282,7 @@ def video_phash_dedup(
     frames = sample_video_frames(assets, every_n=every_n).filter(
         F.length("frame_data") > 0
     )
-    fh = frame_phashes(frames).localCheckpoint()
+    fh = frame_phashes(frames).localCheckpoint(eager=False)
 
     per_video = fh.groupBy("asset_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames"),

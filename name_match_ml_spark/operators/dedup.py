@@ -151,13 +151,20 @@ def ngram_jaccard_pairs(
     ).alias("jaccard")
 
     if strategy == "auto":
-        row = (
-            tok.groupBy("h")
-            .count()
-            .select(F.count(F.lit(1)).alias("v"), F.avg("count").alias("m"))
-            .first()
-        )
-        m, v = (row["m"] or 0.0), (row["v"] or 0)
+        # One partial-combining pass (count + HLL distinct) instead of a
+        # full groupBy(h) shuffle of the df table: the stats job exists
+        # only to pick a strategy, all strategies return IDENTICAL rows
+        # (pinned by test_ngram_strategies_agree), so an approximate
+        # vocabulary size is exactly as good as the exact one — and at
+        # corpus scale the df table is billions of rows while the HLL
+        # sketch is one row per map task (optimization round 10, guide
+        # §2.3 "aggregate before you shuffle").
+        row = tok.agg(
+            F.count(F.lit(1)).alias("t"),
+            F.approx_count_distinct("h").alias("v"),
+        ).first()
+        v = row["v"] or 0
+        m = (row["t"] / v) if v else 0.0
         dense = m >= 16
         if dense and v <= _BITMAP_MAX_VOCAB and m >= base.count() / 4.0:
             strategy = "bitmap"
@@ -651,13 +658,21 @@ def simhash_pairs(
     a = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     b = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # Hamming verify + narrow projection run BEFORE the pair dedup
+    # (optimization round 10, guide §2.3 "project before the exchange"):
+    # the dedup exchange then carries only the passing pairs as three
+    # columns (map-side combined) instead of every band collision with
+    # both 8-byte fingerprints.  A band-identical duplicate family of
+    # size d collides in all n_bands bands — d²(max_hamming+1)/2 rows —
+    # so filtering first shrinks that exchange ~4× in rows and ~2× per
+    # row.  `hamming` is a pure function of the pair, so filter and
+    # distinct commute (results identical; pinned by the oracle).
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", hamming)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

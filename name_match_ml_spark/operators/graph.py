@@ -27,9 +27,17 @@ components on the similarity graph.  Two algorithms, one API:
   algorithm.  The wasted work is bounded: ``label_rounds`` cheap
   long-only rounds.
 
-Each round ends in ``localCheckpoint`` — iterative lineage MUST be cut
-(a) so round N+1's plan doesn't re-execute rounds 1..N, and (b) so the
-convergence-check action doesn't recompute the round.
+Each round ends in ``localCheckpoint(eager=False)`` — iterative lineage
+MUST be cut (a) so round N+1's plan doesn't re-execute rounds 1..N, and
+(b) so the convergence-check action doesn't recompute the round.  LAZY
+checkpoints since optimization round 10: the plan is cut at the
+LogicalRDD either way, but materialization now happens inside the first
+action that touches the round — the convergence probe where one exists,
+the caller's single output action for fixed-round operators — so a
+k-round operator schedules ~k fewer jobs (eager checkpointing paid one
+materialization job PLUS the probe/output job per round).  Each round's
+rows are still computed exactly once (cached at first evaluation, the
+localCheckpoint storage contract).
 
 Deterministic: the fixpoint is unique (every node labeled with the
 smallest id in its component), so the result is oracle-checkable (DuckDB
@@ -136,7 +144,7 @@ def _cdc_edge_delta(
     dead = (
         delta_ids.unionByName(removed.toDF("doc_id")) if removed is not None
         else delta_ids
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     unchanged = base_docs.join(
         dead, base_docs[id_col] == dead["doc_id"], "left_anti"
     )
@@ -162,17 +170,30 @@ def _cdc_edge_delta(
         .select("doc_a", "doc_b", "jaccard")
     )
 
-    # Fresh pairs: delta-probe countjoin against the new snapshot.
+    # Fresh pairs: delta-probe countjoin against the new snapshot.  The
+    # build side carries an is-delta flag so the probe can keep exactly
+    # ONE direction of every delta×delta pair (probe id < build id) and
+    # both directions never reach the aggregate — the old shape counted
+    # those pairs twice, halved them afterwards, and paid two semi-joins
+    # plus a left join (re-running the countjoin aggregate as the
+    # correction's input) to do so (optimization round 10, guide §2.3
+    # "aggregate before you shuffle" / §2.4).
     sized = _staged_shingle_hashes(
         snapshot, "text", "doc_id", shingle_n, hash_fn
     ).select("doc_id", F.size("sh").alias("n"), "sh")
-    ex = sized.select("doc_id", "n", F.explode("sh").alias("h"))
-    dex = ex.join(delta_ids, "doc_id").select(
+    ex = (
+        sized.select("doc_id", "n", F.explode("sh").alias("h"))
+        .join(delta_ids.withColumn("_bd", F.lit(True)), "doc_id", "left")
+        .withColumn("_bd", F.coalesce(F.col("_bd"), F.lit(False)))
+    )
+    dex = ex.filter(F.col("_bd")).select(
         F.col("doc_id").alias("_da"), F.col("n").alias("_na"), "h"
     )
-    inter = (
+    fresh = (
         dex.join(ex, "h")
-        .filter(F.col("_da") != F.col("doc_id"))
+        # one direction per delta×delta pair; delta×unchanged pairs have
+        # exactly one probe direction already (_bd=False on the build row)
+        .filter((~F.col("_bd")) | (F.col("_da") < F.col("doc_id")))
         # PPJoin length filter before the aggregate: impossible pairs
         # never reach the shuffle.
         .filter(
@@ -186,28 +207,6 @@ def _cdc_edge_delta(
             F.greatest("_na", "n").alias("_nmax"),
         )
         .agg(F.count(F.lit(1)).alias("_i"))
-    )
-    # delta×delta pairs are counted from BOTH probe directions: |A∩B|
-    # arrives doubled exactly when both endpoints are delta docs.
-    d_a = delta_ids.select(F.col("doc_id").alias("_ida"))
-    d_b = delta_ids.select(F.col("doc_id").alias("_idb"))
-    both_delta = (
-        inter.join(d_a, inter["doc_a"] == d_a["_ida"], "left_semi")
-        .join(d_b, F.col("doc_b") == d_b["_idb"], "left_semi")
-        .select("doc_a", "doc_b")
-        .withColumn("_half", F.lit(1))
-    )
-    fresh = (
-        inter.join(both_delta, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            "_nmin",
-            "_nmax",
-            F.when(F.col("_half") == 1, F.col("_i") / 2)
-            .otherwise(F.col("_i"))
-            .alias("_i"),
-        )
         .withColumn(
             "jaccard",
             F.col("_i") / (F.col("_nmin") + F.col("_nmax") - F.col("_i")),
@@ -351,7 +350,7 @@ def incremental_cluster_update(
         id_col=id_col,
         hash_fn=hash_fn,
     )
-    fresh = fresh.localCheckpoint()
+    fresh = fresh.localCheckpoint(eager=False)
     labels = cached_labels.select(
         F.col("id").cast("long").alias("id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -366,7 +365,7 @@ def incremental_cluster_update(
     )
     affected = (
         labels.join(touched, "id", "left_semi").select("cluster_id").distinct()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     untouched = (
         labels.join(affected, "cluster_id", "left_anti").select("id", "cluster_id")
@@ -419,9 +418,12 @@ def _label_propagation(sym: DataFrame, labels: DataFrame, max_iter: int) -> Data
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), "cluster_id"
         )
+        # lazy checkpoint: the convergence probe below is the action that
+        # materializes the round — one job per round, not two
+        # (optimization round 10; lineage is still cut at the LogicalRDD)
         new_labels = (
             labels.union(nbr).groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cur_sum = _label_sum(new_labels)
         labels = new_labels
         if cur_sum == prev_sum:
@@ -439,7 +441,7 @@ def _two_phase_cc(sym: DataFrame, max_iter: int) -> DataFrame | None:
     Per phase: one min-aggregate + one join, edges only (pairs of longs).
     """
     global last_rounds
-    edges = sym.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"]).localCheckpoint()
+    edges = sym.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"]).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         last_rounds += 1
@@ -468,7 +470,7 @@ def _two_phase_cc(sym: DataFrame, max_iter: int) -> DataFrame | None:
             .union(withm.select(F.col("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .dropDuplicates(["a", "b"])
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
         # Converged when the (deduped, big→small) edge set is unchanged.
@@ -515,7 +517,7 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
     sym = pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
 
     if algorithm in ("auto", "label"):
         # Fused init + first propagation round (optimization round 10,
@@ -532,7 +534,7 @@ def connected_components(
                 F.col("a").alias("id"),
                 F.least(F.col("a"), F.col("_mb")).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         budget = (label_rounds if algorithm == "auto" else max_iter) - 1
         out = _label_propagation(sym, labels, budget)
@@ -589,7 +591,7 @@ def pagerank(
     the edge list on ``src`` (both shuffled by the key — or co-located
     when the edge list is bucketed by src) and one partial-combining
     sum by ``dst``; everything shuffled is a pair of longs.  Each
-    round ends in ``localCheckpoint`` — iterative lineage must be cut
+    round ends in a lazy ``localCheckpoint`` — iterative lineage must be cut
     (see module docstring).  Eager work at plan construction: one
     distinct-node count (``n``), build-side-sized like the CC
     convergence probes."""
@@ -600,19 +602,19 @@ def pagerank(
             F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
         )
         .dropDuplicates(["s", "d"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("s").alias("id"))
         .union(e.select(F.col("d").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od")).localCheckpoint()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od")).localCheckpoint(eager=False)
 
     r = nodes.select("id", F.lit(scale // n).cast("long").alias("rank"))
     for _ in range(iterations):
@@ -636,7 +638,7 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return r
 
@@ -734,7 +736,7 @@ def bfs_hops(
     Per round: frontier ⋈ edges (one long-pair equi-join) → distinct →
     anti-join against the visited set; a node's FIRST reaching round IS
     its minimum distance (layered BFS), so no min-aggregate re-scan is
-    needed.  ``localCheckpoint`` cuts the iterative lineage each round
+    needed.  A lazy ``localCheckpoint`` cuts the iterative lineage each round
     (module convention, cf. :func:`connected_components`).  Round count
     is the fixed ``max_hops`` — no convergence action in the loop, so
     the driver never blocks on a count per round.
@@ -755,10 +757,10 @@ def bfs_hops(
         # checkpoint ONCE: every round joins sym, and without the cut the
         # (potentially expensive) pair-generation lineage would re-execute
         # per round — at max_hops=3 that tripled the dominant cost.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     visited = seeds.select(F.col(seed_col).alias("id"), F.lit(0).alias("hops")).distinct()
-    visited = visited.localCheckpoint()
+    visited = visited.localCheckpoint(eager=False)
     frontier = visited.select("id")
     for h in range(1, max_hops + 1):
         nxt = (
@@ -768,7 +770,7 @@ def bfs_hops(
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hops", F.lit(h))
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("id")
     return visited
 
@@ -809,12 +811,12 @@ def bellman_ford_k(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dist = (
         seeds.select(F.col(seed_col).alias("id"), F.lit(0).cast("long").alias("dist"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(k):
         cand = (
@@ -825,7 +827,7 @@ def bellman_ford_k(
             dist.unionByName(cand)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -861,7 +863,7 @@ def k_core(
 
     Plan per round: one degree aggregate (partial-combining count over
     long node ids) + two anti equi-joins removing edges incident to
-    peeled nodes, then ``localCheckpoint`` (module convention — the
+    peeled nodes, then a lazy ``localCheckpoint`` (module convention — the
     lineage cut) and one emptiness probe on the peeled-node set as the
     convergence action.  Everything shuffled is longs.  Round count is
     bounded by the longest peel chain — near-dup graphs are shallow
@@ -877,7 +879,7 @@ def k_core(
         )
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         last_rounds += 1
@@ -886,7 +888,7 @@ def k_core(
             .unionAll(e.select(F.col("v").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("core_deg"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         bad = deg.filter(F.col("core_deg") < k).select("n")
         if bad.limit(1).count() == 0:
@@ -895,7 +897,7 @@ def k_core(
             e.join(bad.select(F.col("n").alias("u")), "u", "left_anti")
             .join(bad.select(F.col("n").alias("v")), "v", "left_anti")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
 
@@ -921,19 +923,21 @@ def label_propagation(
     on node, partial-combining (the argmax was a row_number window
     before the round-10 optimization pass; ``max(struct(c, ~lbl))`` is
     the identical (count desc, label asc) winner with no sort and no
-    window exchange, guide §2.4); labels checkpoint eagerly per round
-    (the iterative-operator convention).  Output covers graph nodes
+    window exchange, guide §2.4); labels cut lineage with a lazy
+    checkpoint per round (the iterative-operator convention), so the
+    whole fixed-round loop runs as ONE scheduled job at the caller's
+    action.  Output covers graph nodes
     (docs with at least one near-dup edge): ``(doc_id, label)``.
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         cnt = (
             edges.join(
@@ -946,7 +950,7 @@ def label_propagation(
             cnt.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), F.bitwise_not("lbl").alias("nl"))).alias("_b"))
             .select("node", F.bitwise_not(F.col("_b.nl")).alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("label"))
 
@@ -978,7 +982,9 @@ def graph_walks(
     move per step (never the walker×adjacency fan-out, so a hub node's
     full neighbor list is never replicated per walker), no gather of
     neighbor lists, no RNG state, walkers stay (start, cur) longs.
-    Steps checkpoint eagerly (the iterative convention)."""
+    Steps cut lineage with lazy checkpoints (the iterative
+    convention): one scheduled job at the caller's action computes and
+    caches every step exactly once."""
     from pyspark.sql import Window
 
     edges = (
@@ -990,12 +996,12 @@ def graph_walks(
     adj = (
         edges.withColumn("idx", F.row_number().over(w) - 1)
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("s")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     degs = adj.select("s", "deg").distinct()
     cur = adj.select(F.col("s").alias("start")).distinct().select(
         "start", F.col("start").alias("node")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = cur.select("start", F.lit(0).alias("step"), "node")
     for r in range(1, steps + 1):
         pick = (
@@ -1032,7 +1038,7 @@ def graph_walks(
                 & (stepped["chosen"] == hop["_hidx"]),
             )
             .select("start", F.col("_hd").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(nxt.select("start", F.lit(r).alias("step"), "node"))
         cur = nxt
