@@ -176,8 +176,13 @@ def phash_near_dup_summary(
         hashes, max_hamming=max_hamming, bands=bands, band_bits=band_bits
     )
     nb = pairs.select(
-        F.col("asset_a").alias("asset_id"), F.col("asset_b").alias("nb")
-    ).unionAll(pairs.select(F.col("asset_b").alias("asset_id"), F.col("asset_a").alias("nb")))
+        F.explode(
+            F.array(
+                F.struct(F.col("asset_a").alias("asset_id"), F.col("asset_b").alias("nb")),
+                F.struct(F.col("asset_b").alias("asset_id"), F.col("asset_a").alias("nb")),
+            )
+        ).alias("_e")
+    ).select("_e.asset_id", "_e.nb")
     agg = nb.groupBy("asset_id").agg(
         F.count(F.lit(1)).alias("n_near_dups"), F.min("nb").alias("_mn")
     )
@@ -318,14 +323,20 @@ def video_phash_dedup(
         F.col("frame_idx").alias("fi_b"),
         F.col("phash").alias("ph_b"),
     )
+    # Hamming verify + narrow projection BEFORE the frame-pair dedup
+    # (the simhash_pairs ordering, optimization round 10): the phashes
+    # are functions of (asset, frame_idx), so every duplicate row of a
+    # quadruple carries the same Hamming value and the filter commutes
+    # with the distinct — the dedup exchange then carries only verified
+    # matches as four longs, not every band collision with both hashes.
     verified = (
         a.join(b, ["band", "bv"])
         .filter(F.col("asset_a") < F.col("asset_b"))
-        .select("asset_a", "fi_a", "asset_b", "fi_b", "ph_a", "ph_b")
-        .dropDuplicates(["asset_a", "fi_a", "asset_b", "fi_b"])
         .filter(
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))) <= max_hamming
         )
+        .select("asset_a", "fi_a", "asset_b", "fi_b")
+        .dropDuplicates(["asset_a", "fi_a", "asset_b", "fi_b"])
     )
     matched = verified.groupBy("asset_a", "asset_b").agg(
         F.countDistinct("fi_a").alias("m_a"), F.countDistinct("fi_b").alias("m_b")
@@ -342,10 +353,13 @@ def video_phash_dedup(
         .select("asset_a", "asset_b")
     )
     nb = pairs.select(
-        F.col("asset_a").alias("asset_id"), F.col("asset_b").alias("nb")
-    ).unionAll(
-        pairs.select(F.col("asset_b").alias("asset_id"), F.col("asset_a").alias("nb"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("asset_a").alias("asset_id"), F.col("asset_b").alias("nb")),
+                F.struct(F.col("asset_b").alias("asset_id"), F.col("asset_a").alias("nb")),
+            )
+        ).alias("_e")
+    ).select("_e.asset_id", "_e.nb")
     agg = nb.groupBy("asset_id").agg(
         F.count(F.lit(1)).alias("n_near_dups"), F.min("nb").alias("_mn")
     )

@@ -448,7 +448,14 @@ def _two_phase_cc(sym: DataFrame, max_iter: int) -> DataFrame | None:
         # Large-star: for each node u with neighborhood N(u) (both
         # orientations present in `edges`), hang every v ∈ N(u), v > u
         # off m = min(N(u) ∪ {u}).
-        nbrs = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nbrs = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
         mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
         large = (
             nbrs.join(mins, "a")
@@ -516,8 +523,24 @@ def connected_components(
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
-    sym = pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(eager=False)
+    # Symmetrize with ONE explode pass over the pair stream.  The old
+    # union-of-two-projections shape executed the (often unstaged and
+    # expensive) pair lineage once per branch — explode emits both
+    # orientations from a single evaluation (optimization round 10,
+    # guide §2.4; results are the identical multiset).
+    sym = (
+        pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .localCheckpoint(eager=False)
+    )
 
     if algorithm in ("auto", "label"):
         # Fused init + first propagation round (optimization round 10,
@@ -678,7 +701,7 @@ def triangles(
         .distinct()
     )
     deg = (
-        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        e.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -751,8 +774,15 @@ def bfs_hops(
     Returns ``(id, hops)``; unreachable nodes are absent.
     """
     sym = (
-        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("s"), F.col(dst_col).alias("d")),
+                    F.struct(F.col(dst_col).alias("s"), F.col(src_col).alias("d")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.d")
         .distinct()
         # checkpoint ONCE: every round joins sym, and without the cut the
         # (potentially expensive) pair-generation lineage would re-execute
@@ -801,15 +831,20 @@ def bellman_ford_k(
     """
     sym = (
         edges.select(
-            F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
-            F.col(weight_col).alias("w"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d"),
+                        F.col(weight_col).alias("w"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d"),
+                        F.col(weight_col).alias("w"),
+                    ),
+                )
+            ).alias("_e")
         )
-        .union(
-            edges.select(
-                F.col(dst_col).alias("s"), F.col(src_col).alias("d"),
-                F.col(weight_col).alias("w"),
-            )
-        )
+        .select("_e.s", "_e.d", "_e.w")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -884,8 +919,7 @@ def k_core(
     for _ in range(max_iter):
         last_rounds += 1
         deg = (
-            e.select(F.col("u").alias("n"))
-            .unionAll(e.select(F.col("v").alias("n")))
+            e.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("core_deg"))
             .localCheckpoint(eager=False)
@@ -930,8 +964,15 @@ def label_propagation(
     (docs with at least one near-dup edge): ``(doc_id, label)``.
     """
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.d")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -988,8 +1029,15 @@ def graph_walks(
     from pyspark.sql import Window
 
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.s", "_e.d")
         .distinct()
     )
     w = Window.partitionBy("s").orderBy("d")

@@ -138,20 +138,10 @@ def _norm(c: Column) -> Column:
     return F.trim(F.lower(F.coalesce(c.cast("string"), F.lit(""))))
 
 
-def prepare_employees(employees: DataFrame) -> DataFrame:
-    """Normalize the roster for scoring and attach per-side phonetic codes.
-
-    Adds: ``e_name/e_first/e_last`` (lowercased+trimmed scorer inputs,
-    ``main.py:27-29``), ``f_sdx/f_mp/l_sdx/l_mp`` (soundex/metaphone of
-    first/last, ``main.py:63-66`` — computed once per employee, not once
-    per pair).
-    """
-    df = employees.select(
-        "*",
-        _norm(F.col("employee_name")).alias("e_name"),
-        _norm(F.col("first_name")).alias("e_first"),
-        _norm(F.col("last_name")).alias("e_last"),
-    )
+def _attach_employee_codes(df: DataFrame) -> DataFrame:
+    """Attach ``f_sdx/f_mp/l_sdx/l_mp`` (soundex/metaphone of
+    ``e_first``/``e_last``, ``main.py:63-66``) to any frame carrying the
+    normalized name columns."""
     f_codes = phonetic_codes_udf(F.col("e_first"))
     l_codes = phonetic_codes_udf(F.col("e_last"))
     return df.select(
@@ -163,11 +153,46 @@ def prepare_employees(employees: DataFrame) -> DataFrame:
     )
 
 
-def prepare_usernames(usernames: DataFrame) -> DataFrame:
+def _attach_username_codes(df: DataFrame) -> DataFrame:
+    """Attach ``u_sdx/u_mp`` (``main.py:63-66``) to any frame carrying
+    ``u_norm``."""
+    codes = phonetic_codes_udf(F.col("u_norm"))
+    return df.select(
+        "*",
+        codes.getField("sdx").alias("u_sdx"),
+        codes.getField("mp").alias("u_mp"),
+    )
+
+
+def prepare_employees(employees: DataFrame, *, codes: bool = True) -> DataFrame:
+    """Normalize the roster for scoring and attach per-side phonetic codes.
+
+    Adds: ``e_name/e_first/e_last`` (lowercased+trimmed scorer inputs,
+    ``main.py:27-29``), and with ``codes=True`` also ``f_sdx/f_mp/l_sdx/
+    l_mp`` (soundex/metaphone of first/last, ``main.py:63-66``).
+    ``codes=False`` skips the Python phonetic UDF so a caller that
+    dedups to distinct texts first (``match_usernames``) can attach the
+    codes per DISTINCT text instead of per row — the codes are pure
+    functions of the normalized names, so the values are identical
+    (optimization round 10, guide §4: the roster repeats names heavily —
+    37× fewer UDF rows on the sf0.1 corpus).
+    """
+    df = employees.select(
+        "*",
+        _norm(F.col("employee_name")).alias("e_name"),
+        _norm(F.col("first_name")).alias("e_first"),
+        _norm(F.col("last_name")).alias("e_last"),
+    )
+    return _attach_employee_codes(df) if codes else df
+
+
+def prepare_usernames(usernames: DataFrame, *, codes: bool = True) -> DataFrame:
     """Normalize usernames and attach split parts + phonetic codes.
 
     Adds: ``u_norm`` (``main.py:26``), ``u_part1/u_part2`` (regex split on
-    ``[._-\\s]``, ``main.py:32-34``), ``u_sdx/u_mp`` (``main.py:63-66``).
+    ``[._-\\s]``, ``main.py:32-34``), and with ``codes=True`` also
+    ``u_sdx/u_mp`` (``main.py:63-66``; see :func:`prepare_employees` for
+    the ``codes=False`` contract).
     """
     df = usernames.withColumn("u_norm", _norm(F.col("username")))
     parts = F.split(F.col("u_norm"), _SPLIT_PATTERN)
@@ -176,12 +201,7 @@ def prepare_usernames(usernames: DataFrame) -> DataFrame:
         F.coalesce(F.get(parts, 0), F.lit("")).alias("u_part1"),
         F.coalesce(F.get(parts, 1), F.lit("")).alias("u_part2"),
     )
-    codes = phonetic_codes_udf(F.col("u_norm"))
-    return df.select(
-        "*",
-        codes.getField("sdx").alias("u_sdx"),
-        codes.getField("mp").alias("u_mp"),
-    )
+    return _attach_username_codes(df) if codes else df
 
 
 def _pattern_hit() -> Column:
@@ -323,11 +343,28 @@ def match_usernames(
         e_broadcastable = e_rows * _EST_BYTES_PER_ROW <= max(bcast_threshold, 0)
         blocking = not (e_broadcastable and u_rows * e_rows <= _CROSS_PAIR_BUDGET)
 
-    u = stage(prepare_usernames(usernames), "u_norm", enabled=materialize)
-    e = stage(prepare_employees(employees), "e_name", enabled=materialize)
+    # Phonetic codes attach AFTER the distinct pass (optimization round
+    # 10, guide §4 — same rationale as scoring once per distinct pair):
+    # the per-row staged sides carry only native normalizations, and the
+    # Arrow phonetic UDF runs once per DISTINCT text (sf0.1: 400 rows
+    # instead of 30k UDF calls on the roster side, 1.7k instead of 15k
+    # on the username side).  The codes are pure functions of the
+    # normalized names, so every scored value is identical.
+    u = stage(prepare_usernames(usernames, codes=False), "u_norm", enabled=materialize)
+    e = stage(prepare_employees(employees, codes=False), "e_name", enabled=materialize)
 
-    u_texts = u.select(*_U_TEXT).dropDuplicates(["u_norm"])
-    e_texts = e.select(*_E_TEXT_FULL).dropDuplicates(_E_TEXT)
+    u_texts = stage(
+        _attach_username_codes(
+            u.select("u_norm", "u_part1", "u_part2").dropDuplicates(["u_norm"])
+        ),
+        "u_norm",
+        enabled=materialize,
+    )
+    e_texts = stage(
+        _attach_employee_codes(e.select(*_E_TEXT).dropDuplicates(_E_TEXT)),
+        "e_name",
+        enabled=materialize,
+    )
 
     if blocking:
         from ..plans.blocking import blocked_candidates

@@ -51,6 +51,20 @@ def profile_columns(
     if not columns:
         raise ValueError("columns must be non-empty")
 
+    # Parallelism floor (optimization round 10, guide §6 minPartitionNum
+    # — the plans/staging.spread rationale without the checkpoint): a
+    # small table read as a couple of 128 MB splits caps the Expand ×
+    # (n_distinct_cols+1) partial aggregate — the whole cost of this
+    # operator — at the scan's split count (measured: 91% of the query
+    # in one 3-task stage on a 32-core session).  Re-spread only when
+    # the scan is under-parallel; every aggregate here is
+    # order-independent (count/min/max/distinct), so results are
+    # unaffected, and any real corpus has enough splits for this to be
+    # a no-op.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
     nd = F.count_distinct if distinct == "exact" else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_nr")]
     for c in columns:

@@ -28,6 +28,11 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=10)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--json", dest="json_out")
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="run the query once untimed first so JIT/codegen warmth is "
+        "not charged to the measured run's stages",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,15 +53,30 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     q = entry_mod.queries()[args.query]
+    app_id = spark.sparkContext.applicationId
+    base = f"http://localhost:4049/api/v1/applications/{app_id}"
+
+    if args.warmup:
+        # One throwaway execution first: a cold session charges JIT +
+        # whole-stage-codegen compilation of every generated method to
+        # the first stages that run them (measured ~70s of executor time
+        # on a 32-core local session — round-10 lesson: a cold profile
+        # mis-attributed 21% of a query to its first collect).  The
+        # measured run then reflects steady-state costs, which is what
+        # the bench's min-of-2 reports.
+        q(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        with urllib.request.urlopen(f"{base}/stages?status=complete") as r:
+            skip_ids = {s["stageId"] for s in json.load(r)}
+    else:
+        skip_ids = set()
+
     t0 = time.perf_counter()
     df = q(spark, args.sf_dir)
     df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
 
-    app_id = spark.sparkContext.applicationId
-    base = f"http://localhost:4049/api/v1/applications/{app_id}"
     with urllib.request.urlopen(f"{base}/stages?status=complete") as r:
-        stages = json.load(r)
+        stages = [s for s in json.load(r) if s["stageId"] not in skip_ids]
     rows = [
         {
             "stage": s["stageId"],
