@@ -227,21 +227,68 @@ def _frame_phash_of(buf: bytes) -> int:
     return _phash_of(np.repeat(gray[:, :, None], 3, axis=2))
 
 
+# Constants of the fixed FRAME_H × FRAME_W fake-decode geometry, hoisted
+# so the batch kernel computes them once per module import: the 192-pixel
+# → 64-block one-hot map (every frame shares it), the per-block counts,
+# and the 63 bit weights.
+_FRAME_PIXELS = FRAME_H * FRAME_W
+_FRAME_BLOCK_IDX = (
+    ((np.arange(FRAME_H, dtype=np.int64) * 8) // FRAME_H)[:, None] * 8
+    + ((np.arange(FRAME_W, dtype=np.int64) * 8) // FRAME_W)[None, :]
+).ravel()
+_FRAME_BLOCK_ONEHOT = (
+    _FRAME_BLOCK_IDX[:, None] == np.arange(64, dtype=np.int64)[None, :]
+).astype(np.int64)
+_FRAME_BLOCK_COUNTS = _FRAME_BLOCK_ONEHOT.sum(axis=0)
+_FRAME_BIT_WEIGHTS = np.int64(1) << np.arange(63, dtype=np.int64)
+
+
+def _frame_phashes_np(bufs: list[bytes]) -> np.ndarray:
+    """Vectorized :func:`_frame_phash_of` over a whole Arrow batch
+    (optimization round 11, guide §4.2 — no per-row Python loop): every
+    step runs as one numpy op over all frames.  Bit-identical to the
+    scalar path (pinned by ``tests/test_video_phash.py``): the fake
+    decode is a pure gather, block means reduce over a constant one-hot
+    map, the DCT is the same exact int64 matmul batched with einsum,
+    and the median/threshold algebra is unchanged.  Only the gather
+    index depends on the chunk length, so frames are grouped by length
+    (video chunks are fixed-size except tails — a handful of groups)."""
+    n = len(bufs)
+    gray = np.empty((n, _FRAME_PIXELS), dtype=np.int64)
+    base = np.arange(_FRAME_PIXELS, dtype=np.int64)
+    by_len: dict[int, list[int]] = {}
+    for i, buf in enumerate(bufs):
+        by_len.setdefault(len(buf), []).append(i)
+    if 0 in by_len:
+        raise ValueError("empty frame chunk — filter length(frame_data) > 0 first")
+    for length, idxs in by_len.items():
+        arr = np.frombuffer(
+            b"".join(bytes(bufs[i]) for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), length)
+        gray[idxs] = arr[:, base % length]
+    sums = gray @ _FRAME_BLOCK_ONEHOT
+    grid = (sums // _FRAME_BLOCK_COUNTS).reshape(n, 8, 8)
+    c = np.asarray(DCT_C, dtype=np.int64)
+    t = np.einsum("ux,nxy,vy->nuv", c, grid, c)  # exact: |t| ≤ 8²·64²·255
+    ac = t.reshape(n, 64)[:, 1:]
+    med = np.sort(ac, axis=1)[:, 31]
+    return ((ac > med[:, None]) * _FRAME_BIT_WEIGHTS).sum(axis=1)
+
+
 def frame_phashes(frames: DataFrame) -> DataFrame:
     """``(asset_id, frame_idx, phash)`` for every sampled frame — one
-    Arrow pass; only ids + frame bytes cross the Python boundary."""
+    Arrow pass; only ids + frame bytes cross the Python boundary, and
+    the kernel is fully vectorized over each batch (guide §4.2)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = [
+            yield pd.DataFrame(
                 {
-                    "asset_id": row["asset_id"],
-                    "frame_idx": row["frame_idx"],
-                    "phash": _frame_phash_of(row["frame_data"]),
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "frame_idx": pdf["frame_idx"].to_numpy(),
+                    "phash": _frame_phashes_np(list(pdf["frame_data"])),
                 }
-                for _, row in pdf.iterrows()
-            ]
-            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "phash"])
+            )
 
     return frames.mapInPandas(kernel, FRAME_PHASH_SCHEMA)
 

@@ -381,6 +381,14 @@ def rollup_reaggregate(
     return hourly, daily
 
 
+# Chunk size of the two-level EWMA fold: inner folds copy at most this
+# many accumulator elements per step (the quadratic term), outer steps
+# copy only chunk references.  256 keeps the inner cost ≤ n·128 element
+# copies per key while adding only one slice/flatten layer for the
+# short-history keys the bench exercises.
+_EWMA_FOLD_CHUNK = 256
+
+
 def ewma_fixed_point(
     df: DataFrame,
     key_col: str,
@@ -428,13 +436,38 @@ def ewma_fixed_point(
     # Python '//' is FLOOR division; Spark 'div' truncates toward zero —
     # correct trunc→floor with the sign/remainder case.  One parsed SQL
     # string (the literal-expression lesson from operators/pq.py).
-    step = f"({A}L * r.{x_col} + {G - A}L * element_at(acc, -1))"
-    fold = (
-        f"aggregate(_rows, CAST(array() AS array<bigint>), (acc, r) -> "
-        f"concat(acc, array(CASE WHEN size(acc) = 0 "
+    #
+    # Two-level CHUNKED fold (optimization round 11, VERDICT r10 #8):
+    # a single aggregate's ``concat(acc, array(x))`` copies the whole
+    # accumulator at every element — O(n²) per key, quadratic for long
+    # histories.  Folding fixed-size chunks instead bounds every inner
+    # concat at _EWMA_FOLD_CHUNK elements (O(n·C) element copies) and
+    # the outer concat copies only chunk REFERENCES (O((n/C)²) pointer
+    # copies) — linear-ish in n for any realistic history.  The carry
+    # between chunks is the last EWMA of the previous chunk (the single
+    # number of sequential state the recurrence actually has), so the
+    # arithmetic per element is unchanged and the flattened output is
+    # bit-identical (pinned by test_ewma_long_history_linear_fold and
+    # the pure-Python reference tests).
+    prev = (
+        "(CASE WHEN size(acc) = 0 THEN element_at(element_at(outs, -1), -1) "
+        "ELSE element_at(acc, -1) END)"
+    )
+    step = f"({A}L * r.{x_col} + {G - A}L * {prev})"
+    inner = (
+        f"aggregate(ch, CAST(array() AS array<bigint>), (acc, r) -> "
+        f"concat(acc, array(CASE WHEN size(outs) = 0 AND size(acc) = 0 "
         f"THEN CAST(r.{x_col} AS BIGINT) "
         f"ELSE ({step} div {G}L) - (CASE WHEN {step} % {G}L != 0 "
         f"AND {step} < 0 THEN 1L ELSE 0L END) END)))"
+    )
+    C = _EWMA_FOLD_CHUNK
+    fold = (
+        f"flatten(aggregate("
+        f"transform(sequence(0, CAST(ceil(size(_rows) / {C}.0) AS INT) - 1), "
+        f"i -> slice(_rows, i * {C} + 1, {C})), "
+        f"CAST(array() AS array<array<bigint>>), "
+        f"(outs, ch) -> concat(outs, array({inner}))))"
     )
     zipped = rows.select(
         F.col(key_col),

@@ -161,12 +161,21 @@ def ngram_jaccard_pairs(
         # §2.3 "aggregate before you shuffle").
         row = tok.agg(
             F.count(F.lit(1)).alias("t"),
-            F.approx_count_distinct("h").alias("v"),
+            # rsd 2%: the estimate gates the bitmap path's hard vocab cap
+            # below, so the sketch must be tight enough that the safety
+            # margin is many standard deviations wide.
+            F.approx_count_distinct("h", 0.02).alias("v"),
         ).first()
         v = row["v"] or 0
         m = (row["t"] / v) if v else 0.0
         dense = m >= 16
-        if dense and v <= _BITMAP_MAX_VOCAB and m >= base.count() / 4.0:
+        # 0.9 margin on the HLL estimate (≈5σ at rsd 2%): an undercount
+        # on a corpus whose true vocabulary sits just above
+        # _BITMAP_MAX_VOCAB must not auto-select bitmap, whose
+        # point-of-use guard exact-counts and raises (ADVICE r10).  The
+        # margin only moves the bitmap/countjoin boundary — all
+        # strategies return identical rows (test_ngram_strategies_agree).
+        if dense and v <= _BITMAP_MAX_VOCAB * 0.9 and m >= base.count() / 4.0:
             strategy = "bitmap"
         else:
             strategy = "countjoin" if dense else "prefix"
@@ -292,8 +301,9 @@ def _bitmap_set_pairs(
     # the collect: a caller forcing strategy="bitmap" on a wide-vocab
     # corpus must get this error, not a driver OOM from an unbounded
     # collect+broadcast.  The extra count re-scans only the distinct
-    # aggregate; the `auto` paths exact-count the vocabulary anyway and
-    # can never trip this.
+    # aggregate.  The containment auto exact-counts the vocabulary; the
+    # jaccard auto estimates it (HLL, rsd 2%) but gates on a 0.9 margin
+    # under the cap, so neither selector can trip this in practice.
     v_exact = distinct_h.count()
     if v_exact > _BITMAP_MAX_VOCAB:
         raise ValueError(

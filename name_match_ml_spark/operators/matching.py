@@ -60,6 +60,28 @@ _SPLIT_PATTERN = r"[\._\-\s]"  # main.py:32
 # match_usernames); module-level so benchmarks can A/B it.
 _REPARTITION_PAIRS = True
 
+# Checkpoint the per-row prepared sides (u/e).  Kept ON: same-session
+# A/B (optimization round 11, 4 reps alternating) measured unstaging
+# them a clear LOSS (flagship min 8.6 s vs 6.5 s) — each side feeds two
+# consumers (the distinct-text derivation and the final fan-out /
+# employee re-attach joins), and without the cut the scan + normalize +
+# dropDuplicates lineage re-executes per consumer.  Module-level so
+# benchmarks can A/B it.
+_STAGE_SIDES = True
+
+# Checkpoint the DISTINCT-text frames (u_texts/e_texts) in addition to
+# the per-row prepared sides; module-level so benchmarks can A/B it.
+# The distinct frames are consumed 2-3× (blocking key aggregates + the
+# candidate join + the dummy branch), but they are vocabulary-sized
+# (hundreds to low thousands of rows), so re-deriving them per consumer
+# is cheap while each stage() adds a repartition exchange plus a
+# scheduled checkpoint materialization — a net LOSS at bench scale
+# (VERDICT r10 #1: flagship slid 5.8 → 6.8-7.6 s when these two landed;
+# round-11 same-session A/B: OFF 6.49 s vs ON 6.77 s min-of-4, rows
+# identical).  At corpus scale the frames stay vocabulary-bounded while
+# the checkpoint costs scale with cluster round-trips, so OFF holds.
+_STAGE_DISTINCT_TEXTS = False
+
 # blocking=None auto-select: exact cross-scoring is allowed only when the
 # estimated (usernames × roster) pair count stays under this budget AND the
 # roster fits the session's broadcast threshold; anything bigger gets
@@ -350,20 +372,28 @@ def match_usernames(
     # instead of 30k UDF calls on the roster side, 1.7k instead of 15k
     # on the username side).  The codes are pure functions of the
     # normalized names, so every scored value is identical.
-    u = stage(prepare_usernames(usernames, codes=False), "u_norm", enabled=materialize)
-    e = stage(prepare_employees(employees, codes=False), "e_name", enabled=materialize)
+    u = stage(
+        prepare_usernames(usernames, codes=False),
+        "u_norm",
+        enabled=materialize and _STAGE_SIDES,
+    )
+    e = stage(
+        prepare_employees(employees, codes=False),
+        "e_name",
+        enabled=materialize and _STAGE_SIDES,
+    )
 
     u_texts = stage(
         _attach_username_codes(
             u.select("u_norm", "u_part1", "u_part2").dropDuplicates(["u_norm"])
         ),
         "u_norm",
-        enabled=materialize,
+        enabled=materialize and _STAGE_DISTINCT_TEXTS,
     )
     e_texts = stage(
         _attach_employee_codes(e.select(*_E_TEXT).dropDuplicates(_E_TEXT)),
         "e_name",
-        enabled=materialize,
+        enabled=materialize and _STAGE_DISTINCT_TEXTS,
     )
 
     if blocking:

@@ -61,8 +61,20 @@ def profile_columns(
     # order-independent (count/min/max/distinct), so results are
     # unaffected, and any real corpus has enough splits for this to be
     # a no-op.
+    # Probe the partition count only for shuffle-free plans (ADVICE r10):
+    # under AQE, ``df.rdd`` forces getFinalPhysicalPlan, which EXECUTES
+    # any upstream shuffle stages at plan-build time — and those stages
+    # are not reused by the aggregate below, so for non-scan inputs the
+    # probe could cost more than the floor saves.  With no Exchange in
+    # the initial physical plan the RDD conversion schedules nothing
+    # (file splits are computed driver-side), and a shuffled input's
+    # parallelism is governed by shuffle.partitions/AQE anyway.
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        shuffle_free = "Exchange" not in df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:
+        shuffle_free = False
+    if shuffle_free and df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
 
     nd = F.count_distinct if distinct == "exact" else F.approx_count_distinct

@@ -40,6 +40,7 @@ def test_grid_ivf_big_queries_no_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_grid_ivf_explicit_queries_match_convention(spark):
     from name_match_ml_spark.operators.clustering import grid_ivf_topk
 
@@ -65,6 +66,7 @@ def test_pq_small_queries_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_pq_big_queries_no_broadcast_same_answer(spark):
     from name_match_ml_spark.operators.pq import pq_topk
 
@@ -75,6 +77,7 @@ def test_pq_big_queries_no_broadcast_same_answer(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, conv))
 
 
+@pytest.mark.slow
 def test_pq_explicit_queries_match_convention(spark):
     """External query DataFrame encoded on the corpus grid must
     reproduce the convention answers for the same vectors."""
@@ -114,6 +117,7 @@ def test_quantized_cosine_topk_enforces_query_cap(spark):
         quantized_cosine_topk(emb, emb, k=3, max_queries=10)
 
 
+@pytest.mark.slow
 def test_pq_saturated_query_count_shuffles_rerank_join(spark):
     """ADVICE r8 (medium): when the LIMIT-bounded query count saturates
     (n_q == q_cap + 1), |Q| is unknown — the rerank join must treat the

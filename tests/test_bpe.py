@@ -23,6 +23,7 @@ def _segments(segs):
     return out
 
 
+@pytest.mark.slow
 def test_sennrich_walkthrough(spark):
     corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
     merges, segs = bpe_train(_docs(spark, corpus), n_merges=4)

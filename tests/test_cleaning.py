@@ -95,6 +95,7 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert other_seed != got1  # independent draw per seed
 
 
+@pytest.mark.slow
 def test_pack_documents_budget_and_determinism(spark):
     from name_match_ml_spark.operators.packing import pack_documents
 

@@ -143,6 +143,7 @@ def test_grid_pca_matches_exact_pca_direction(spark):
     assert corr > 0.99, corr
 
 
+@pytest.mark.slow
 def test_grid_pca_sign_canonical_and_deterministic(spark):
     """Same input twice -> identical output; negating the corpus keeps
     the first-nonzero-positive sign convention meaningful (projections
@@ -175,6 +176,7 @@ def test_grid_pca_rounds_validation(spark):
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
+@pytest.mark.slow
 def test_grid_ivf_recall_vs_same_grid_brute_force(spark, sf_dir):
     """Pruning loss of the 4-of-10-cell probe must hold recall@5 >= 0.55
     against brute force under the SAME grid metric (the float IVF path's
@@ -231,6 +233,7 @@ def test_grid_ivf_param_validation(spark):
         grid_ivf_topk(emb, n_probe=0)
 
 
+@pytest.mark.slow
 def test_pca_residual_orthogonal_and_reduces_common_mode(spark):
     """Residuals are orthogonal to the removed direction (up to the one
     integer downscale), and removing a planted common-mode direction

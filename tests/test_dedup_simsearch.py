@@ -125,6 +125,7 @@ def test_cosine_topk_matches_numpy(emb):
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+@pytest.mark.slow
 def test_lsh_topk_recall(spark, sf_dir):
     # Adaptive nbits must hold the recall gate as the corpus grows
     # (random weakly-separated embeddings are the worst case for

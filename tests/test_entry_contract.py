@@ -55,7 +55,44 @@ def test_every_oracle_key_has_query():
     assert not missing
 
 
-@pytest.mark.parametrize("name", ORACLE_KEYS)
+# Heaviest oracle mirrors (≥ ~6 s each measured on this host) — marked
+# slow so the default driver-window gate stays fast (VERDICT r10 #3);
+# the driver separately oracles a 50-query sample per round, and these
+# params still run under `-m slow`.
+SLOW_ORACLE_KEYS = {
+    "bfs_reach",
+    "bpe_merges",
+    "bpe_segments",
+    "bpe_tokenize_docs",
+    "clustering_coeff",
+    "containment_sketch",
+    "dedup_clusters",
+    "doc_triangles",
+    "graph_modularity",
+    "grid_pca",
+    "hilbert_layout",
+    "incremental_dedup_clusters",
+    "incremental_near_dup",
+    "incremental_refresh_pipeline",
+    "ivfpq_topk",
+    "k_core",
+    "label_propagation",
+    "leak_safe_split",
+    "minhash_est_audit",
+    "pipeline_clean_corpus",
+    "select_keepers",
+    "shortest_path",
+    "tokenizer_compression",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(k, marks=pytest.mark.slow) if k in SLOW_ORACLE_KEYS else k
+        for k in ORACLE_KEYS
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)

@@ -8,6 +8,8 @@ clusters."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -58,6 +60,7 @@ def _cached(spark, rows):
     return pairs, connected_components(pairs).localCheckpoint()
 
 
+@pytest.mark.slow
 def test_merge_split_and_new_cluster_equal_full_recompute(spark):
     """One batch that splits {1,2,3} (delete 2 — its variants are only
     ~0.5-similar pairwise... still connected via shared prefix), merges

@@ -48,6 +48,7 @@ def _exact_pairs(spark, sf_dir, k=5):
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
+@pytest.mark.slow
 def test_ivfpq_recall_vs_same_grid_brute_force(spark, sf_dir):
     """Both pruning axes together (4-of-8-cell probe + 16-code residual
     PQ + rerank 100) must hold recall@5 >= 0.6 against brute force
@@ -71,6 +72,7 @@ def test_ivfpq_recall_vs_same_grid_brute_force(spark, sf_dir):
         assert all(r.neighbor_id != q for r in rs)
 
 
+@pytest.mark.slow
 def test_ivfpq_explicit_queries_match_convention(spark):
     sf = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")

@@ -102,6 +102,7 @@ def test_corpus_labeled_pairs(spark):
     assert bad == 0
 
 
+@pytest.mark.slow
 def test_cv_tuning_beats_floor(spark, train_pairs):
     """[EXT] CrossValidator grid search must run reproducibly and reach
     a sane AUC on a subsample (small grid keeps this test fast)."""

@@ -6,6 +6,8 @@ isolation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from name_match_ml_spark.operators import graph
@@ -24,6 +26,7 @@ from name_match_ml_spark.sources.parquet import table
 SF = "/root/testdata/sf0.01"
 
 
+@pytest.mark.slow
 def test_training_data_pipeline_end_to_end(spark, monkeypatch):
     docs = table(spark, SF, "documents")
     n_docs = docs.count()
@@ -112,6 +115,7 @@ def test_training_data_pipeline_end_to_end(spark, monkeypatch):
         assert total <= 256 or singletons[key] == 1
 
 
+@pytest.mark.slow
 def test_near_dup_graph_staged_across_graph_consumers(spark, monkeypatch):
     """VERDICT r5 #1: the graph-quality family must be able to share ONE
     pair derivation.  near_dup_graph(docs) stages the pair job; every

@@ -93,7 +93,42 @@ FORBIDDEN = (
 )
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+# Queries whose plan CONSTRUCTION is itself heavy (iterative operators
+# execute their rounds eagerly at plan build; ANN training collects
+# model state) — marked slow for the default driver-window gate
+# (VERDICT r10 #3); still guarded under `-m slow`.
+SLOW_PLAN_KEYS = {
+    "bfs_reach",
+    "clustering_coeff",
+    "doc_triangles",
+    "flagship_namematch",
+    "graph_modularity",
+    "grid_ivf_topk",
+    "grid_kmeans",
+    "incremental_dedup_clusters",
+    "incremental_near_dup",
+    "incremental_refresh_pipeline",
+    "ivfpq_topk",
+    "k_core",
+    "kcenter_select",
+    "label_propagation",
+    "leak_safe_split",
+    "ml_train_eval",
+    "opq_topk",
+    "pipeline_clean_corpus",
+    "pq_topk",
+    "select_keepers",
+    "shortest_path",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(k, marks=pytest.mark.slow) if k in SLOW_PLAN_KEYS else k
+        for k in sorted(entry_mod.queries())
+    ],
+)
 def test_no_scale_antipatterns(spark, name):
     q = entry_mod.queries()[name]
     df = q(spark, SF_DIR)

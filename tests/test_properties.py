@@ -4,6 +4,8 @@ corpus-shaped inputs (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -14,6 +16,7 @@ words = st.lists(
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(tokens=words, chunk_size=st.integers(3, 12), stride=st.integers(1, 12))
+@pytest.mark.slow
 def test_chunking_invariants(spark, tokens, chunk_size, stride):
     from name_match_ml_spark.functions.text import chunk_documents
 
@@ -69,6 +72,7 @@ def _uf_components(edges):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_connected_components_vs_union_find(spark, edges):
     from name_match_ml_spark.operators.graph import connected_components
 
@@ -85,6 +89,7 @@ def test_connected_components_vs_union_find(spark, edges):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_two_phase_components_vs_union_find(spark, edges):
     """Large-star/small-star resolves to the identical unique fixpoint."""
     from name_match_ml_spark.operators import graph
@@ -97,6 +102,7 @@ def test_two_phase_components_vs_union_find(spark, edges):
     assert got == _uf_components(edges)
 
 
+@pytest.mark.slow
 def test_long_chain_converges_in_log_rounds(spark):
     """A diameter-2000 path graph — the adversarial case for min-label
     propagation (needs 2000 rounds) — must resolve in O(log n) rounds via
@@ -194,6 +200,7 @@ def test_decontaminate_self_is_total(spark, texts):
     ),
     span_words=st.integers(2, 8),
 )
+@pytest.mark.slow
 def test_span_dedup_invariants(spark, texts, span_words):
     """Global span dedup: kept spans across the corpus are exactly the
     DISTINCT spans (one winner each), totals match per-doc span counts,
@@ -230,6 +237,7 @@ def test_span_dedup_invariants(spark, texts, span_words):
     pad_a=st.integers(0, 6),
     pad_b=st.integers(0, 6),
 )
+@pytest.mark.slow
 def test_winnow_substring_detection_and_bound(spark, run_len, w, pad_a, pad_b):
     """Winnowed substring detection: any shared run of >= seed_n + w - 1
     words is detected, and the reported length is a lower bound within
@@ -272,6 +280,7 @@ def test_quantize_roundtrip_error_bound(spark, vec):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(k=st.integers(1, 50), seed=st.sampled_from(["s1", "s2"]))
+@pytest.mark.slow
 def test_weighted_sample_nested_in_k(spark, k, seed):
     """Top-k samples nest: the k-sample is a prefix of the (k+m)-sample
     under the same seed (priorities are fixed per doc)."""

@@ -220,6 +220,7 @@ def test_containment_strategies_bit_identical(spark):
     assert len(got["countjoin"]) > 0  # the quotes must actually collide
 
 
+@pytest.mark.slow
 def test_max_shingle_df_drops_boilerplate_pairs(spark):
     """The stop-shingle cap (the 100 TB pair-bomb knob): docs that match
     only through ubiquitous boilerplate stop matching once shingles with
@@ -429,6 +430,7 @@ def test_grouped_udaf_mad_matches_numpy(spark):
         assert out[et].n_events == len(vals)
 
 
+@pytest.mark.slow
 def test_triangles_matches_bruteforce_random_graphs(spark):
     """Randomized cross-check: degree-oriented enumeration vs an
     itertools brute force over all node triples."""
@@ -508,6 +510,7 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_python_datasource_streaming_reader(spark, tmp_path):
     """The streaming side of the custom source: micro-batches follow the
     checkpointed offset, the capped stream terminates under availableNow,

@@ -108,6 +108,53 @@ def test_ewma_negative_values_floor_division(spark):
         assert [got[k][i] for i in range(len(xs))] == _ewma_ref(xs)
 
 
+@pytest.mark.slow
+def test_ewma_long_history_linear_fold(spark):
+    """Long-key guard (VERDICT r10 #8): one 100k-row key must complete
+    in seconds (the chunked two-level fold's copies are O(n·C), not the
+    single-fold O(n²) ≈ 5e9 element copies) and stay bit-identical to
+    the pure-Python recurrence — including negatives (floor division)
+    and across the chunk boundary carry."""
+    import time
+
+    rng = random.Random(13)
+    n = 100_000
+    xs = [rng.randrange(-500_000_000, 500_000_000) for _ in range(n)]
+    df = spark.createDataFrame(
+        [(0, i, x) for i, x in enumerate(xs)], ["k", "i", "x"]
+    ).repartition(8)
+    t0 = time.perf_counter()
+    got = {r.i: r.ewma_fp for r in ewma_fixed_point(df, "k", ["i"], "x").collect()}
+    elapsed = time.perf_counter() - t0
+    ref = _ewma_ref(xs)
+    assert [got[i] for i in range(n)] == ref
+    # generous bound: the quadratic fold takes minutes on this input
+    assert elapsed < 60, f"long-history EWMA took {elapsed:.1f}s — quadratic fold?"
+
+
+def test_ewma_chunk_boundary_exact(spark):
+    """Histories straddling the fold chunk size (n = C-1, C, C+1, 2C+3)
+    match the reference exactly — the carry between chunks is the only
+    cross-chunk state and must reproduce the unchunked recurrence."""
+    from name_match_ml_spark.operators.analytics import _EWMA_FOLD_CHUNK as C
+
+    rng = random.Random(17)
+    rows = []
+    sizes = {0: C - 1, 1: C, 2: C + 1, 3: 2 * C + 3, 4: 1}
+    for k, n in sizes.items():
+        for i in range(n):
+            rows.append((k, i, rng.randrange(-10_000_000, 10_000_000)))
+    df = spark.createDataFrame(rows, ["k", "i", "x"]).repartition(5)
+    got = {}
+    for r in ewma_fixed_point(df, "k", ["i"], "x").collect():
+        got.setdefault(r.k, {})[r.i] = r.ewma_fp
+    by_key = {}
+    for k, i, x in rows:
+        by_key.setdefault(k, []).append(x)
+    for k, xs in by_key.items():
+        assert [got[k][i] for i in range(len(xs))] == _ewma_ref(xs), f"key {k}"
+
+
 def test_ewma_alpha_one_is_identity_and_bounds_checked(spark):
     df = spark.createDataFrame([(0, 0, 5), (0, 1, 9)], ["k", "i", "x"])
     out = ewma_fixed_point(df, "k", ["i"], "x", alpha_1e6=1_000_000)

@@ -23,6 +23,7 @@ from name_match_ml_spark.plans.runtime_filter import bloom_reduce_join
 # ------------------------------------------------------------- bloom reduce
 
 
+@pytest.mark.slow
 def test_bloom_join_equals_plain_join_even_tiny_filter(spark):
     fact = spark.range(0, 2000).select(F.col("id").alias("fk"))
     dim = spark.range(0, 2000, 37).select(F.col("id").alias("dk"))
@@ -40,6 +41,7 @@ def test_bloom_join_equals_plain_join_even_tiny_filter(spark):
         assert got == expect, f"m_bits={m_bits}"
 
 
+@pytest.mark.slow
 def test_bloom_probe_filters_before_join_and_stays_codegen(spark):
     fact = spark.range(0, 10_000).select(F.col("id").alias("fk"))
     dim = spark.range(0, 10).select(F.col("id").alias("dk"))

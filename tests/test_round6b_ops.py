@@ -612,6 +612,7 @@ def test_charngram_langid_separable_toy(spark):
 # --------------------------------------------- pipeline_select_corpus
 
 
+@pytest.mark.slow
 def test_pipeline_select_stage_invariants(spark):
     """Every selected doc survives BOTH quality gates and the mixture;
     the selected token mass covers (and only just covers) the 25%

@@ -4,6 +4,8 @@ int64-grid fuzzy decontamination, and UNK single-char tokenizer coverage."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -55,6 +57,7 @@ def test_kcenter_select_k_exceeding_corpus_stops_early(spark):
     assert sorted(r["pick"] for r in out) == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_fuzzy_decontaminate_grid_is_exact_int64(spark):
     """best_jaccard_grid = (|I| * 1e6) div |U| — exact integers, and the
     threshold test is the exact rational comparison."""

@@ -3,6 +3,8 @@ and (added later this round) PQ ANN + integer perceptron training."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -99,6 +101,7 @@ def test_perplexity_buckets_sizes_and_order(spark):
             assert min(heads) >= max(tails)
 
 
+@pytest.mark.slow
 def test_pq_topk_recall_vs_exact(spark):
     """ADC + exact refine must recover >=0.9 of the true top-5 (by exact
     int64 distance over the same global-scale codes); measured 0.96 at

@@ -54,6 +54,7 @@ def test_pack_attention_spans_drops_zero_token_docs(spark):
     assert (by_id[4]["start_tok"], by_id[4]["end_tok"]) == (3, 4)
 
 
+@pytest.mark.slow
 def test_pca_residual_query_emits_csv_not_array(spark):
     """VERDICT r7 #1: the driver canonicalizer cannot sort nested values;
     the declared query must serialize resid to CSV (embedding_quantize
@@ -109,6 +110,7 @@ def test_hd_rotate_validates_dim(spark):
         hd_rotate(emb, dim=4)
 
 
+@pytest.mark.slow
 def test_opq_topk_recall_vs_exact(spark):
     """OPQ recall@5 vs the exact top-5 (original space; rankings are
     rotation-invariant) must hold the pq_topk bar."""
@@ -185,6 +187,7 @@ def _cluster_map(rows):
     return {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"]) for r in rows}
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_equals_full_recompute(spark):
     """Delta update == full recompute on the unified corpus, including
     removals (removed doc's edges must disappear)."""
@@ -220,6 +223,7 @@ def test_incremental_near_dup_equals_full_recompute(spark):
     assert got == full and got, "incremental must equal full recompute"
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_actually_uses_cache(spark):
     """Behavioral proof of incrementality: a POISONED cached edge between
     two unchanged docs must flow into the output (the operator trusts

@@ -143,6 +143,7 @@ def test_foreachbatch_parquet_sink_idempotent(spark, events_dir, batch_events, t
     assert spark.read.parquet(out).count() == want
 
 
+@pytest.mark.slow
 def test_interval_join_stream_equals_batch(spark, events_dir, batch_events):
     """Watermarked stream-stream inner interval join emits on match, so
     its availableNow drain must equal the same builder on static input."""
@@ -231,6 +232,7 @@ def test_session_dynamic_gap_stream_equals_batch(spark, events_dir, batch_events
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_left_outer_interval_join_stream_equals_batch_minus_tail(
     spark, events_dir, batch_events
 ):
@@ -269,6 +271,7 @@ def test_left_outer_interval_join_stream_equals_batch_minus_tail(
     assert any(r[2] is None for r in got)
 
 
+@pytest.mark.slow
 def test_foreachbatch_incremental_agg_state_equals_batch(
     spark, batch_events, tmp_path_factory
 ):

@@ -37,6 +37,7 @@ def _run(df, mode="append"):
     spark.catalog.dropTempView("docs_out")
     return rows
 
+@pytest.mark.slow
 def test_stream_equals_batch(spark, docs_dir):
     got = _run(clean_documents(stream_documents(spark, docs_dir)))
     want = clean_documents(table(spark, SF, "documents")).collect()

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from name_match_ml_spark.multimodal.columns import synthesize_media_assets
 from name_match_ml_spark.multimodal.phash import (
     _frame_phash_of,
+    _frame_phashes_np,
     frame_phashes,
     video_phash_dedup,
 )
@@ -65,6 +66,26 @@ def test_frame_phashes_deterministic_and_nonempty(spark):
 def test_frame_kernel_rejects_empty_chunk(spark):
     with pytest.raises(ValueError, match="empty frame chunk"):
         _frame_phash_of(b"")
+    with pytest.raises(ValueError, match="empty frame chunk"):
+        _frame_phashes_np([b"abc", b""])
+
+
+def test_vectorized_frame_kernel_matches_scalar():
+    """The batched numpy kernel (optimization round 11) must be
+    bit-identical to the per-frame reference across chunk lengths
+    (1-byte degenerate, shorter/equal/longer than the 192-pixel grid,
+    and mixed lengths in one batch — the grouped-gather path)."""
+    import random
+
+    random.seed(11)
+    bufs = [
+        bytes(random.randrange(256) for _ in range(length))
+        for length in [1, 2, 7, 50, 191, 192, 193, 256, 1000]
+        for _ in range(4)
+    ]
+    expected = [_frame_phash_of(b) for b in bufs]
+    assert _frame_phashes_np(bufs).tolist() == expected
+    assert _frame_phashes_np([]).shape == (0,)
 
 
 def test_bands_pigeonhole_validation(spark):

@@ -65,10 +65,24 @@ def main() -> int:
         # measured run then reflects steady-state costs, which is what
         # the bench's min-of-2 reports.
         q(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-        with urllib.request.urlopen(f"{base}/stages?status=complete") as r:
-            skip_ids = {s["stageId"] for s in json.load(r)}
+        # The REST API is fed by an async event queue: stages from the
+        # warmup run may not yet be listed (or may have failed) right
+        # after the action returns, and a status=complete filter would
+        # miss them — charging warmup stages to the measured run
+        # (ADVICE r10).  Poll unfiltered until the max stageId settles,
+        # then exclude EVERYTHING at or below it.
+        max_seen = -1
+        for _ in range(20):
+            with urllib.request.urlopen(f"{base}/stages") as r:
+                ids = [s["stageId"] for s in json.load(r)]
+            m = max(ids) if ids else -1
+            if m == max_seen:
+                break
+            max_seen = m
+            time.sleep(0.25)
+        skip_below = max_seen
     else:
-        skip_ids = set()
+        skip_below = -1
 
     t0 = time.perf_counter()
     df = q(spark, args.sf_dir)
@@ -76,7 +90,7 @@ def main() -> int:
     wall = time.perf_counter() - t0
 
     with urllib.request.urlopen(f"{base}/stages?status=complete") as r:
-        stages = [s for s in json.load(r) if s["stageId"] not in skip_ids]
+        stages = [s for s in json.load(r) if s["stageId"] > skip_below]
     rows = [
         {
             "stage": s["stageId"],
