@@ -344,10 +344,11 @@ def match_usernames(
     4. The per-``u_norm`` result fans back out to the original username
        rows with one narrow join.
     """
-    # The prepared sides each feed 2-3 consumers (candidates, dummy
-    # branch, final fan-out join / employee re-attach); staging runs the
-    # Arrow phonetic UDFs once per side instead of once per consumer
-    # (see plans/staging.py).
+    # The prepared sides each feed 2 consumers (distinct-text derivation
+    # and the final fan-out / employee re-attach join); staging runs the
+    # scan + normalization + split once per side instead of once per
+    # consumer (see plans/staging.py and the _STAGE_* notes above — the
+    # phonetic UDFs attach after the distinct pass and are NOT staged).
     if blocking is None:
         # Auto-select from plan statistics (no job): exact cross-scoring
         # only when the pair product is affordable AND the roster side is
